@@ -1,0 +1,145 @@
+"""Config schema — YAML-compatible with the reference.
+
+Schema parity target: reference ``conceptmod/textsliders/config_util.py:14-107``
+(RootConfig pydantic tree) so that the reference's shipped YAML files
+(``conceptmod/textsliders/data/config*.yaml``) parse verbatim.
+
+Differences from the reference (deliberate):
+* pydantic v2 (the environment ships v2; the reference used v1),
+* ``parse_precision`` returns a ``jnp.dtype`` instead of a torch dtype,
+* extra TPU-only knobs live in a separate optional ``tpu:`` block with
+  defaults that reproduce reference behavior when absent.
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Optional
+
+import jax.numpy as jnp
+import yaml
+from pydantic import BaseModel, ConfigDict
+
+PRECISION_TYPES = Literal["fp32", "fp16", "bf16", "float32", "float16", "bfloat16"]
+NETWORK_TYPES = Literal["lierla", "c3lier"]
+
+# Reference conceptmod/textsliders/lora.py:32-47
+TRAINING_METHODS = Literal[
+    "noxattn",
+    "innoxattn",
+    "selfattn",
+    "xattn",
+    "full",
+    "xattn-strict",
+    "noxattn-hspace",
+    "noxattn-hspace-last",
+]
+
+
+class PretrainedModelConfig(BaseModel):
+    name_or_path: str
+    v2: bool = False
+    v_pred: bool = False
+    clip_skip: Optional[int] = None
+
+
+class NetworkConfig(BaseModel):
+    type: NETWORK_TYPES = "lierla"
+    rank: int = 4
+    alpha: float = 1.0
+    training_method: str = "full"
+
+
+class TrainConfig(BaseModel):
+    precision: PRECISION_TYPES = "bfloat16"
+    noise_scheduler: Literal["ddim", "ddpm", "lms", "euler_a", "builtin"] = "ddim"
+
+    iterations: int = 500
+    lr: float = 1e-3
+    eta_min: float = 1e-4
+    lambda_similarity: float = 0.1
+    optimizer: str = "adamw"
+    optimizer_args: str = ""
+    lr_scheduler: str = "constant"
+    cfg: float = 1.0
+
+    max_denoising_steps: int = 50
+
+
+class SaveConfig(BaseModel):
+    name: str = "untitled"
+    path: str = "./output"
+    per_steps: int = 200
+    precision: PRECISION_TYPES = "float32"
+
+
+class LoggingConfig(BaseModel):
+    use_wandb: bool = False
+    verbose: bool = False
+
+
+class OtherConfig(BaseModel):
+    use_xformers: bool = False
+
+
+class TPUConfig(BaseModel):
+    """TPU-native extensions (absent in reference; defaults = reference behavior)."""
+
+    model_config = ConfigDict(extra="allow")
+
+    mesh_data: int = -1  # -1: all devices on the data axis
+    mesh_model: int = 1
+    use_flash_attention: bool = True
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    debug_nans: bool = False
+    seed: int = 0
+    # honor config.network.rank/alpha (the reference XL trainer ignores them
+    # in favor of CLI/hardcoded values, reference train_lora_xl.py:94-105)
+    honor_network_config: bool = True
+
+
+class RootConfig(BaseModel):
+    prompts_file: str
+    pretrained_model: PretrainedModelConfig
+    network: NetworkConfig
+
+    train: Optional[TrainConfig] = None
+    save: Optional[SaveConfig] = None
+    logging: Optional[LoggingConfig] = None
+    other: Optional[OtherConfig] = None
+    tpu: Optional[TPUConfig] = None
+
+
+def parse_precision(precision: str) -> jnp.dtype:
+    """Reference config_util.py:78-86, mapped to JAX dtypes.
+
+    fp16 maps to bfloat16: float16 has no TPU advantage and a narrower
+    exponent range; bf16 is the TPU-native half precision.
+    """
+    if precision in ("fp32", "float32"):
+        return jnp.float32
+    if precision in ("fp16", "float16"):
+        return jnp.bfloat16
+    if precision in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"Invalid precision type: {precision}")
+
+
+def load_config_from_yaml(config_path: str) -> RootConfig:
+    """Reference config_util.py:89-107 — defaults filled for missing blocks."""
+    with open(config_path, "r") as f:
+        config = yaml.safe_load(f)
+
+    root = RootConfig(**config)
+
+    if root.train is None:
+        root.train = TrainConfig()
+    if root.save is None:
+        root.save = SaveConfig()
+    if root.logging is None:
+        root.logging = LoggingConfig()
+    if root.other is None:
+        root.other = OtherConfig()
+    if root.tpu is None:
+        root.tpu = TPUConfig()
+
+    return root

@@ -1,0 +1,53 @@
+"""Attention dispatch: Pallas flash-attention on TPU, fused XLA elsewhere.
+
+Replaces the reference's xformers memory-efficient attention
+(``unet.enable_xformers_memory_efficient_attention()``,
+reference train_lora_xl.py:83-84) — the one native-code dependency of the
+reference's hot path (SURVEY.md §2.1).
+
+Layout: [batch, seq, heads, head_dim] (BSHD) throughout — TPU-friendly
+(head_dim=64..160 on the lane axis) and transpose-free for the UNet's
+flattened-spatial sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_SEQ = 256  # below this, plain XLA attention is faster than a kernel launch
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    use_flash: bool = True,
+) -> jnp.ndarray:
+    """Bidirectional (no-mask) attention, BSHD layout.
+
+    UNet self/cross attention is unmasked; CLIP's causal mask is handled in
+    the CLIP module itself (77 tokens — not worth a kernel).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    q_seq = q.shape[1]
+    kv_seq = k.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if use_flash and on_tpu and q_seq >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
+        from sliders_conceptmod_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)

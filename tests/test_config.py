@@ -1,0 +1,93 @@
+"""Config schema parity: the reference's shipped YAMLs must parse verbatim."""
+
+import textwrap
+
+import jax.numpy as jnp
+import pytest
+
+from sliders_conceptmod_tpu.core.config import (
+    RootConfig,
+    load_config_from_yaml,
+    parse_precision,
+)
+
+REFERENCE_XL_YAML = textwrap.dedent(
+    """
+    prompts_file: "trainscripts/textsliders/data/prompts-xl.yaml"
+    pretrained_model:
+      name_or_path: "stabilityai/stable-diffusion-xl-base-1.0"
+      v2: false
+      v_pred: false
+    network:
+      type: "c3lier"
+      rank: 4
+      alpha: 1.0
+      training_method: "noxattn"
+    train:
+      precision: "bfloat16"
+      noise_scheduler: "euler_a"
+      iterations: 500
+      lr: 0.0002
+      optimizer: "AdamW"
+      lr_scheduler: "constant"
+      max_denoising_steps: 12
+    save:
+      name: "temp"
+      path: "./models"
+      per_steps: 10000
+      precision: "bfloat16"
+    logging:
+      use_wandb: false
+      verbose: false
+    other:
+      use_xformers: true
+    """
+)
+
+
+def test_reference_xl_yaml_parses(tmp_path):
+    p = tmp_path / "config-xl.yaml"
+    p.write_text(REFERENCE_XL_YAML)
+    cfg = load_config_from_yaml(str(p))
+    assert cfg.network.type == "c3lier"
+    assert cfg.network.rank == 4
+    assert cfg.train.noise_scheduler == "euler_a"
+    assert cfg.train.max_denoising_steps == 12
+    assert cfg.train.lr == pytest.approx(2e-4)
+    assert cfg.save.per_steps == 10000
+    assert cfg.other.use_xformers is True
+    # TPU block defaults filled
+    assert cfg.tpu.mesh_model == 1
+
+
+def test_missing_blocks_filled(tmp_path):
+    p = tmp_path / "min.yaml"
+    p.write_text(
+        "prompts_file: x.yaml\n"
+        "pretrained_model:\n  name_or_path: model\n"
+        "network: {}\n"
+    )
+    cfg = load_config_from_yaml(str(p))
+    # defaults per reference config_util.py:30-60
+    assert cfg.train.iterations == 500
+    assert cfg.train.lr == 1e-3
+    assert cfg.train.noise_scheduler == "ddim"
+    assert cfg.train.max_denoising_steps == 50
+    assert cfg.save.name == "untitled"
+    assert cfg.save.per_steps == 200
+    assert cfg.logging.use_wandb is False
+    assert cfg.other.use_xformers is False
+    assert cfg.network.rank == 4
+    assert cfg.network.alpha == 1.0
+    assert cfg.network.training_method == "full"
+
+
+def test_parse_precision():
+    assert parse_precision("fp32") == jnp.float32
+    assert parse_precision("float32") == jnp.float32
+    assert parse_precision("bf16") == jnp.bfloat16
+    assert parse_precision("bfloat16") == jnp.bfloat16
+    # fp16 intentionally maps to bf16 on TPU
+    assert parse_precision("fp16") == jnp.bfloat16
+    with pytest.raises(ValueError):
+        parse_precision("int8")
