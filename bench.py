@@ -1,0 +1,144 @@
+"""Benchmark: SDXL textual-slider ESD training steps/sec on one chip.
+
+Prints ONE JSON line:
+  {"metric": "sdxl_esd_train_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+Baseline: the reference publishes no numbers (BASELINE.md). The north-star
+budget is a 500-iteration SDXL rank-4 slider in <=10 min on v5e-8, i.e.
+0.833 steps/s fleet-wide => 0.104 steps/s/chip. vs_baseline is measured
+steps/s (single chip) divided by 0.104.
+
+Config mirrors the reference SDXL training budget (data/config-xl.yaml:11-19):
+euler_a, max_denoising_steps 12, batch 1, 512px, bf16, rank 4 — random-init
+weights (no pretrained assets in this environment; identical FLOPs/graph).
+
+Env overrides: BENCH_MODEL=tiny|sdxl (default sdxl), BENCH_STEPS, BENCH_RES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC_PER_CHIP = 500 / 600 / 8  # north-star v5e-8 budget
+
+
+def main():
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+    from sliders_conceptmod_tpu.train import esd
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    model_kind = os.environ.get("BENCH_MODEL", "sdxl")
+    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    res = int(os.environ.get("BENCH_RES", "512"))
+    max_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "12"))
+    dtype = jnp.bfloat16
+
+    if model_kind == "tiny":
+        cfg = UNetConfig.tiny_xl()
+        res, seq, ctx_dim, pooled_dim, max_denoise = 64, 7, 32, 32, 3
+    else:
+        cfg = UNetConfig.sdxl()
+        seq, ctx_dim, pooled_dim = 77, 2048, 1280
+
+    model = UNet2DConditionModel(cfg, dtype=dtype)
+    added = {
+        "text_embeds": jnp.zeros((1, pooled_dim), dtype),
+        "time_ids": jnp.zeros((1, 6), jnp.float32),
+    }
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4, res // 8, res // 8), dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, seq, ctx_dim), dtype),
+            added_cond_kwargs=added,
+        )
+    )
+    # random-ish deterministic params without per-leaf RNG compile cost
+    params = jax.tree.map(lambda s: (jnp.ones(s.shape, s.dtype) * 0.02), shapes)["params"]
+
+    def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    sites = lora_lib.create_sites(params, rank=4, alpha=1.0, train_method="full")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites, dtype=jnp.float32)
+
+    scheduler = create_noise_scheduler("euler_a")
+    schedule = scheduler.set_timesteps(max_denoise)
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
+        return (
+            jax.random.normal(k, (seq, ctx_dim), dtype) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 1), (pooled_dim,), dtype) * 0.1,
+        )
+
+    settings = [PromptSettings(target="person", positive="old person", resolution=res)]
+    bank = esd.build_prompt_bank(settings, encode_fn)
+
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=max_denoise,
+        train_cfg_scale=1.0,
+        batch_size=1,
+        height=res,
+        width=res,
+        remat_unet=True,
+    )
+    opt = get_optimizer(
+        "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
+    )
+    step = esd.make_esd_train_step(
+        unet_apply,
+        params,
+        sites,
+        scheduler,
+        schedule,
+        opt,
+        ecfg,
+        add_time_ids=jnp.asarray(get_add_time_ids(res, res)),
+    )
+    opt_state = opt.init(lora_params)
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup step (the reference timesteps_to draw makes step cost
+    # stochastic; warmup once, then time a fixed batch of steps)
+    key, k = jax.random.split(key)
+    lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.time() - t0
+
+    sps = n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "sdxl_esd_train_steps_per_sec",
+                "value": round(sps, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

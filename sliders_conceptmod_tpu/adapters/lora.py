@@ -1,0 +1,370 @@
+"""LoRA slider adapters as functional param overlays.
+
+Semantic-parity target: reference ``conceptmod/textsliders/lora.py``.
+The reference monkey-patches ``forward`` of targeted Linear/Conv2d modules
+(``lora.py:129-138``) and flips a Python-side multiplier on/off around
+forward passes (``lora.py:292-301``). That design is hostile to XLA — it
+mutates module state between traced calls.
+
+TPU-native design here: a LoRA is a *pytree of (down, up) factors* plus a
+static list of :class:`LoRASite` descriptors. ``merge_lora_params`` folds
+``W + mult·(α/r)·(up∘down)`` into a copy of the base param tree inside the
+jitted step, with ``mult`` a traced scalar — so one compiled UNet serves
+teacher (base params) and student (merged params), and the inference-time
+per-step scale flip (reference ``generate_images_xl.py:324-328``) is a
+``jnp.where`` on the multiplier instead of Python mutation. For rank≪dim the
+merge is O(r·in·out) FLOPs per site — noise next to a UNet forward.
+
+Key-schema parity: exported safetensors use the exact reference key set
+``lora_unet_<path>.lora_down.weight / .lora_up.weight / .alpha`` with
+torch-layout tensors (``lora.py:239-240, 274-291``), so sliders trained here
+load in diffusers/the reference and vice versa.
+
+Site selection reproduces ``create_modules`` (``lora.py:194-251``):
+class-name target matching, train-method parent-name filters
+(``lora.py:207-224``), ``add_``-skip, ``xattn-strict`` child ``out``-skip,
+``noxattn-hspace(-last)`` mid-block restriction, name dedup, and the conv
+rank clamp ``min(rank, in, out)`` (``lora.py:100-106``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference lora.py:15-30
+UNET_TARGET_REPLACE_MODULE_TRANSFORMER = ["Attention"]
+UNET_TARGET_REPLACE_MODULE_CONV = [
+    "ResnetBlock2D",
+    "Downsample2D",
+    "Upsample2D",
+    "DownBlock2D",
+    "UpBlock2D",
+]
+LORA_PREFIX_UNET = "lora_unet"
+DEFAULT_TARGET_REPLACE = UNET_TARGET_REPLACE_MODULE_TRANSFORMER
+
+TRAINING_METHODS = (
+    "noxattn",
+    "innoxattn",
+    "selfattn",
+    "xattn",
+    "full",
+    "xattn-strict",
+    "noxattn-hspace",
+    "noxattn-hspace-last",
+)
+
+# children of each targeted diffusers module class that are Linear/Conv2d,
+# keyed by how they appear in this repo's flax param tree
+_ATTENTION_CHILDREN = ("to_q", "to_k", "to_v", "to_out_0")
+_RESNET_CHILDREN = ("conv1", "conv2", "time_emb_proj", "conv_shortcut")
+_CLIP_ATTN_CHILDREN = ("q_proj", "k_proj", "v_proj", "out_proj")
+
+_TRAILING_INT = re.compile(r"^(.*)_(\d+)$")
+
+
+def _dotted(segments: Sequence[str]) -> str:
+    """flax path segments -> diffusers dotted module name.
+
+    ``down_blocks_0`` -> ``down_blocks.0``; ``to_out_0`` -> ``to_out.0``;
+    names without a trailing ``_<int>`` pass through.
+    """
+    out = []
+    for seg in segments:
+        m = _TRAILING_INT.match(seg)
+        while m:
+            seg = m.group(1)
+            out_suffix = m.group(2)
+            seg = seg + "." + out_suffix
+            m = None  # only the trailing index is dotted (matches torch naming)
+        out.append(seg)
+    return ".".join(out)
+
+
+@dataclass(frozen=True)
+class LoRASite:
+    """One adapted Linear/Conv — static metadata (hashable, jit-safe)."""
+
+    module_path: Tuple[str, ...]  # flax path to the adapted module
+    lora_name: str  # reference key, e.g. lora_unet_down_blocks_0_..._to_q
+    kind: str  # "dense" | "conv"
+    rank: int
+    alpha: float
+    in_dim: int
+    out_dim: int
+    kernel_size: Tuple[int, int] = (1, 1)
+
+    @property
+    def scale(self) -> float:
+        return self.alpha / self.rank
+
+
+def _classify_module(module_path: Tuple[str, ...]) -> Optional[Tuple[str, str, str]]:
+    """Return (target_class, parent_dotted_name, child_name) for a module path
+    that is a Linear/Conv child of a targetable diffusers class, else None."""
+    if len(module_path) < 2:
+        return None
+    child = module_path[-1]
+    parent_seg = module_path[-2]
+
+    if parent_seg in ("attn1", "attn2") and child in _ATTENTION_CHILDREN:
+        return "Attention", _dotted(module_path[:-1]), _dotted((child,))
+    if parent_seg.startswith("resnets_") and child in _RESNET_CHILDREN:
+        return "ResnetBlock2D", _dotted(module_path[:-1]), _dotted((child,))
+    if parent_seg.startswith("downsamplers_") and child == "conv":
+        return "Downsample2D", _dotted(module_path[:-1]), child
+    if parent_seg.startswith("upsamplers_") and child == "conv":
+        return "Upsample2D", _dotted(module_path[:-1]), child
+    if parent_seg == "self_attn" and child in _CLIP_ATTN_CHILDREN:
+        return "CLIPAttention", _dotted(module_path[:-1]), child
+    return None
+
+
+def _passes_train_method(train_method: str, parent_name: str, child_name: str) -> bool:
+    """Reference create_modules filters, lora.py:207-238."""
+    if train_method in ("noxattn", "noxattn-hspace", "noxattn-hspace-last"):
+        if "attn2" in parent_name or "time_embed" in parent_name:
+            return False
+    elif train_method == "innoxattn":
+        if "attn2" in parent_name:
+            return False
+    elif train_method == "selfattn":
+        if "attn1" not in parent_name:
+            return False
+    elif train_method in ("xattn", "xattn-strict"):
+        if "attn2" not in parent_name:
+            return False
+    elif train_method == "full":
+        pass
+    else:
+        raise NotImplementedError(f"train_method: {train_method} is not implemented.")
+
+    if "add_" in child_name:
+        return False
+    if train_method == "xattn-strict" and "out" in child_name:
+        return False
+    if train_method == "noxattn-hspace" and "mid_block" not in parent_name:
+        return False
+    if train_method == "noxattn-hspace-last":
+        if "mid_block" not in parent_name or ".1" not in parent_name or "conv2" not in child_name:
+            return False
+    return True
+
+
+def _iter_kernel_paths(params) -> List[Tuple[Tuple[str, ...], jnp.ndarray]]:
+    out = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for keypath, leaf in flat:
+        segs = tuple(
+            k.key if hasattr(k, "key") else str(k) for k in keypath
+        )
+        if segs and segs[-1] == "kernel":
+            out.append((segs[:-1], leaf))
+    return out
+
+
+def create_sites(
+    unet_params,
+    rank: int = 4,
+    alpha: float = 1.0,
+    target_replace: Sequence[str] = DEFAULT_TARGET_REPLACE,
+    prefix: str = LORA_PREFIX_UNET,
+    train_method: str = "full",
+    name_path_prefix: Sequence[str] = (),
+) -> List[LoRASite]:
+    """Walk a flax param tree and emit LoRA sites — reference create_modules
+    semantics (lora.py:194-251) over param paths instead of named_modules.
+
+    ``DownBlock2D``/``UpBlock2D`` entries in ``target_replace`` add only
+    modules already matched via ResnetBlock2D/Downsample2D/Upsample2D (the
+    reference dedups these by name, lora.py:247-249), so they need no extra
+    handling here.
+    """
+    targets = set(target_replace)
+    if "DownBlock2D" in targets or "UpBlock2D" in targets:
+        targets.update(("ResnetBlock2D", "Downsample2D", "Upsample2D"))
+
+    sites: List[LoRASite] = []
+    seen = set()
+    for module_path, kernel in _iter_kernel_paths(unet_params):
+        info = _classify_module(module_path)
+        if info is None:
+            continue
+        target_class, parent_name, child_name = info
+        if target_class not in targets:
+            continue
+        if not _passes_train_method(train_method, parent_name, child_name):
+            continue
+
+        # name_path_prefix restores torch-module-path segments that the flax
+        # tree doesn't carry (e.g. CLIP's "text_model.encoder" wrapper, so
+        # text-encoder keys read lora_te1_text_model_encoder_layers_0_...)
+        lora_name = prefix + "_" + "_".join(tuple(name_path_prefix) + module_path)
+        if lora_name in seen:
+            continue
+        seen.add(lora_name)
+
+        if kernel.ndim == 2:  # Dense [in, out]
+            in_dim, out_dim = int(kernel.shape[0]), int(kernel.shape[1])
+            sites.append(
+                LoRASite(module_path, lora_name, "dense", rank, alpha, in_dim, out_dim)
+            )
+        elif kernel.ndim == 4:  # Conv [kh, kw, in, out]
+            kh, kw, in_dim, out_dim = (int(s) for s in kernel.shape)
+            r = min(rank, in_dim, out_dim)  # reference lora.py:104-106
+            sites.append(
+                LoRASite(module_path, lora_name, "conv", r, alpha, in_dim, out_dim, (kh, kw))
+            )
+    return sites
+
+
+# ---------------------------------------------------------------------------
+# params: init / merge / export
+# ---------------------------------------------------------------------------
+
+
+def init_lora_params(key: jax.Array, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:
+    """kaiming_uniform(a=1) down, zeros up — reference lora.py:122-124.
+
+    torch kaiming_uniform(a=1) bound = sqrt(3 / fan_in); fan_in is the
+    torch-layout weight fan-in: ``in`` for Linear, ``in·kh·kw`` for Conv.
+    """
+    params = {}
+    keys = jax.random.split(key, max(len(sites), 1))
+    for site, k in zip(sites, keys):
+        if site.kind == "dense":
+            fan_in = site.in_dim
+            down_shape = (site.in_dim, site.rank)
+            up_shape = (site.rank, site.out_dim)
+        else:
+            kh, kw = site.kernel_size
+            fan_in = site.in_dim * kh * kw
+            down_shape = (kh, kw, site.in_dim, site.rank)
+            up_shape = (1, 1, site.rank, site.out_dim)
+        bound = (3.0 / fan_in) ** 0.5
+        params[site.lora_name] = {
+            "down": jax.random.uniform(k, down_shape, dtype, minval=-bound, maxval=bound),
+            "up": jnp.zeros(up_shape, dtype),
+        }
+    return params
+
+
+def _delta_kernel(site: LoRASite, leaf: Dict) -> jnp.ndarray:
+    """(α/r)·(up∘down) in the base kernel's layout."""
+    down, up = leaf["down"], leaf["up"]
+    if site.kind == "dense":
+        delta = down @ up  # [in, r] @ [r, out]
+    else:
+        # conv-down (kh,kw,in,r) followed by 1x1 conv-up (r,out) composes to a
+        # single conv kernel: einsum over rank.
+        delta = jnp.einsum("hwir,ro->hwio", down, up[0, 0])
+    return delta * site.scale
+
+
+def merge_lora_params(base_params, sites: Sequence[LoRASite], lora_params: Dict, multiplier):
+    """Return a param tree with ``W + multiplier·(α/r)·up∘down`` at each site.
+
+    ``multiplier`` may be a traced scalar (the slider scale). Matches the
+    reference forward ``org(x) + up(down(x))·mult·scale`` (lora.py:134-138)
+    exactly for Linear and for Conv (conv∘1x1-conv == conv with composed
+    kernel, same stride/padding as the base conv — reference lora.py:108-114
+    gives the down-conv the base conv's stride/padding).
+    """
+    merged = base_params
+    for site in sites:
+        leaf = lora_params[site.lora_name]
+        path = site.module_path + ("kernel",)
+
+        def apply_at(tree, path, delta):
+            seg, rest = path[0], path[1:]
+            new = dict(tree)
+            if rest:
+                new[seg] = apply_at(tree[seg], rest, delta)
+            else:
+                new[seg] = tree[seg] + (multiplier * delta).astype(tree[seg].dtype)
+            return new
+
+        merged = apply_at(merged, path, _delta_kernel(site, leaf))
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# checkpoint I/O — exact reference key schema
+# ---------------------------------------------------------------------------
+
+
+def state_dict_numpy(sites: Sequence[LoRASite], lora_params: Dict, dtype=np.float32) -> Dict[str, np.ndarray]:
+    """torch-layout state dict: reference lora.py:264-291 key/layout schema."""
+    out = {}
+    for site in sites:
+        leaf = lora_params[site.lora_name]
+        down = np.asarray(jax.device_get(leaf["down"]), dtype=dtype)
+        up = np.asarray(jax.device_get(leaf["up"]), dtype=dtype)
+        if site.kind == "dense":
+            down_t = down.T  # [r, in]
+            up_t = up.T  # [out, r]
+        else:
+            down_t = down.transpose(3, 2, 0, 1)  # [r, in, kh, kw]
+            up_t = up.transpose(3, 2, 0, 1)  # [out, r, 1, 1]
+        # safetensors serializes the raw buffer — transposed *views* must be
+        # materialized or the data lands scrambled
+        out[f"{site.lora_name}.lora_down.weight"] = np.ascontiguousarray(down_t)
+        out[f"{site.lora_name}.lora_up.weight"] = np.ascontiguousarray(up_t)
+        out[f"{site.lora_name}.alpha"] = np.asarray(site.alpha, dtype=dtype)
+    return out
+
+
+def save_weights(path: str, sites: Sequence[LoRASite], lora_params: Dict, dtype=np.float32, metadata=None):
+    """Reference lora.py:274-291 — .safetensors or torch-pickle .pt."""
+    sd = state_dict_numpy(sites, lora_params, dtype=dtype)
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import save_file
+
+        save_file(sd, str(path), metadata)
+    else:
+        import torch
+
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(path))
+
+
+def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:
+    """Load a reference-schema checkpoint into the flax-layout overlay tree."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = {k: np.asarray(v) for k, v in load_file(str(path)).items()}
+    else:
+        import torch
+
+        sd = {k: v.detach().cpu().float().numpy() for k, v in torch.load(str(path), weights_only=True).items()}
+
+    params = {}
+    for site in sites:
+        down_t = sd[f"{site.lora_name}.lora_down.weight"]
+        up_t = sd[f"{site.lora_name}.lora_up.weight"]
+        if site.kind == "dense":
+            down = down_t.T
+            up = up_t.T
+        else:
+            down = down_t.transpose(2, 3, 1, 0)  # [kh, kw, in, r]
+            up = up_t.transpose(2, 3, 1, 0)  # [1, 1, r, out]
+        params[site.lora_name] = {
+            "down": jnp.asarray(down, dtype),
+            "up": jnp.asarray(up, dtype),
+        }
+    return params
+
+
+def sites_alpha_from_checkpoint(path: str) -> Dict[str, float]:
+    """Read per-site alpha values from a checkpoint (for rank/alpha inference
+    at inference time, reference generate_images_xl.py:459-484)."""
+    from safetensors.numpy import load_file
+
+    sd = load_file(str(path))
+    return {k[: -len(".alpha")]: float(v) for k, v in sd.items() if k.endswith(".alpha")}

@@ -1,0 +1,154 @@
+"""CLI: visual (image-pair) slider training — reference
+``trainscripts/imagesliders/train_lora-scale.py:376-419`` flag surface
+(--config_file --alpha --rank --name --attributes --folder_main --folders
+--scales) for SD1/2, and the 512px XL variant (train_lora-scale-xl.py) when
+the config's model path is an XL checkpoint.
+
+``--folders`` and ``--scales`` are comma-separated and index-matched: folder
+i holds the renders for slider value scales[i]; pairs are (−s, +s) with the
+same filename (reference :398-406,211-220).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core import config as config_util
+from sliders_conceptmod_tpu.core import prompts as prompt_util
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.train import imageslider
+from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+
+def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True):
+    scales = np.asarray(scales)
+    folders = np.asarray(folders)
+    if folders.shape != scales.shape:
+        raise ValueError("--folders and --scales must be index-matched")
+
+    is_xl = "xl" in str(config.pretrained_model.name_or_path).lower()
+    resolution = 512 if is_xl else 256  # reference resize (:219 / xl :220)
+    if is_xl:
+        raise NotImplementedError(
+            "XL visual sliders land with the XL image pipeline; use SD1/2 for now"
+        )
+
+    weight_dtype = config_util.parse_precision(config.train.precision)
+    tokenizer, te, vae, unet, scheduler = factory.load_models(
+        config.pretrained_model.name_or_path,
+        scheduler_name=config.train.noise_scheduler,
+        v2=config.pretrained_model.v2,
+        v_pred=config.pretrained_model.v_pred,
+        weight_dtype=weight_dtype,
+        with_vae=True,
+    )
+
+    settings = prompts[0]
+    emb = {
+        p: factory.encode_prompts(te, [p], config.pretrained_model.clip_skip)[0]
+        for p in {settings.positive, settings.neutral, settings.unconditional}
+    }
+
+    sites = lora_lib.create_sites(
+        unet.params,
+        rank=rank,
+        alpha=config.network.alpha,
+        target_replace=lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
+        + (lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if config.network.type == "c3lier" else []),
+        train_method=config.network.training_method,
+    )
+    key = jax.random.PRNGKey(config.tpu.seed)
+    key, k_init = jax.random.split(key)
+    lora_params = lora_lib.init_lora_params(k_init, sites)
+
+    sched_fn = get_lr_schedule(
+        config.train.lr_scheduler, config.train.lr, config.train.iterations, config.train.eta_min
+    )
+    optimizer = get_optimizer(config.train.optimizer, sched_fn, config.train.optimizer_args)
+    opt_state = optimizer.init(lora_params)
+
+    bank = imageslider.build_image_bank(
+        folder_main, list(folders), [float(s) for s in scales], vae.encode, resolution
+    )
+    schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
+    icfg = imageslider.ImageSliderConfig(
+        max_denoising_steps=config.train.max_denoising_steps,
+        scaling_factor=vae.config.scaling_factor,
+    )
+    step = imageslider.make_image_slider_step(
+        unet.apply_fn(),
+        unet.params,
+        sites,
+        scheduler,
+        schedule,
+        optimizer,
+        icfg,
+        positive_emb=emb[settings.positive],
+        neutral_emb=emb[settings.neutral],
+        uncond_emb=emb[settings.unconditional],
+    )
+
+    save_path = Path(config.save.path)
+    for i in range(config.train.iterations):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+        if config.logging.verbose:
+            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        if (
+            save_file
+            and config.save.per_steps
+            and i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            save_path.mkdir(parents=True, exist_ok=True)
+            lora_lib.save_weights(
+                save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
+            )
+
+    if save_file:
+        save_path.mkdir(parents=True, exist_ok=True)
+        lora_lib.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)
+    return sites, lora_params
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    attributes = []
+    if args.attributes is not None:
+        attributes = [a.strip() for a in args.attributes.split(",")]
+    config.network.alpha = args.alpha
+    config.network.rank = args.rank
+    config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
+    folders = [f.strip() for f in args.folders.split(",")]
+    scales = [float(s) for s in args.scales.split(",")]
+    train(config, prompts, args.folder_main, folders, scales, rank=args.rank)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--alpha", type=float, default=1.0)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--device", type=int, default=0, help="Ignored on TPU.")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--attributes", type=str, default=None)
+    parser.add_argument("--folder_main", type=str, required=True)
+    parser.add_argument("--folders", type=str, required=True)
+    parser.add_argument("--scales", type=str, required=True)
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

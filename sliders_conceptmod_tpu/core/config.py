@@ -88,6 +88,7 @@ class TPUConfig(BaseModel):
 
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    samples_per_step: int = 1  # independent ESD samples per step (DP axis)
     use_flash_attention: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False

@@ -1,0 +1,214 @@
+"""CFG noise prediction + partial/full denoising loops, pure-functional.
+
+Semantics-parity targets (reference ``conceptmod/textsliders/train_util.py``):
+* ``get_initial_latents`` (:90-105): N(0,1)·init_noise_sigma, [B,4,H/8,W/8],
+* ``get_add_time_ids`` (:976-1011): XL micro-conditioning (+dynamic crops),
+* ``predict_noise{,_xl}`` (:276-302, :449-489): CFG-batched single UNet call,
+* ``diffusion{,_xl}`` (:306-327, :677-708): step loop from step 0 to
+  ``total_timesteps`` — here a ``lax.fori_loop`` whose trip count may be a
+  *traced* scalar, so one compiled graph serves every sampled
+  ``timesteps_to`` (XLA lowers it to a bounded while loop; no per-step
+  recompile, no wasted full-length scan),
+* guidance-rescale is OFF in training — the reference computes it and drops
+  the result (``train_util.py:484-489``, documented bug SURVEY §2.4); we
+  expose it as an explicit flag for the inference path only.
+
+TPU-first batching note: teacher branches in the trainers share one
+unconditional prediction instead of recomputing it per CFG pair — see
+``train/esd.py`` (identical math, 4 batch rows instead of 6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, Schedule
+
+UNET_IN_CHANNELS = 4  # reference train_util.py:20
+VAE_SCALE_FACTOR = 8  # reference train_util.py:21
+UNET_ATTENTION_TIME_EMBED_DIM = 256  # reference train_util.py:23
+TEXT_ENCODER_2_PROJECTION_DIM = 1280  # reference train_util.py:24
+UNET_PROJECTION_CLASS_EMBEDDING_INPUT_DIM = 2816  # reference train_util.py:25
+
+
+def get_initial_latents(
+    key: jax.Array,
+    schedule: Schedule,
+    n_imgs: int,
+    height: int,
+    width: int,
+    n_prompts: int = 1,
+    channels: int = UNET_IN_CHANNELS,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Reference train_util.py:90-105 (noise · init_noise_sigma, tiled)."""
+    noise = jax.random.normal(
+        key,
+        (n_imgs, channels, height // VAE_SCALE_FACTOR, width // VAE_SCALE_FACTOR),
+        dtype=dtype,
+    )
+    noise = jnp.tile(noise, (n_prompts, 1, 1, 1))
+    return noise * schedule.init_noise_sigma
+
+
+def get_add_time_ids(
+    height: int,
+    width: int,
+    dynamic_crops: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """XL micro-conditioning ids [1, 6] — reference train_util.py:976-1011.
+
+    Host-side (resolutions are host-side per iteration); returns numpy.
+    """
+    if dynamic_crops:
+        rng = rng or np.random.default_rng()
+        random_scale = rng.random() * 2 + 1
+        original_size = (int(height * random_scale), int(width * random_scale))
+        crops_coords_top_left = (
+            int(rng.integers(0, original_size[0] - height)),
+            int(rng.integers(0, original_size[1] - width)),
+        )
+        target_size = (height, width)
+    else:
+        original_size = (height, width)
+        crops_coords_top_left = (0, 0)
+        target_size = (height, width)
+
+    add_time_ids = list(original_size + crops_coords_top_left + target_size)
+    passed = UNET_ATTENTION_TIME_EMBED_DIM * len(add_time_ids) + TEXT_ENCODER_2_PROJECTION_DIM
+    if passed != UNET_PROJECTION_CLASS_EMBEDDING_INPUT_DIM:
+        raise ValueError(
+            f"Model expects an added time embedding vector of length "
+            f"{UNET_PROJECTION_CLASS_EMBEDDING_INPUT_DIM}, but a vector of {passed} was created."
+        )
+    return np.array([add_time_ids], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# CFG prediction
+# ---------------------------------------------------------------------------
+
+# unet_apply(params, sample, timestep, encoder_hidden_states, added_cond_kwargs=None)
+UNetApply = Callable[..., jnp.ndarray]
+
+
+def _cfg_call(
+    unet_apply: UNetApply,
+    unet_params,
+    scaled_input: jnp.ndarray,  # [2B, C, H, W] (uncond rows first)
+    timestep,
+    text_embeddings: jnp.ndarray,  # [2B, S, D]
+    guidance_scale,
+    added_cond_kwargs: Optional[dict],
+) -> jnp.ndarray:
+    noise_pred = unet_apply(
+        unet_params, scaled_input, timestep, text_embeddings, added_cond_kwargs=added_cond_kwargs
+    )
+    uncond, cond = jnp.split(noise_pred, 2, axis=0)
+    return uncond + guidance_scale * (cond - uncond)
+
+
+def predict_noise(
+    unet_apply: UNetApply,
+    unet_params,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,  # [B, C, H, W]
+    text_embeddings: jnp.ndarray,  # [2B, S, D] — uncond ++ cond
+    *,
+    step_index=None,  # schedule-index timestep (sampler loops)
+    train_t=None,  # raw train timestep (teacher/student branches)
+    guidance_scale=7.5,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """One CFG-guided ε-prediction — reference predict_noise{,_xl}
+    (train_util.py:276-302,449-489). Exactly one of step_index/train_t."""
+    doubled = jnp.concatenate([latents] * 2, axis=0)
+    if step_index is not None:
+        scaled = scheduler.scale_model_input(schedule, doubled, step_index)
+        timestep = schedule.timesteps[step_index]
+    else:
+        scaled = scheduler.scale_model_input_train_t(schedule, doubled, train_t)
+        timestep = train_t
+    return _cfg_call(
+        unet_apply, unet_params, scaled, timestep, text_embeddings, guidance_scale, added_cond_kwargs
+    )
+
+
+def denoise_partial(
+    unet_apply: UNetApply,
+    unet_params,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,
+    text_embeddings: jnp.ndarray,  # [2B, S, D]
+    key: jax.Array,
+    *,
+    total_steps,  # may be traced — fori_loop trip count
+    start_step=0,
+    guidance_scale=1.0,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Denoise steps [start_step, total_steps) — reference diffusion{,_xl}
+    (train_util.py:306-327,677-708). Stochastic schedulers consume one
+    fresh PRNG subkey per step."""
+    state = scheduler.init_step_state(latents.shape)
+
+    def body(i, carry):
+        lat, st, k = carry
+        k, sub = jax.random.split(k)
+        eps = predict_noise(
+            unet_apply,
+            unet_params,
+            scheduler,
+            schedule,
+            lat,
+            text_embeddings,
+            step_index=i,
+            guidance_scale=guidance_scale,
+            added_cond_kwargs=added_cond_kwargs,
+        )
+        lat, st = scheduler.step(schedule, eps, i, lat, st, key=sub)
+        return (lat, st, k)
+
+    latents, _, _ = jax.lax.fori_loop(start_step, total_steps, body, (latents, state, key))
+    return latents
+
+
+def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guidance_rescale: float = 0.0):
+    """CFG-rescale (arXiv 2305.08891 §3.4) — reference train_util.py:330-348.
+    Inference-path option only; training keeps it off (SURVEY §2.4)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1 - guidance_rescale) * noise_cfg
+
+
+def concat_embeddings(uncond: jnp.ndarray, cond: jnp.ndarray, n_imgs: int) -> jnp.ndarray:
+    """[uncond; cond] row-repeated n_imgs — reference train_util.py:267-273."""
+    return jnp.repeat(jnp.concatenate([uncond, cond], axis=0), n_imgs, axis=0)
+
+
+def current_train_timestep(timesteps_to, max_denoising_steps: int, num_train_timesteps: int = 1000):
+    """The raw train timestep for the teacher/student branches: the reference
+    re-sets the scheduler to 1000 steps (timesteps [999..0]) and indexes
+    ``int(timesteps_to · 1000 / max_steps)`` (train_lora_xl.py:233-238)."""
+    idx = (timesteps_to * num_train_timesteps) // max_denoising_steps
+    return num_train_timesteps - 1 - idx
+
+
+def get_random_resolution_in_bucket(rng: np.random.Generator, bucket_resolution: int = 512) -> Tuple[int, int]:
+    """Reference train_util.py:1085-1097. Host-side; NOTE: each distinct
+    resolution is a separate XLA compile — prefer a small fixed bucket set."""
+    step = 64
+    min_step = bucket_resolution // 2 // step
+    max_step = bucket_resolution // step
+    height = int(rng.integers(min_step, max_step)) * step
+    width = int(rng.integers(min_step, max_step)) * step
+    return height, width

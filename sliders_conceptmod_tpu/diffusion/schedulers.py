@@ -64,6 +64,7 @@ class Schedule:
 
     # common diffusion tables (always present; identity values where unused)
     alphas_cumprod: jnp.ndarray  # fp32[T] full train table (for add_noise)
+    train_sigmas: jnp.ndarray  # fp32[T] full σ table (scale_model_input at raw train t)
     # DDIM/DDPM per-step:
     alpha_prod: jnp.ndarray  # fp32[n]   alphas_cumprod[t_i]
     alpha_prod_prev: jnp.ndarray  # fp32[n]   alphas_cumprod[t_{i+1}] (or final)
@@ -155,6 +156,7 @@ class NoiseScheduler:
             timesteps=jnp.asarray(timesteps, dtype=jnp.int32),
             init_noise_sigma=init_noise_sigma,
             alphas_cumprod=f32(acp),
+            train_sigmas=f32(self._train_sigmas),
             alpha_prod=f32(alpha_prod),
             alpha_prod_prev=f32(alpha_prod_prev),
             sigmas=f32(sigmas),
@@ -173,6 +175,17 @@ class NoiseScheduler:
         """σ-space schedulers divide by sqrt(σ²+1); α-space ones are identity."""
         if schedule.kind in ("lms", "euler_a"):
             sigma = schedule.sigmas[step_index]
+            return sample / jnp.sqrt(sigma**2 + 1).astype(sample.dtype)
+        return sample
+
+    @staticmethod
+    def scale_model_input_train_t(schedule: Schedule, sample: jnp.ndarray, train_t) -> jnp.ndarray:
+        """As above but indexed by raw train timestep — used by the teacher
+        branches, where the reference re-sets the scheduler to 1000 steps and
+        predicts at a raw timestep (reference train_lora_xl.py:233-238 with
+        train_util.py:463 scale_model_input)."""
+        if schedule.kind in ("lms", "euler_a"):
+            sigma = schedule.train_sigmas[train_t]
             return sample / jnp.sqrt(sigma**2 + 1).astype(sample.dtype)
         return sample
 

@@ -1,0 +1,95 @@
+"""Slider inference: full denoising with per-step slider gating.
+
+Semantics-parity target: the reference's patched SDXL ``__call__``
+(``conceptmod/textsliders/generate_images_xl.py:38-393``): per timestep the
+slider multiplier is 0 while ``t > start_noise`` (structure preservation)
+and flips to the requested scale afterwards (:324-328); the UNet runs inside
+``with network:`` (:336-344); CFG combine with optional guidance-rescale
+(:347-353); scheduler step; final VAE decode with fp32 upcast (:364-385).
+
+TPU-first design: the timesteps are a static descending table, so the
+0→scale flip happens exactly once per trajectory. Instead of re-merging (or
+mutating) adapters inside the loop, the sampler runs TWO ``lax.fori_loop``
+segments under one jit — steps with ``t > start_noise`` on the base params,
+the rest on params merged once at the requested scale. No per-step Python,
+no duplicate param trees beyond the single merged copy.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.diffusion.sampling import predict_noise, rescale_noise_cfg
+from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, Schedule
+
+
+def flip_step_for_start_noise(schedule: Schedule, start_noise: float) -> int:
+    """First step index whose train timestep is <= start_noise (host-side;
+    timesteps descend)."""
+    ts = np.asarray(schedule.timesteps)
+    idx = np.argmax(ts <= start_noise)
+    if ts[0] <= start_noise:  # slider active from the very start
+        return 0
+    if not np.any(ts <= start_noise):
+        return len(ts)
+    return int(idx)
+
+
+def sample_loop(
+    unet_apply: Callable,
+    params_structure,  # base params (slider scale 0 phase)
+    params_slider,  # merged params (slider scale s phase)
+    flip_step: int,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,
+    text_embeddings: jnp.ndarray,  # [2B, S, D] uncond ++ cond
+    key: jax.Array,
+    guidance_scale: float = 7.5,
+    guidance_rescale: float = 0.0,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Full denoise with the one-time slider flip at ``flip_step``."""
+    n = schedule.num_inference_steps
+    state = scheduler.init_step_state(latents.shape)
+
+    def make_body(params):
+        def body(i, carry):
+            lat, st, k = carry
+            k, sub = jax.random.split(k)
+            doubled = jnp.concatenate([lat] * 2, axis=0)
+            scaled = scheduler.scale_model_input(schedule, doubled, i)
+            eps = unet_apply(
+                params,
+                scaled,
+                schedule.timesteps[i],
+                text_embeddings,
+                added_cond_kwargs=added_cond_kwargs,
+            )
+            uncond, cond = jnp.split(eps, 2, axis=0)
+            guided = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0:
+                guided = rescale_noise_cfg(guided, cond, guidance_rescale)
+            lat, st = scheduler.step(schedule, guided, i, lat, st, key=sub)
+            return (lat, st, k)
+
+        return body
+
+    carry = (latents, state, key)
+    if flip_step > 0:
+        carry = jax.lax.fori_loop(0, flip_step, make_body(params_structure), carry)
+    if flip_step < n:
+        carry = jax.lax.fori_loop(flip_step, n, make_body(params_slider), carry)
+    return carry[0]
+
+
+def latents_to_images(vae_decode: Callable, latents: jnp.ndarray, scaling_factor: float) -> np.ndarray:
+    """latents → uint8 HWC images (VAE decode in fp32, [-1,1] → [0,255])."""
+    imgs = vae_decode((latents / scaling_factor).astype(jnp.float32))
+    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+    imgs = jnp.transpose(imgs, (0, 2, 3, 1))
+    return np.asarray(jnp.round(imgs * 255).astype(jnp.uint8))

@@ -1,0 +1,212 @@
+"""diffusers/transformers torch checkpoints → Flax param trees.
+
+Replaces the reference's L1 model-loading layer
+(``conceptmod/textsliders/model_util.py:112-137`` SD1/2, ``:164-208,358-385``
+SDXL) for a torch-free runtime: pretrained weights are read straight from
+``.safetensors`` shards in a local diffusers-format model directory and
+re-laid-out into this repo's flax module trees (which mirror the diffusers
+module paths by construction — see models/unet.py, models/vae.py,
+models/clip.py docstrings).
+
+Layout rules (torch → flax):
+* Linear ``weight [out, in]``  → ``kernel [in, out]`` (transpose)
+* Conv   ``weight [out, in, kh, kw]`` → ``kernel [kh, kw, in, out]``
+* Group/LayerNorm ``weight`` → ``scale``
+* Embedding ``weight`` → ``embedding`` (no transpose; CLIP only)
+
+Key-path rule: dotted names with numeric components merge the index into the
+preceding segment (``down_blocks.0`` → ``down_blocks_0``, ``to_out.0`` →
+``to_out_0``) — exactly the naming this repo's modules use so the mapping is
+mechanical. A handful of CLIP-specific renames (``mlp.fc1`` → ``mlp_fc1``,
+embeddings prefix) are table-driven below.
+
+Single-file SD ``.ckpt``/LDM layouts (reference ``model_util.py:37-109``
+supports both) are not handled yet — only the diffusers directory layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_NUM = re.compile(r"^\d+$")
+
+
+def _merge_numeric(parts):
+    """['down_blocks','0','resnets','1'] -> ['down_blocks_0','resnets_1']"""
+    out = []
+    for p in parts:
+        if _NUM.match(p) and out:
+            out[-1] = out[-1] + "_" + p
+        else:
+            out.append(p)
+    return out
+
+
+def _assign(tree: Dict, path, value):
+    node = tree
+    for seg in path[:-1]:
+        node = node.setdefault(seg, {})
+    node[path[-1]] = value
+
+
+def torch_entry_to_flax(key: str, value: np.ndarray) -> Optional[Tuple[Tuple[str, ...], np.ndarray]]:
+    """Map one torch state-dict entry to (flax_path, array). Returns None for
+    entries with no flax counterpart (e.g. position_ids buffers)."""
+    parts = key.split(".")
+    leaf = parts[-1]
+    path = _merge_numeric(parts[:-1])
+
+    if leaf == "weight":
+        if value.ndim == 4:
+            return tuple(path) + ("kernel",), np.transpose(value, (2, 3, 1, 0))
+        if value.ndim == 2:
+            return tuple(path) + ("kernel",), np.transpose(value, (1, 0))
+        if value.ndim == 1:
+            return tuple(path) + ("scale",), value
+        raise ValueError(f"Unexpected weight ndim for {key}: {value.shape}")
+    if leaf == "bias":
+        return tuple(path) + ("bias",), value
+    if leaf == "position_ids":
+        return None
+    raise ValueError(f"Unexpected torch param leaf: {key}")
+
+
+def convert_diffusers_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """UNet or VAE state dict → nested flax params dict."""
+    tree: Dict = {}
+    for key, value in sd.items():
+        entry = torch_entry_to_flax(key, np.asarray(value))
+        if entry is None:
+            continue
+        path, arr = entry
+        _assign(tree, path, arr)
+    return tree
+
+
+# --- CLIP text encoder ------------------------------------------------------
+
+_CLIP_PREFIXES = (
+    ("text_model.embeddings.token_embedding.weight", ("token_embedding", "embedding")),
+    ("text_model.embeddings.position_embedding.weight", ("position_embedding", "embedding")),
+)
+
+
+def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """transformers CLIPTextModel(WithProjection) → models/clip.py tree."""
+    tree: Dict = {}
+    for key, value in sd.items():
+        value = np.asarray(value)
+        matched = False
+        for src, path in _CLIP_PREFIXES:
+            if key == src:
+                _assign(tree, path, value)  # embeddings: no transpose
+                matched = True
+                break
+        if matched:
+            continue
+        if key.endswith("position_ids"):
+            continue
+        if key == "text_projection.weight":
+            _assign(tree, ("text_projection", "kernel"), value.T)
+            continue
+        k = key
+        for prefix in ("text_model.encoder.", "text_model."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        # mlp.fc1 / mlp.fc2 are flattened module names in models/clip.py
+        k = k.replace("mlp.fc1", "mlp_fc1").replace("mlp.fc2", "mlp_fc2")
+        entry = torch_entry_to_flax(k, value)
+        if entry is None:
+            continue
+        path, arr = entry
+        _assign(tree, path, arr)
+    return tree
+
+
+# --- model-directory loading ------------------------------------------------
+
+
+def _load_safetensors_dir(subdir: str, dtype=None) -> Dict[str, np.ndarray]:
+    """Load all .safetensors shards in a diffusers component directory."""
+    from safetensors import safe_open
+
+    files = sorted(
+        os.path.join(subdir, f) for f in os.listdir(subdir) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"No .safetensors found in {subdir}")
+    sd = {}
+    for path in files:
+        with safe_open(path, framework="numpy") as f:
+            for key in f.keys():
+                arr = f.get_tensor(key)
+                if dtype is not None:
+                    arr = arr.astype(dtype)
+                sd[key] = arr
+    return sd
+
+
+def _read_json(path: str) -> Dict:
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+def load_unet_params(model_dir: str, dtype=np.float32) -> Tuple[Dict, Dict]:
+    """Load <model_dir>/unet → (flax params, unet config dict)."""
+    sub = os.path.join(model_dir, "unet")
+    cfg = _read_json(os.path.join(sub, "config.json"))
+    sd = _load_safetensors_dir(sub, dtype)
+    return convert_diffusers_state_dict(sd), cfg
+
+
+def load_vae_params(model_dir: str, dtype=np.float32) -> Tuple[Dict, Dict]:
+    sub = os.path.join(model_dir, "vae")
+    cfg = _read_json(os.path.join(sub, "config.json"))
+    sd = _load_safetensors_dir(sub, dtype)
+    return convert_diffusers_state_dict(sd), cfg
+
+
+def load_text_encoder_params(model_dir: str, component: str = "text_encoder", dtype=np.float32) -> Tuple[Dict, Dict]:
+    sub = os.path.join(model_dir, component)
+    cfg = _read_json(os.path.join(sub, "config.json"))
+    sd = _load_safetensors_dir(sub, dtype)
+    return convert_clip_text_state_dict(sd), cfg
+
+
+def tree_to_jax(tree, dtype=None):
+    import jax
+
+    def leaf(x):
+        a = jnp.asarray(x)
+        return a.astype(dtype) if dtype is not None else a
+
+    return jax.tree.map(leaf, tree)
+
+
+def verify_tree_shapes(converted, expected, prefix=()) -> list:
+    """Return a list of mismatch descriptions ([] == exact structural match)."""
+    problems = []
+    ck, ek = set(converted), set(expected)
+    for missing in sorted(ek - ck):
+        problems.append(f"missing {'/'.join(prefix + (missing,))}")
+    for extra in sorted(ck - ek):
+        problems.append(f"unexpected {'/'.join(prefix + (extra,))}")
+    for k in sorted(ck & ek):
+        c, e = converted[k], expected[k]
+        if isinstance(e, dict):
+            if not isinstance(c, dict):
+                problems.append(f"type mismatch at {'/'.join(prefix + (k,))}")
+            else:
+                problems.extend(verify_tree_shapes(c, e, prefix + (k,)))
+        else:
+            if tuple(np.shape(c)) != tuple(np.shape(e)):
+                problems.append(
+                    f"shape mismatch at {'/'.join(prefix + (k,))}: {np.shape(c)} vs {np.shape(e)}"
+                )
+    return problems

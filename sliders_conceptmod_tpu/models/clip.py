@@ -71,16 +71,15 @@ class CLIPTextConfig:
         )
 
     @classmethod
-    def tiny(cls, projection_dim=None):
+    def tiny(cls, projection_dim=None, hidden_size=32):
         """Tiny config for CPU tests."""
         return cls(
-            vocab_size=128,
-            hidden_size=32,
-            intermediate_size=64,
+            vocab_size=49408,  # full vocab so real tokenizers also work
+            hidden_size=hidden_size,
+            intermediate_size=hidden_size * 2,
             num_hidden_layers=2,
             num_attention_heads=4,
-            max_position_embeddings=16,
-            eos_token_id=2,
+            max_position_embeddings=77,
             projection_dim=projection_dim,
         )
 

@@ -1,0 +1,284 @@
+"""Model loading + prompt encoding — the L1 layer (reference model_util.py).
+
+Parity targets:
+* ``load_models`` (reference ``conceptmod/textsliders/model_util.py:112-137``):
+  tokenizer + CLIP text encoder + UNet + scheduler for SD1.x/2.x,
+* ``load_models_xl`` (``:358-385``): 2 tokenizers + 2 CLIP encoders
+  (te2 = OpenCLIP bigG with projection, pad id 0) + SDXL UNet + scheduler,
+* ``create_noise_scheduler`` (``:388-436``) — see diffusion/schedulers.py,
+* prompt encoding (reference train_util.py:108-155,224-247): SD1 uses the
+  final (or clip_skip'd) hidden state; XL concatenates both encoders'
+  penultimate hidden states and takes te2's projected pooled output.
+
+Loading modes:
+* a local diffusers-format directory → real weights via io/torch_convert,
+* anything else → random-init at the true architecture ("weightless mode",
+  for benchmarks/tests in this zero-egress environment). HF-hub download and
+  single-file .ckpt loading are deliberately not implemented here.
+
+TPU note: ``encode_prompts*`` are jitted over token ids; all five prompts of
+a slider pair batch through the encoder in one call at train start, then the
+encoders are dropped (the reference deletes them too, train_lora_xl.py:156-159).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, create_noise_scheduler
+from sliders_conceptmod_tpu.io import torch_convert as tc
+from sliders_conceptmod_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+    clip_skip_hidden_state,
+    penultimate_hidden_state,
+)
+from sliders_conceptmod_tpu.models.tokenizer import load_tokenizer
+from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+from sliders_conceptmod_tpu.models.vae import AutoencoderKL, VAEConfig
+
+
+@dataclass
+class TextEncoderBundle:
+    model: CLIPTextEncoder
+    params: dict
+    tokenizer: object
+
+    def apply(self, input_ids):
+        return self.model.apply({"params": self.params}, input_ids)
+
+
+@dataclass
+class UNetBundle:
+    model: UNet2DConditionModel
+    params: dict
+    config: UNetConfig
+
+    def apply_fn(self) -> Callable:
+        model = self.model
+
+        def unet_apply(params, sample, t, ctx, added_cond_kwargs=None):
+            return model.apply({"params": params}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+        return unet_apply
+
+
+@dataclass
+class VAEBundle:
+    model: AutoencoderKL
+    params: dict
+    config: VAEConfig
+
+    def encode(self, images):
+        return self.model.apply({"params": self.params}, images, method=self.model.encode)
+
+    def decode(self, latents):
+        return self.model.apply({"params": self.params}, latents, method=self.model.decode)
+
+
+def _unet_config_from_json(cfg: dict) -> UNetConfig:
+    return UNetConfig(
+        sample_size=cfg.get("sample_size", 64),
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        down_block_types=tuple(cfg["down_block_types"]),
+        up_block_types=tuple(cfg["up_block_types"]),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        cross_attention_dim=cfg.get("cross_attention_dim", 768),
+        attention_head_dim=tuple(cfg["attention_head_dim"])
+        if isinstance(cfg.get("attention_head_dim"), list)
+        else cfg.get("attention_head_dim", 8),
+        transformer_layers_per_block=tuple(cfg["transformer_layers_per_block"])
+        if isinstance(cfg.get("transformer_layers_per_block"), list)
+        else cfg.get("transformer_layers_per_block", 1),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        addition_embed_type=cfg.get("addition_embed_type"),
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim"),
+        projection_class_embeddings_input_dim=cfg.get("projection_class_embeddings_input_dim"),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
+        freq_shift=cfg.get("freq_shift", 0),
+    )
+
+
+def _is_local_diffusers_dir(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "unet"))
+
+
+def _init_unet(config: UNetConfig, dtype, seed: int = 0) -> UNetBundle:
+    model = UNet2DConditionModel(config, dtype=dtype)
+    sample = jnp.zeros((1, config.in_channels, 8, 8))
+    ctx = jnp.zeros((1, 2, config.cross_attention_dim))
+    added = None
+    if config.addition_embed_type == "text_time":
+        pooled_dim = config.projection_class_embeddings_input_dim - 6 * config.addition_time_embed_dim
+        added = {"text_embeds": jnp.zeros((1, pooled_dim)), "time_ids": jnp.zeros((1, 6))}
+    params = model.init(jax.random.PRNGKey(seed), sample, jnp.zeros((1,)), ctx, added_cond_kwargs=added)[
+        "params"
+    ]
+    return UNetBundle(model, params, config)
+
+
+def _load_or_init_unet(name_or_path: str, family: str, dtype) -> UNetBundle:
+    if _is_local_diffusers_dir(name_or_path):
+        tree, cfg_json = tc.load_unet_params(name_or_path)
+        config = _unet_config_from_json(cfg_json)
+        model = UNet2DConditionModel(config, dtype=dtype)
+        return UNetBundle(model, tc.tree_to_jax(tree), config)
+    config = {
+        "sd15": UNetConfig.sd15,
+        "sd21": UNetConfig.sd21,
+        "sdxl": UNetConfig.sdxl,
+        "tiny": UNetConfig.tiny,
+        "tiny-xl": UNetConfig.tiny_xl,
+    }[family]()
+    return _init_unet(config, dtype)
+
+
+def _load_or_init_text_encoder(
+    name_or_path: str, component: str, clip_config: CLIPTextConfig, dtype, tokenizer_component: str, pad_token_id=None
+) -> TextEncoderBundle:
+    tok = load_tokenizer(
+        name_or_path if os.path.isdir(str(name_or_path)) else "",
+        component=tokenizer_component,
+        pad_token_id=pad_token_id,
+    )
+    model = CLIPTextEncoder(clip_config, dtype=dtype)
+    sub = os.path.join(str(name_or_path), component)
+    if os.path.isdir(sub):
+        tree, cfg_json = tc.load_text_encoder_params(name_or_path, component)
+        return TextEncoderBundle(model, tc.tree_to_jax(tree), tok)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    return TextEncoderBundle(model, params, tok)
+
+
+def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
+    sub = os.path.join(str(name_or_path), "vae")
+    if os.path.isdir(sub):
+        tree, cfg_json = tc.load_vae_params(name_or_path)
+        config = VAEConfig(
+            latent_channels=cfg_json.get("latent_channels", 4),
+            block_out_channels=tuple(cfg_json.get("block_out_channels", (128, 256, 512, 512))),
+            layers_per_block=cfg_json.get("layers_per_block", 2),
+            norm_num_groups=cfg_json.get("norm_num_groups", 32),
+            scaling_factor=cfg_json.get("scaling_factor", 0.18215),
+        )
+        model = AutoencoderKL(config, dtype=dtype)
+        return VAEBundle(model, tc.tree_to_jax(tree), config)
+    config = VAEConfig.sdxl() if family == "sdxl" else VAEConfig.sd()
+    model = AutoencoderKL(config, dtype=dtype)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
+    return VAEBundle(model, params, config)
+
+
+def _family_from_path(name_or_path: str, v2: bool) -> str:
+    p = str(name_or_path).lower()
+    if "tiny" in p:  # weightless smoke-test family (CPU CI, no checkpoints)
+        return "tiny-xl" if "xl" in p else "tiny"
+    if "xl" in p:
+        return "sdxl"
+    if v2 or "stable-diffusion-2" in p or "sd2" in p:
+        return "sd21"
+    return "sd15"
+
+
+# ---------------------------------------------------------------------------
+# public loaders (reference model_util.py API shape)
+# ---------------------------------------------------------------------------
+
+
+def load_models(
+    name_or_path: str,
+    scheduler_name: str = "ddim",
+    v2: bool = False,
+    v_pred: bool = False,
+    weight_dtype=jnp.float32,
+    with_vae: bool = False,
+):
+    """SD1/2 — reference model_util.py:112-137 (imagesliders variant returns
+    the VAE too, trainscripts/imagesliders/model_util.py:75,108-133)."""
+    family = _family_from_path(name_or_path, v2)
+    if family == "sdxl":
+        raise ValueError("Use load_models_xl for SDXL checkpoints")
+    if family == "tiny":
+        clip_cfg = CLIPTextConfig.tiny()
+    elif family == "sd21":
+        clip_cfg = CLIPTextConfig.sd2_te()
+    else:
+        clip_cfg = CLIPTextConfig.sd15_te()
+    te = _load_or_init_text_encoder(name_or_path, "text_encoder", clip_cfg, weight_dtype, "tokenizer")
+    unet = _load_or_init_unet(name_or_path, family, weight_dtype)
+    scheduler = create_noise_scheduler(
+        scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
+    )
+    if with_vae:
+        vae = _load_or_init_vae(name_or_path, family, weight_dtype)
+        return te.tokenizer, te, vae, unet, scheduler
+    return te.tokenizer, te, unet, scheduler
+
+
+def load_models_xl(
+    name_or_path: str,
+    scheduler_name: str = "euler_a",
+    weight_dtype=jnp.float32,
+    with_vae: bool = False,
+):
+    """SDXL — reference model_util.py:358-385: two tokenizers (te2 pads with
+    id 0), two encoders, UNet, scheduler."""
+    family = _family_from_path(name_or_path, False)
+    if family == "tiny-xl":
+        # two 16-wide tiny encoders -> 32-dim concat context; te2 projects to
+        # the 32-dim pooled embed the tiny_xl UNet expects
+        te1_cfg = CLIPTextConfig.tiny(hidden_size=16)
+        te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=32)
+    else:
+        family = "sdxl"
+        te1_cfg = CLIPTextConfig.sdxl_te1()
+        te2_cfg = CLIPTextConfig.sdxl_te2()
+    te1 = _load_or_init_text_encoder(name_or_path, "text_encoder", te1_cfg, weight_dtype, "tokenizer")
+    te2 = _load_or_init_text_encoder(
+        name_or_path, "text_encoder_2", te2_cfg, weight_dtype, "tokenizer_2", pad_token_id=0
+    )
+    unet = _load_or_init_unet(name_or_path, family, weight_dtype)
+    scheduler = create_noise_scheduler(scheduler_name)
+    out = ([te1.tokenizer, te2.tokenizer], [te1, te2], unet, scheduler)
+    if with_vae:
+        return out + (_load_or_init_vae(name_or_path, "sdxl", weight_dtype),)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# prompt encoding (reference train_util.py:108-155, 224-247)
+# ---------------------------------------------------------------------------
+
+
+def encode_prompts(
+    te: TextEncoderBundle, prompts: Sequence[str], clip_skip: Optional[int] = None
+) -> jnp.ndarray:
+    """SD1/2: final hidden state (or clip_skip'd, reference model_util.py:91-109)."""
+    ids = jnp.asarray(te.tokenizer(list(prompts)))
+    out = te.apply(ids)
+    return clip_skip_hidden_state(out, clip_skip)
+
+
+def encode_prompts_xl(
+    text_encoders: List[TextEncoderBundle], prompts: Sequence[str]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XL: concat penultimate hidden states of both encoders; pooled =
+    te2's projected pooled output (reference train_util.py:139-155,224-247)."""
+    embeds = []
+    pooled = None
+    for te in text_encoders:
+        ids = jnp.asarray(te.tokenizer(list(prompts)))
+        out = te.apply(ids)
+        embeds.append(penultimate_hidden_state(out))
+        pooled = out.projected if out.projected is not None else out.pooled_output
+    return jnp.concatenate(embeds, axis=-1), pooled

@@ -1,0 +1,78 @@
+"""Tokenization — CLIP BPE via local files, or a deterministic stub.
+
+Parity target: reference ``text_tokenize`` (train_util.py:108-118):
+padding to ``model_max_length`` (77), truncation, input_ids only.
+
+Two implementations behind one callable interface
+``tokenize(prompts: list[str]) -> np.int32 [B, max_len]``:
+
+* :class:`CLIPTokenizerFiles` — transformers' CLIPTokenizer constructed from
+  ``vocab.json`` + ``merges.txt`` inside a local model directory (no network;
+  this is host-side text preprocessing, exactly the role the tokenizer plays
+  in the reference).
+* :class:`HashTokenizer` — deterministic hash-based ids for environments
+  without tokenizer assets (CI, weightless benchmarks). Same shapes/special
+  tokens; NOT a language tokenizer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+
+class CLIPTokenizerFiles:
+    def __init__(self, tokenizer_dir: str, max_length: int = 77, pad_token_id=None):
+        from transformers import CLIPTokenizer
+
+        self._tok = CLIPTokenizer(
+            vocab_file=os.path.join(tokenizer_dir, "vocab.json"),
+            merges_file=os.path.join(tokenizer_dir, "merges.txt"),
+        )
+        if pad_token_id is not None:
+            # SDXL tokenizer_2 (open-clip) pads with id 0 ("!") —
+            # reference model_util.py:164-208
+            self._tok.pad_token_id = pad_token_id
+        self.max_length = max_length
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        enc = self._tok(
+            list(prompts),
+            padding="max_length",
+            max_length=self.max_length,
+            truncation=True,
+        )
+        return np.asarray(enc["input_ids"], dtype=np.int32)
+
+
+class HashTokenizer:
+    """bos + word-hash ids + eos, padded with eos (CLIP pad==eos for te1)."""
+
+    def __init__(self, vocab_size: int = 49408, max_length: int = 77, bos: int = 49406, eos: int = 49407, pad=None):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos, self.eos = bos, eos
+        self.pad = eos if pad is None else pad
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        out = np.full((len(prompts), self.max_length), self.pad, dtype=np.int32)
+        for i, p in enumerate(prompts):
+            ids = [self.bos]
+            for w in p.lower().split()[: self.max_length - 2]:
+                h = 0
+                for ch in w:  # stable across runs (unlike hash())
+                    h = (h * 131 + ord(ch)) % (self.vocab_size - 3)
+                ids.append(h + 1)
+            ids.append(self.eos)
+            out[i, : len(ids)] = ids
+        return out
+
+
+def load_tokenizer(model_dir: str, component: str = "tokenizer", max_length: int = 77, pad_token_id=None):
+    """CLIP tokenizer from <model_dir>/<component>; HashTokenizer fallback."""
+    tdir = os.path.join(model_dir, component) if model_dir else ""
+    if tdir and os.path.isfile(os.path.join(tdir, "vocab.json")):
+        return CLIPTokenizerFiles(tdir, max_length=max_length, pad_token_id=pad_token_id)
+    return HashTokenizer(max_length=max_length, pad=pad_token_id)

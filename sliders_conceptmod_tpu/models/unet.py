@@ -79,6 +79,76 @@ class UNetConfig:
         t = self.transformer_layers_per_block
         return t[i] if isinstance(t, (tuple, list)) else t
 
+    @classmethod
+    def sd15(cls) -> "UNetConfig":
+        """runwayml/stable-diffusion-v1-5 unet/config.json."""
+        return cls()
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        """stabilityai/stable-diffusion-2-1: 1024-dim context, per-block head
+        counts [5,10,20,20], linear projections, v-prediction handled by the
+        scheduler (not the UNet)."""
+        return cls(
+            sample_size=96,
+            cross_attention_dim=1024,
+            attention_head_dim=(5, 10, 20, 20),
+            use_linear_projection=True,
+        )
+
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        """stabilityai/stable-diffusion-xl-base-1.0 unet/config.json."""
+        return cls(
+            sample_size=128,
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D", "UpBlock2D"),
+            block_out_channels=(320, 640, 1280),
+            cross_attention_dim=2048,
+            attention_head_dim=(5, 10, 20),
+            transformer_layers_per_block=(1, 2, 10),
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=256,
+            projection_class_embeddings_input_dim=2816,
+        )
+
+    @classmethod
+    def tiny(cls, cross_attention_dim: int = 32) -> "UNetConfig":
+        """Small config for CPU tests: same topology as SD1.5, tiny widths."""
+        return cls(
+            sample_size=8,
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention_dim=cross_attention_dim,
+            attention_head_dim=4,
+            norm_num_groups=8,
+        )
+
+    @classmethod
+    def tiny_xl(cls, cross_attention_dim: int = 32) -> "UNetConfig":
+        """Tiny SDXL-topology config (text_time conditioning) for CPU tests.
+
+        projection_class_embeddings_input_dim = pooled(32) + 6*addition(8)=80.
+        """
+        return cls(
+            sample_size=8,
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention_dim=cross_attention_dim,
+            attention_head_dim=4,
+            transformer_layers_per_block=1,
+            use_linear_projection=True,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=80,
+            norm_num_groups=8,
+        )
+
 
 def timestep_embedding(
     timesteps: jnp.ndarray,

@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers — the framework's distributed layer.
+
+The reference has NO distributed support (single CUDA ordinal,
+``train_lora_xl.py:418``; SURVEY §2.2 absence inventory). This module is the
+TPU-native plan from SURVEY §2.2:
+
+* a (data, model) ``jax.sharding.Mesh`` over all visible devices,
+* data parallelism for ESD training: the per-step independent samples
+  (pair, timestep, noise) shard over the ``data`` axis; LoRA params and the
+  frozen UNet replicate; XLA inserts the gradient ``psum`` from the sharding
+  annotations (no hand-written collectives needed at this scale),
+* ``model`` axis reserved for tensor-parallel sharding of SDXL attention
+  heads / MLPs (>16 GB-per-chip configs) — plumbing is in place, default 1.
+
+Single-chip (and CPU test) meshes are the degenerate 1×1 case, so every
+code path is identical from laptop CPU to a v5e pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """data=-1: all remaining devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    spec = [None] * (axis + 1)
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_keys(keys: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a [n_samples, ...] PRNG-key array with dim 0 over the data axis."""
+    return jax.device_put(keys, data_sharded(mesh))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

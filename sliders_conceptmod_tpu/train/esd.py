@@ -1,0 +1,274 @@
+"""The ESD slider training step — one jitted function per model family.
+
+Semantics-parity target: the reference per-iteration loop
+(``conceptmod/textsliders/train_lora_xl.py:165-351``; SD1 variant per
+upstream semantics, SURVEY §2.4):
+
+1. sample a prompt pair and ``timesteps_to ∈ [1, max_denoising_steps)``,
+2. partial denoise from pure noise for ``timesteps_to`` steps **with the
+   slider enabled** (load-bearing reference behavior,
+   train_lora_xl.py:209-231), gradient-stopped,
+3. teacher ε-predictions for positive / neutral / negative prompts with the
+   slider OFF (train_lora_xl.py:240-299),
+4. student ε-prediction for the target prompt with the slider ON and
+   gradients flowing (train_lora_xl.py:305-325),
+5. loss = MSE(student, neutral ∓ g·(positive − negative))
+   (prompt_util.py:134-161), backward, grad-clip, optimizer step.
+
+TPU-first restructurings (same math, different graph):
+* the whole iteration is ONE jitted function; the warm-up loop is a
+  ``lax.fori_loop`` whose trip count is the *traced* ``timesteps_to`` — no
+  recompiles, no wasted full-length scan;
+* the three teacher CFG calls share one unconditional prediction: rows
+  [uncond, positive, neutral, negative] go through the UNet as a single
+  batch of 4·B and the CFG combine ``u + g(c − u)`` is applied per branch —
+  identical math to the reference's three 2·B calls (which recompute the
+  uncond row each time), 4 rows instead of 6;
+* the slider on/off flip is the LoRA merge multiplier (adapters/lora.py),
+  not module mutation;
+* optional data parallelism: ``samples_per_step > 1`` vmaps independent
+  (pair, timestep, noise) draws and averages the loss — under a mesh the
+  sample axis shards across chips and XLA inserts the gradient psum
+  (SURVEY §2.2 DP plan). ``samples_per_step=1`` reproduces the reference's
+  effective batch exactly.
+
+Prompt embeddings are pre-encoded into a stacked bank (``PromptBank``) so
+pair selection is a traced ``jnp.take`` — no host round-trip per step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core.prompts import action_sign
+from sliders_conceptmod_tpu.diffusion.sampling import (
+    current_train_timestep,
+    denoise_partial,
+    get_initial_latents,
+    predict_noise,
+)
+from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, Schedule
+
+# role order inside the stacked bank
+ROLE_TARGET, ROLE_POSITIVE, ROLE_NEGATIVE, ROLE_UNCOND, ROLE_NEUTRAL = range(5)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PromptBank:
+    """All prompt-pair embeddings stacked for traced indexing.
+
+    text:    [P, 5, S, D]   (roles: target, positive, negative, uncond, neutral)
+    pooled:  [P, 5, Dp] or None (XL only)
+    guidance: [P]  per-pair guidance_scale (loss formula g, prompt_util.py:141)
+    sign:    [P]   −1 erase / +1 enhance (prompt_util.py:134-161)
+    """
+
+    text: jnp.ndarray
+    guidance: jnp.ndarray
+    sign: jnp.ndarray
+    pooled: Optional[jnp.ndarray] = None
+
+
+def build_prompt_bank(settings_list, encode_fn) -> PromptBank:
+    """Encode each pair's 5 prompts (deduplicated by string, reference
+    PromptEmbedsCache prompt_util.py:50-61) and stack.
+
+    ``encode_fn(prompt: str) -> (text [S,D], pooled [Dp] | None)``
+    """
+    cache = {}
+
+    def enc(p: str):
+        if p not in cache:
+            cache[p] = encode_fn(p)
+        return cache[p]
+
+    texts, pooleds, gs, signs = [], [], [], []
+    for s in settings_list:
+        roles = [s.target, s.positive, s.negative, s.unconditional, s.neutral]
+        t_list, p_list = zip(*[enc(p) for p in roles])
+        texts.append(jnp.stack(t_list))
+        if p_list[0] is not None:
+            pooleds.append(jnp.stack(p_list))
+        gs.append(s.guidance_scale)
+        signs.append(action_sign(s.action))
+
+    return PromptBank(
+        text=jnp.stack(texts),
+        pooled=jnp.stack(pooleds) if pooleds else None,
+        guidance=jnp.asarray(gs, jnp.float32),
+        sign=jnp.asarray(signs, jnp.float32),
+    )
+
+
+@dataclass(frozen=True)
+class ESDConfig:
+    max_denoising_steps: int = 50
+    train_cfg_scale: float = 1.0  # config.train.cfg — warmup & branch guidance
+    batch_size: int = 1
+    height: int = 512
+    width: int = 512
+    samples_per_step: int = 1
+    num_train_timesteps: int = 1000
+    remat_unet: bool = True  # jax.checkpoint the student UNet call
+
+
+def make_esd_train_step(
+    unet_apply: Callable,
+    base_params,
+    sites,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    optimizer: optax.GradientTransformation,
+    cfg: ESDConfig,
+    add_time_ids: Optional[jnp.ndarray] = None,  # [1, 6] for XL
+    merge_fn=None,  # adapter merge (LoRA default; DoRA passes its own)
+):
+    """Build the jitted step: (lora_params, opt_state, key, bank) →
+    (lora_params, opt_state, metrics)."""
+
+    is_xl = add_time_ids is not None
+    b = cfg.batch_size
+    merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+
+    def tile(emb_row):  # [S, D] -> [b, S, D]
+        return jnp.tile(emb_row[None], (b,) + (1,) * emb_row.ndim)
+
+    student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
+
+    def one_sample(lora_params, key, bank: PromptBank):
+        k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)
+        n_pairs = bank.text.shape[0]
+        pair = jax.random.randint(k_pair, (), 0, n_pairs)
+        timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+
+        text = bank.text[pair]  # [5, S, D]
+        pooled = bank.pooled[pair] if bank.pooled is not None else None
+        g_pair = bank.guidance[pair]
+        sign = bank.sign[pair]
+
+        latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
+
+        def cfg_rows(role):  # [2b, S, D]: uncond rows then cond rows
+            return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
+
+        def xl_kwargs(role):
+            if not is_xl:
+                return None
+            return {
+                "text_embeds": jnp.concatenate(
+                    [tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0
+                ),
+                "time_ids": jnp.tile(add_time_ids, (2 * b, 1)),
+            }
+
+        # --- (2) warm-up: slider ON, no grad (reference :209-231) ----------
+        student_params = merge(base_params, sites, lora_params, 1.0)
+        student_params_sg = jax.lax.stop_gradient(student_params)
+        denoised = denoise_partial(
+            unet_apply,
+            student_params_sg,
+            scheduler,
+            schedule,
+            latents0,
+            cfg_rows(ROLE_TARGET),
+            k_warm,
+            total_steps=timesteps_to,
+            guidance_scale=cfg.train_cfg_scale,
+            added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+        )
+        denoised = jax.lax.stop_gradient(denoised)
+
+        current_t = current_train_timestep(
+            timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
+        )
+
+        # --- (3) teacher branches, slider OFF, one batched call ------------
+        # rows: [uncond, positive, neutral, negative], each tiled to b
+        teacher_rows = jnp.concatenate(
+            [
+                tile(text[ROLE_UNCOND]),
+                tile(text[ROLE_POSITIVE]),
+                tile(text[ROLE_NEUTRAL]),
+                tile(text[ROLE_NEGATIVE]),
+            ],
+            axis=0,
+        )
+        teacher_latents = jnp.concatenate([denoised] * 4, axis=0)
+        scaled = scheduler.scale_model_input_train_t(schedule, teacher_latents, current_t)
+        teacher_kwargs = None
+        if is_xl:
+            teacher_kwargs = {
+                "text_embeds": jnp.concatenate(
+                    [
+                        tile(pooled[ROLE_UNCOND]),
+                        tile(pooled[ROLE_POSITIVE]),
+                        tile(pooled[ROLE_NEUTRAL]),
+                        tile(pooled[ROLE_NEGATIVE]),
+                    ],
+                    axis=0,
+                ),
+                "time_ids": jnp.tile(add_time_ids, (4 * b, 1)),
+            }
+        teacher_eps = unet_apply(
+            base_params, scaled, current_t, teacher_rows, added_cond_kwargs=teacher_kwargs
+        )
+        e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
+        gs = cfg.train_cfg_scale
+        pos_lat = e_u + gs * (e_pos - e_u)
+        neu_lat = e_u + gs * (e_neu - e_u)
+        neg_lat = e_u + gs * (e_neg - e_u)
+
+        # --- (4)+(5) student + loss ----------------------------------------
+        # ESD target: neutral ∓ g·(positive − negative) (prompt_util.py:134-161)
+        esd_target = jax.lax.stop_gradient(
+            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+        )
+
+        def loss_fn(lp):
+            sp = merge(base_params, sites, lp, 1.0)
+            student_eps = predict_noise(
+                student_apply,
+                sp,
+                scheduler,
+                schedule,
+                denoised,
+                cfg_rows(ROLE_TARGET),
+                train_t=current_t,
+                guidance_scale=cfg.train_cfg_scale,
+                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+            )
+            diff = student_eps.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        return loss_fn
+
+    @jax.jit
+    def train_step(lora_params, opt_state, key, bank: PromptBank):
+        if cfg.samples_per_step == 1:
+            loss_fn = one_sample(lora_params, key, bank)
+            loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        else:
+            keys = jax.random.split(key, cfg.samples_per_step)
+
+            def per_sample_loss(lp, k):
+                return one_sample(lp, k, bank)(lp)
+
+            def mean_loss(lp):
+                losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)
+                return jnp.mean(losses)
+
+            loss, grads = jax.value_and_grad(mean_loss)(lora_params)
+
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        lora_params = optax.apply_updates(lora_params, updates)
+        gnorm = optax.global_norm(grads)
+        return lora_params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step

@@ -6,7 +6,9 @@ Must run before any ``import jax`` — pytest imports conftest first.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-override: the shell may export JAX_PLATFORMS=axon (live TPU tunnel);
+# unit tests must run on host CPU with a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compile cache — repeated test runs skip XLA recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
