@@ -361,6 +361,24 @@ def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dic
     return params
 
 
+def filter_sites_to_checkpoint(path: str, sites: Sequence[LoRASite]) -> List[LoRASite]:
+    """Keep only sites whose factors exist in the checkpoint — makes
+    inference robust to the reference's filename-sniffed train_method /
+    network_type guesses (generate_images_xl.py:459-484) being broader than
+    what was actually trained."""
+    if str(path).endswith(".safetensors"):
+        from safetensors import safe_open
+
+        with safe_open(str(path), framework="numpy") as f:
+            keys = set(f.keys())
+    else:
+        import torch
+
+        keys = set(torch.load(str(path), weights_only=True).keys())
+    kept = [s for s in sites if f"{s.lora_name}.lora_down.weight" in keys]
+    return kept
+
+
 def sites_alpha_from_checkpoint(path: str) -> Dict[str, float]:
     """Read per-site alpha values from a checkpoint (for rank/alpha inference
     at inference time, reference generate_images_xl.py:459-484)."""

@@ -1,0 +1,195 @@
+"""CLI: slider inference sweep — scale grid × prompt CSV with fixed seeds.
+
+Flag-surface parity: reference ``conceptmod/textsliders/generate_images_xl.py:406-513``
+(--model_name --prompts_path --negative_prompts --save_path --base
+--guidance_scale --image_size --till_case --from_case --num_samples
+--ddim_steps --rank --start_noise); rank/alpha/train_method inference from
+the checkpoint filename (:459-484); output layout
+``{save_path}/{basename(model_name)}/{scale}/{case}_{idx}.png``.
+
+Improvements over the reference kept behind flags:
+* ``--scales`` is exposed (the reference hardcodes and overwrites the list
+  three times, ending at ``[-2]`` — :443-445); default here is the
+  overwritten-away intended grid −2…2,
+* rank/alpha are read from the checkpoint's ``.alpha`` entries and factor
+  shapes when present (exact), falling back to filename sniffing.
+
+TPU shape (SURVEY §3.3): the whole sampler is one jitted two-phase loop —
+base params while ``t > start_noise``, slider-merged params after — and the
+scale sweep reuses the compiled sampler (the slider scale enters via the
+merged params, all shapes static).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.infer.generate import (
+    flip_step_for_start_noise,
+    latents_to_images,
+    sample_loop,
+)
+from sliders_conceptmod_tpu.models import factory
+
+
+def infer_network_settings(lora_weight: str):
+    """Filename sniffing — reference generate_images_xl.py:459-484."""
+    if "full" in lora_weight:
+        train_method = "full"
+    elif "noxattn" in lora_weight:
+        train_method = "noxattn"
+    else:
+        train_method = "noxattn"
+    network_type = "lierla" if train_method == "xattn" else "c3lier"
+    rank, alpha = 1, 4.0
+    if "rank4" in lora_weight:
+        rank = 4
+    if "rank8" in lora_weight:
+        rank = 8
+    if "alpha1" in lora_weight:
+        alpha = 1.0
+    return train_method, network_type, rank, alpha
+
+
+def settings_from_checkpoint(path: str):
+    """Exact rank/alpha from the checkpoint tensors (improvement over
+    filename sniffing; safetensors only)."""
+    if not str(path).endswith(".safetensors"):
+        return None
+    from safetensors.numpy import load_file
+
+    sd = load_file(path)
+    ranks = {v.shape[0] for k, v in sd.items() if k.endswith(".lora_down.weight")}
+    alphas = {float(v) for k, v in sd.items() if k.endswith(".alpha")}
+    if len(ranks) >= 1 and len(alphas) == 1:
+        return max(ranks), alphas.pop()
+    return None
+
+
+def load_prompts_csv(path: str):
+    rows = []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            rows.append(
+                (int(row["case_number"]), row["prompt"], int(row["evaluation_seed"]))
+            )
+    return rows
+
+
+def run(args):
+    rows = load_prompts_csv(args.prompts_path)
+    scales = [float(s) for s in args.scales.split(",")]
+    name = os.path.basename(args.model_name)
+    for scale in scales:
+        os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
+
+    tokenizers, text_encoders, unet, scheduler, vae = factory.load_models_xl(
+        args.base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True
+    )
+
+    train_method, network_type, rank, alpha = infer_network_settings(args.model_name)
+    exact = settings_from_checkpoint(args.model_name)
+    if exact is not None:
+        rank, alpha = exact
+    targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
+    if network_type == "c3lier":
+        targets = targets + lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
+    sites = lora_lib.create_sites(
+        unet.params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
+    )
+    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
+    if not sites:
+        raise ValueError(f"No matching LoRA keys between UNet and {args.model_name}")
+    lora_params = lora_lib.load_weights(args.model_name, sites)
+
+    schedule = scheduler.set_timesteps(args.ddim_steps)
+    flip = flip_step_for_start_noise(schedule, args.start_noise)
+    unet_apply = unet.apply_fn()
+
+    latent_res = args.image_size // 8
+
+    @jax.jit
+    def sample_fn(params_slider, latents, text_emb, added):
+        return sample_loop(
+            unet_apply,
+            unet.params,
+            params_slider,
+            flip,
+            scheduler,
+            schedule,
+            latents,
+            text_emb,
+            jax.random.PRNGKey(0),
+            guidance_scale=args.guidance_scale,
+            added_cond_kwargs=added,
+        )
+
+    from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+
+    neg = args.negative_prompts or ""
+    for case_number, prompt, seed in rows:
+        if not (args.from_case <= case_number <= args.till_case):
+            continue
+        text, pooled = factory.encode_prompts_xl(text_encoders, [prompt] * args.num_samples)
+        text_u, pooled_u = factory.encode_prompts_xl(text_encoders, [neg] * args.num_samples)
+        text_emb = jnp.concatenate([text_u, text], axis=0)
+        added = {
+            "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
+            "time_ids": jnp.tile(
+                jnp.asarray(get_add_time_ids(args.image_size, args.image_size)),
+                (2 * args.num_samples, 1),
+            ),
+        }
+        for scale in scales:
+            out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0.png"
+            if os.path.exists(out_path):
+                continue
+            key = jax.random.PRNGKey(seed)
+            latents = (
+                jax.random.normal(
+                    key, (args.num_samples, 4, latent_res, latent_res), jnp.float32
+                )
+                * schedule.init_noise_sigma
+            )
+            params_slider = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
+            final = sample_fn(params_slider, latents.astype(jnp.bfloat16), text_emb, added)
+            images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
+            from PIL import Image
+
+            for idx in range(images.shape[0]):
+                Image.fromarray(images[idx]).save(
+                    f"{args.save_path}/{name}/{scale}/{case_number}_{idx}.png"
+                )
+            print(f"case {case_number} scale {scale}: saved {images.shape[0]} images")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="generateImages", description="Generate slider scale sweeps"
+    )
+    parser.add_argument("--model_name", type=str, required=True)
+    parser.add_argument("--prompts_path", type=str, required=True)
+    parser.add_argument("--negative_prompts", type=str, default=None)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--base", type=str, default="stabilityai/stable-diffusion-xl-base-1.0")
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--image_size", type=int, default=512)
+    parser.add_argument("--till_case", type=int, default=1000000)
+    parser.add_argument("--from_case", type=int, default=0)
+    parser.add_argument("--num_samples", type=int, default=5)
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--start_noise", type=int, default=750)
+    parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    return parser
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

@@ -1,0 +1,202 @@
+"""CLI: notrigger text-encoder slider training.
+
+Flag-surface parity: reference ``conceptmod/notrigger/train_notrigger.py:547-633``
+(--config_file --alpha --rank --device --name --attributes --peft_type
+--positive --negative --clip_index --model) plus the ``train_lora``
+programmatic API (:507-545). ``--clip_index`` selects te1/te2 (prefix
+``lora_te1``/``lora_te2``, reference :184-196); saves are per-index
+``{name}_{index}_{i}steps.safetensors`` (:452-473).
+
+Model switch: SDXL supported; FLUX.1/SD3-Medium te2 (T5) needs the T5
+encoder — tracked as a known gap (reference :96-176 loads those via HF).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core import config as config_util
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.train import notrigger as nt
+from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+# torch-module-path segments missing from the flax tree — restores reference
+# key parity: lora_te1_text_model_encoder_layers_0_self_attn_q_proj
+CLIP_NAME_PATH_PREFIX = ("text_model", "encoder")
+
+
+def train(
+    config,
+    positive=None,
+    negative=None,
+    clip_index: int = 0,
+    peft_type: str = "lora",
+    rank: int = 4,
+    model: str = "SDXL",
+    save_file: bool = True,
+    on_step_complete=None,
+):
+    if model not in ("SDXL", "PonyXL", "tiny"):
+        raise NotImplementedError(
+            f"model={model}: FLUX.1/SD3-Medium text encoders (T5) are not built yet"
+        )
+    weight_dtype = config_util.parse_precision(config.train.precision)
+    name = "tiny-xl" if model == "tiny" else config.pretrained_model.name_or_path
+    tokenizers, text_encoders, _unet, _sched = factory.load_models_xl(
+        name, weight_dtype=weight_dtype
+    )
+    te = text_encoders[clip_index]
+    prefix = ["lora_te1", "lora_te2"][clip_index]
+
+    if isinstance(positive, (list, tuple)):
+        positive = ", ".join(positive)
+    if positive == "":
+        positive = None
+    if isinstance(negative, (list, tuple)):
+        negative = ", ".join(negative)
+    if negative == "":
+        negative = None
+    if positive is None and negative is None:
+        raise ValueError("at least one of positive/negative is required")
+
+    def encode_hidden(params, ids):
+        out = te.model.apply({"params": params}, ids)
+        return out.hidden_states[-1]
+
+    neutral_ids = jnp.asarray(te.tokenizer([""]))
+    pos_target = encode_hidden(te.params, jnp.asarray(te.tokenizer([positive]))) if positive else None
+    neg_target = encode_hidden(te.params, jnp.asarray(te.tokenizer([negative]))) if negative else None
+    neutral_target = encode_hidden(te.params, neutral_ids)
+
+    if peft_type == "dora":
+        from sliders_conceptmod_tpu.adapters import dora as peft_mod
+    else:
+        peft_mod = lora_lib
+
+    sites = peft_mod.create_sites(
+        te.params,
+        rank=rank,
+        alpha=config.network.alpha,
+        target_replace=nt.CLIP_TARGET_REPLACE,
+        prefix=prefix,
+        train_method=config.network.training_method,
+        name_path_prefix=CLIP_NAME_PATH_PREFIX,
+    )
+    key = jax.random.PRNGKey(config.tpu.seed)
+    key, k_init = jax.random.split(key)
+    init_extra = {"base_params": te.params} if peft_type == "dora" else {}
+    lora_params = peft_mod.init_lora_params(k_init, sites, **init_extra)
+
+    # SGD + 100-step linear warmup then constant (reference :216-229)
+    sched_fn = get_lr_schedule("constant_with_warmup", config.train.lr, config.train.iterations)
+    optimizer = get_optimizer("sgd", sched_fn, grad_clip_value=1.0)
+    opt_state = optimizer.init(lora_params)
+
+    d1, d2 = nt.initial_distances(
+        encode_hidden, te.params, sites, lora_params, neutral_ids, pos_target, neg_target,
+        merge_fn=peft_mod.merge_lora_params,
+    )
+    ncfg = nt.NoTriggerConfig(
+        lambda_similarity=config.train.lambda_similarity,
+        has_positive=positive is not None,
+        has_negative=negative is not None,
+    )
+    step = nt.make_notrigger_step(
+        encode_hidden,
+        te.params,
+        sites,
+        optimizer,
+        ncfg,
+        neutral_ids,
+        pos_target,
+        neg_target,
+        neutral_target,
+        d1,
+        d2,
+        merge_fn=peft_mod.merge_lora_params,
+    )
+
+    save_path = Path(config.save.path)
+    last_loss = None
+    for i in range(config.train.iterations):
+        lora_params, opt_state, metrics = step(lora_params, opt_state)
+        # stalled-loss early exit (reference :389-393)
+        if i % 800 == 0 and i > 1000:
+            cur = float(metrics["loss"])
+            if last_loss is not None and last_loss == cur:
+                print("loss stopped moving. exiting early.")
+                break
+            last_loss = cur
+        if config.logging.verbose:
+            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        if (
+            save_file
+            and config.save.per_steps
+            and i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            save_path.mkdir(parents=True, exist_ok=True)
+            peft_mod.save_weights(
+                save_path / f"{config.save.name}_{clip_index}_{i}steps.safetensors",
+                sites,
+                lora_params,
+            )
+        if on_step_complete is not None:
+            on_step_complete(i)
+
+    if save_file:
+        save_path.mkdir(parents=True, exist_ok=True)
+        peft_mod.save_weights(
+            save_path / f"{config.save.name}_{clip_index}_last.safetensors", sites, lora_params
+        )
+        return None
+    return peft_mod.state_dict_numpy(sites, lora_params)
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    config.network.alpha = args.alpha
+    config.network.rank = args.rank
+    config.save.name += f"_alpha{args.alpha}"
+    config.save.name += f"_rank{args.rank}"
+    config.save.name += f"_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    positive = args.positive if args.positive is None else " ".join(args.positive)
+    train(
+        config,
+        positive=positive,
+        negative=args.negative,
+        clip_index=args.clip_index,
+        peft_type=args.peft_type,
+        rank=args.rank,
+        model=args.model,
+    )
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--alpha", type=float, required=True)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--device", type=int, default=0, help="Ignored on TPU.")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--attributes", type=str, default=None)
+    parser.add_argument("--peft_type", type=str, default="dora", help="dora (default) or lora")
+    parser.add_argument("--positive", type=str, nargs="+", default=None)
+    parser.add_argument("--model", type=str, default="SDXL", help="SDXL (or tiny for smoke)")
+    parser.add_argument("--negative", type=str, default=None)
+    parser.add_argument("--clip_index", type=int, required=True)
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())
