@@ -103,7 +103,6 @@ def main():
     )
     step = esd.make_esd_train_step(
         unet_apply,
-        params,
         sites,
         scheduler,
         schedule,
@@ -117,13 +116,13 @@ def main():
     # compile + warmup step (the reference timesteps_to draw makes step cost
     # stochastic; warmup once, then time a fixed batch of steps)
     key, k = jax.random.split(key)
-    lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.time()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.time() - t0
 

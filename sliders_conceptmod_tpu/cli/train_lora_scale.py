@@ -83,7 +83,6 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     )
     step = imageslider.make_image_slider_step(
         unet.apply_fn(),
-        unet.params,
         sites,
         scheduler,
         schedule,
@@ -97,7 +96,7 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     save_path = Path(config.save.path)
     for i in range(config.train.iterations):
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(lora_params, opt_state, k, bank)
+        lora_params, opt_state, metrics = step(unet.params, lora_params, opt_state, k, bank)
         if config.logging.verbose:
             print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
         if (

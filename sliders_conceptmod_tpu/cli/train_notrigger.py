@@ -109,7 +109,6 @@ def train(
     )
     step = nt.make_notrigger_step(
         encode_hidden,
-        te.params,
         sites,
         optimizer,
         ncfg,
@@ -125,7 +124,7 @@ def train(
     save_path = Path(config.save.path)
     last_loss = None
     for i in range(config.train.iterations):
-        lora_params, opt_state, metrics = step(lora_params, opt_state)
+        lora_params, opt_state, metrics = step(te.params, lora_params, opt_state)
         # stalled-loss early exit (reference :389-393)
         if i % 800 == 0 and i > 1000:
             cur = float(metrics["loss"])

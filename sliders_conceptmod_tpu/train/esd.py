@@ -121,7 +121,6 @@ class ESDConfig:
 
 def make_esd_train_step(
     unet_apply: Callable,
-    base_params,
     sites,
     scheduler: NoiseScheduler,
     schedule: Schedule,
@@ -130,8 +129,8 @@ def make_esd_train_step(
     add_time_ids: Optional[jnp.ndarray] = None,  # [1, 6] for XL
     merge_fn=None,  # adapter merge (LoRA default; DoRA passes its own)
 ):
-    """Build the jitted step: (lora_params, opt_state, key, bank) →
-    (lora_params, opt_state, metrics)."""
+    """Build the jitted step: (base_params, lora_params, opt_state, key,
+    bank) → (lora_params, opt_state, metrics)."""
 
     is_xl = add_time_ids is not None
     b = cfg.batch_size
@@ -142,7 +141,7 @@ def make_esd_train_step(
 
     student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
 
-    def one_sample(lora_params, key, bank: PromptBank):
+    def one_sample(base_params, lora_params, key, bank: PromptBank):
         k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)
         n_pairs = bank.text.shape[0]
         pair = jax.random.randint(k_pair, (), 0, n_pairs)
@@ -250,15 +249,17 @@ def make_esd_train_step(
         return loss_fn
 
     @jax.jit
-    def train_step(lora_params, opt_state, key, bank: PromptBank):
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+        # base_params flow through the jit signature — closure capture would
+        # bake the frozen UNet (GBs) into the executable as constants
         if cfg.samples_per_step == 1:
-            loss_fn = one_sample(lora_params, key, bank)
+            loss_fn = one_sample(base_params, lora_params, key, bank)
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         else:
             keys = jax.random.split(key, cfg.samples_per_step)
 
             def per_sample_loss(lp, k):
-                return one_sample(lp, k, bank)(lp)
+                return one_sample(base_params, lp, k, bank)(lp)
 
             def mean_loss(lp):
                 losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)

@@ -126,7 +126,6 @@ class ImageSliderConfig:
 
 def make_image_slider_step(
     unet_apply: Callable,
-    base_params,
     sites,
     scheduler: NoiseScheduler,
     schedule: Schedule,
@@ -144,7 +143,7 @@ def make_image_slider_step(
         return jnp.stack([uncond_emb, cond], axis=0)
 
     @jax.jit
-    def step(lora_params, opt_state, key, bank: ImageBank):
+    def step(base_params, lora_params, opt_state, key, bank: ImageBank):
         ks = jax.random.split(key, 6)
         n_pairs = bank.pair_table.shape[0]
         n_imgs = bank.mean.shape[1]

@@ -81,7 +81,6 @@ class NoTriggerConfig:
 
 def make_notrigger_step(
     encode_hidden: Callable,  # (params, input_ids) -> hidden_states[-1]
-    base_params,
     sites,
     optimizer,
     cfg: NoTriggerConfig,
@@ -97,12 +96,12 @@ def make_notrigger_step(
     λ = cfg.lambda_similarity
     both = cfg.has_positive and cfg.has_negative
 
-    def branch_embs(lp, multiplier):
-        params = merge(base_params, sites, lp, multiplier)
-        return encode_hidden(params, neutral_ids)
-
     @jax.jit
-    def step(lora_params, opt_state):
+    def step(base_params, lora_params, opt_state):
+        def branch_embs(lp, multiplier):
+            params = merge(base_params, sites, lp, multiplier)
+            return encode_hidden(params, neutral_ids)
+
         def loss_fn(lp):
             metrics = {}
             ploss = nloss = similarity = jnp.asarray(0.0)

@@ -174,7 +174,6 @@ def train(
     merge_fn = peft_mod.merge_lora_params
     step_fn = esd.make_esd_train_step(
         unet.apply_fn(),
-        unet.params,
         sites,
         scheduler,
         schedule,
@@ -203,7 +202,7 @@ def train(
     t_start = None
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
-        lora_params, opt_state, metrics = step_fn(lora_params, opt_state, k_step, bank)
+        lora_params, opt_state, metrics = step_fn(unet.params, lora_params, opt_state, k_step, bank)
         if i == start_step:
             jax.block_until_ready(metrics["loss"])  # exclude compile from steps/sec
             t_start = time.time()

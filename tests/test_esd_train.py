@@ -74,14 +74,14 @@ def test_train_step_runs_and_learns(xl):
     add_tids = jnp.asarray(get_add_time_ids(64, 64)) if xl else None
 
     step = esd.make_esd_train_step(
-        unet_apply, params, sites, scheduler, schedule, opt, ecfg, add_time_ids=add_tids
+        unet_apply, sites, scheduler, schedule, opt, ecfg, add_time_ids=add_tids
     )
     opt_state = opt.init(lora_params)
 
     lp = lora_params
     losses = []
     for i in range(3):
-        lp, opt_state, metrics = step(lp, opt_state, jax.random.PRNGKey(100 + i), bank)
+        lp, opt_state, metrics = step(params, lp, opt_state, jax.random.PRNGKey(100 + i), bank)
         losses.append(float(metrics["loss"]))
 
     assert all(np.isfinite(l) for l in losses)
@@ -113,7 +113,7 @@ def test_samples_per_step_vmap():
         max_denoising_steps=MAX_STEPS, height=64, width=64, samples_per_step=2, remat_unet=False
     )
     opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
-    step = esd.make_esd_train_step(unet_apply, params, sites, scheduler, schedule, opt, ecfg)
+    step = esd.make_esd_train_step(unet_apply, sites, scheduler, schedule, opt, ecfg)
     opt_state = opt.init(lora_params)
-    lp, opt_state, metrics = step(lora_params, opt_state, jax.random.PRNGKey(0), bank)
+    lp, opt_state, metrics = step(params, lora_params, opt_state, jax.random.PRNGKey(0), bank)
     assert np.isfinite(float(metrics["loss"]))

@@ -60,14 +60,14 @@ def test_notrigger_step_decreases_distance():
     opt_state = opt.init(lp)
     d1, d2 = nt.initial_distances(encode_hidden, params, sites, lp, neutral_ids, pos_target, neg_target)
     step = nt.make_notrigger_step(
-        encode_hidden, params, sites, opt,
+        encode_hidden, sites, opt,
         nt.NoTriggerConfig(lambda_similarity=0.0),
         neutral_ids, pos_target, neg_target, neutral_target, d1, d2,
     )
 
     first = None
     for i in range(10):
-        lp, opt_state, metrics = step(lp, opt_state)
+        lp, opt_state, metrics = step(params, lp, opt_state)
         if first is None:
             first = float(metrics["loss"])
     # curriculum loss starts at ~1.0 (w_p·1 + w_n·1 normalized) and must drop
