@@ -113,7 +113,10 @@ def _classify_module(module_path: Tuple[str, ...]) -> Optional[Tuple[str, str, s
     child = module_path[-1]
     parent_seg = module_path[-2]
 
-    if parent_seg in ("attn1", "attn2") and child in _ATTENTION_CHILDREN:
+    if parent_seg in ("attn1", "attn2", "attn") and child in _ATTENTION_CHILDREN:
+        # "attn" is the MMDiT joint-attention module name (SD3/Flux); its
+        # context-stream children (add_q_proj/..., to_add_out) are excluded
+        # by the reference's 'add_' child skip (lora.py:227-228)
         return "Attention", _dotted(module_path[:-1]), _dotted((child,))
     if parent_seg.startswith("resnets_") and child in _RESNET_CHILDREN:
         return "ResnetBlock2D", _dotted(module_path[:-1]), _dotted((child,))
@@ -177,6 +180,7 @@ def create_sites(
     prefix: str = LORA_PREFIX_UNET,
     train_method: str = "full",
     name_path_prefix: Sequence[str] = (),
+    delimiter: str = "_",
 ) -> List[LoRASite]:
     """Walk a flax param tree and emit LoRA sites — reference create_modules
     semantics (lora.py:194-251) over param paths instead of named_modules.
@@ -204,8 +208,11 @@ def create_sites(
 
         # name_path_prefix restores torch-module-path segments that the flax
         # tree doesn't carry (e.g. CLIP's "text_model.encoder" wrapper, so
-        # text-encoder keys read lora_te1_text_model_encoder_layers_0_...)
-        lora_name = prefix + "_" + "_".join(tuple(name_path_prefix) + module_path)
+        # text-encoder keys read lora_te1_text_model_encoder_layers_0_...).
+        # The reference builds "prefix.module.path" then replaces "." with the
+        # delimiter (lora.py:239-240) — "_" for UNet/CLIP, "-" for SD3/Flux.
+        dotted_name = _dotted(tuple(name_path_prefix) + module_path)
+        lora_name = (prefix + "." + dotted_name).replace(".", delimiter)
         if lora_name in seen:
             continue
         seen.add(lora_name)

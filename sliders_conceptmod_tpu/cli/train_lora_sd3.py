@@ -1,0 +1,140 @@
+"""CLI: SD3 textual slider training (MMDiT + flow matching).
+
+Flag-surface parity: reference ``conceptmod/textsliders/train_lora_sd3.py``
+(same argparse as the XL trainer: --config_file --alpha --rank --device
+--name --attributes --peft_type) with the reference's SD3 specifics:
+delimiter "-" LoRA keys over target ["Attention"] (:104-111), stepped-latent
+ESD loss (train/esd_sd3.py), 16-channel latents, T5 dropped at encode time.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core import config as config_util
+from sliders_conceptmod_tpu.core import prompts as prompt_util
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.train import esd, esd_sd3
+from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+    weight_dtype = config_util.parse_precision(config.train.precision)
+    tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
+        config.pretrained_model.name_or_path, weight_dtype=weight_dtype
+    )
+    mm_cfg = transformer.config
+    is_tiny = "tiny" in str(config.pretrained_model.name_or_path).lower()
+
+    def encode_fn(prompt: str):
+        text, pooled = factory.encode_prompts_sd3(
+            text_encoders,
+            [prompt],
+            joint_attention_dim=mm_cfg.joint_attention_dim,
+            t5_seq_len=4 if is_tiny else 256,
+        )
+        return text[0], pooled[0]
+
+    if peft_type == "dora":
+        from sliders_conceptmod_tpu.adapters import dora as peft_mod
+    else:
+        peft_mod = lora_lib
+
+    # reference: target ["Attention"], delimiter "-" (train_lora_sd3.py:104-111)
+    sites = peft_mod.create_sites(
+        transformer.params,
+        rank=rank,
+        alpha=config.network.alpha,
+        target_replace=["Attention"],
+        train_method=config.network.training_method,
+        delimiter="-",
+    )
+    key = jax.random.PRNGKey(config.tpu.seed)
+    key, k_init = jax.random.split(key)
+    init_extra = {"base_params": transformer.params} if peft_type == "dora" else {}
+    lora_params = peft_mod.init_lora_params(k_init, sites, **init_extra)
+
+    sched_fn = get_lr_schedule("cosine", 1e-4, 50, 1e-6)
+    optimizer = get_optimizer("adamw", sched_fn, weight_decay=1e-6, grad_clip_norm=0.2)
+    opt_state = optimizer.init(lora_params)
+
+    bank = esd.build_prompt_bank(prompts, encode_fn)
+    resolution = prompts[0].resolution
+    batch_size = prompts[0].batch_size
+
+    schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
+    scfg = esd_sd3.SD3ESDConfig(
+        max_denoising_steps=config.train.max_denoising_steps,
+        train_cfg_scale=config.train.cfg,
+        batch_size=batch_size,
+        height=resolution,
+        width=resolution,
+        latent_channels=mm_cfg.in_channels,
+        remat=not is_tiny,
+    )
+    step = esd_sd3.make_sd3_esd_train_step(
+        transformer.apply_fn(), sites, schedule, optimizer, scfg,
+        merge_fn=peft_mod.merge_lora_params,
+    )
+
+    save_path = Path(config.save.path)
+    for i in range(config.train.iterations):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+        if config.logging.verbose:
+            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        if (
+            save_file
+            and config.save.per_steps
+            and i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            save_path.mkdir(parents=True, exist_ok=True)
+            peft_mod.save_weights(
+                save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
+            )
+        if on_step_complete is not None:
+            on_step_complete(i)
+
+    if save_file:
+        save_path.mkdir(parents=True, exist_ok=True)
+        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)
+        return None
+    return peft_mod.state_dict_numpy(sites, lora_params)
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    attributes = []
+    if args.attributes is not None:
+        attributes = [a.strip() for a in args.attributes.split(",")]
+    config.network.alpha = args.alpha
+    config.network.rank = args.rank
+    config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
+    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--alpha", type=float, required=True)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--device", type=int, default=0, help="Ignored on TPU.")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--attributes", type=str, default=None)
+    parser.add_argument("--peft_type", type=str, default="lora")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -74,6 +74,10 @@ def torch_entry_to_flax(key: str, value: np.ndarray) -> Optional[Tuple[Tuple[str
         return tuple(path) + ("bias",), value
     if leaf == "position_ids":
         return None
+    if leaf == "pos_embed":
+        # MMDiT stores its (deterministic) 2D sin-cos table as a buffer;
+        # models/mmdit.py recomputes it
+        return None
     raise ValueError(f"Unexpected torch param leaf: {key}")
 
 

@@ -255,6 +255,89 @@ def load_models_xl(
     return out
 
 
+@dataclass
+class TransformerBundle:
+    model: object
+    params: dict
+    config: object
+
+    def apply_fn(self) -> Callable:
+        model = self.model
+
+        def apply(params, latents, t, context, pooled):
+            return model.apply({"params": params}, latents, t, context, pooled)
+
+        return apply
+
+
+def load_models_sd3(
+    name_or_path: str,
+    weight_dtype=jnp.float32,
+):
+    """SD3 — reference model_util.py:217-236: StableDiffusion3Pipeline with
+    the T5 encoder dropped (text_encoder_3=None); returns
+    (tokenizers, text_encoders, transformer, flow scheduler)."""
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+
+    is_tiny = "tiny" in str(name_or_path).lower()
+    if is_tiny:
+        te1_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+        te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+        mm_cfg = MMDiTConfig.tiny()
+    else:
+        te1_cfg = CLIPTextConfig(projection_dim=768)  # clip-l with projection
+        te2_cfg = CLIPTextConfig.sdxl_te2()  # bigG, 1280-dim projection
+        mm_cfg = MMDiTConfig.sd3_medium()
+
+    te1 = _load_or_init_text_encoder(name_or_path, "text_encoder", te1_cfg, weight_dtype, "tokenizer")
+    te2 = _load_or_init_text_encoder(
+        name_or_path, "text_encoder_2", te2_cfg, weight_dtype, "tokenizer_2", pad_token_id=0
+    )
+
+    sub = os.path.join(str(name_or_path), "transformer")
+    model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
+    if os.path.isdir(sub):
+        sd = tc._load_safetensors_dir(sub)
+        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd))
+    else:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, mm_cfg.in_channels, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 2, mm_cfg.joint_attention_dim)),
+            jnp.zeros((1, mm_cfg.pooled_projection_dim)),
+        )["params"]
+    transformer = TransformerBundle(model, params, mm_cfg)
+    scheduler = FlowMatchScheduler(shift=3.0)
+    return [te1.tokenizer, te2.tokenizer], [te1, te2], transformer, scheduler
+
+
+def encode_prompts_sd3(
+    text_encoders: List[TextEncoderBundle],
+    prompts: Sequence[str],
+    joint_attention_dim: int = 4096,
+    t5_seq_len: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SD3 prompt encoding with T5 dropped (reference model_util.py:217-236
+    loads the pipeline with text_encoder_3=None; diffusers then zero-fills
+    the T5 slot): concat CLIP penultimate states feature-wise, zero-pad to
+    joint_attention_dim, append a zero T5 segment along the sequence;
+    pooled = concat of both projected pooled outputs."""
+    embeds, pooled = [], []
+    for te in text_encoders:
+        ids = jnp.asarray(te.tokenizer(list(prompts)))
+        out = te.apply(ids)
+        embeds.append(penultimate_hidden_state(out))
+        pooled.append(out.projected if out.projected is not None else out.pooled_output)
+    clip_embeds = jnp.concatenate(embeds, axis=-1)
+    B, S, D = clip_embeds.shape
+    if D < joint_attention_dim:
+        clip_embeds = jnp.pad(clip_embeds, ((0, 0), (0, 0), (0, joint_attention_dim - D)))
+    t5_zeros = jnp.zeros((B, t5_seq_len, joint_attention_dim), clip_embeds.dtype)
+    return jnp.concatenate([clip_embeds, t5_zeros], axis=1), jnp.concatenate(pooled, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # prompt encoding (reference train_util.py:108-155, 224-247)
 # ---------------------------------------------------------------------------

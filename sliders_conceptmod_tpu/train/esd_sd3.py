@@ -1,0 +1,149 @@
+"""ESD slider step for SD3 (MMDiT + flow matching).
+
+Semantics-parity target: reference ``train_lora_sd3.py:170-340`` with
+``predict_noise_sd3`` (train_util.py:350-382):
+
+* the branch predictions are **scheduler-stepped latents**, not raw
+  velocity — ``predict_noise_sd3`` CFG-combines the velocity and then calls
+  ``scheduler.step`` (train_util.py:380); the ESD loss compares those
+  stepped latents,
+* ``current_timestep = timesteps[timesteps_to]`` directly (no 1000-step
+  re-indexing; train_lora_sd3.py:236-238),
+* the reference deep-copies the scheduler per branch so every branch steps
+  from the same ``_step_index`` (:241-314) — stateless step-by-index makes
+  that a non-issue here (SURVEY §7.4),
+* 16-channel latents, no init-noise scaling (train_util.py:50-66),
+* AdamW/lr from config, grad-clip norm 0.2 (:330-340 equivalent).
+
+TPU restructurings mirror train/esd.py: traced-trip-count warm-up loop,
+4-row batched teacher call (CFG shares the uncond row; the flow step is
+linear in the velocity so stepping batches too), adapter-merge slider.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, FlowSchedule
+from sliders_conceptmod_tpu.train.esd import (
+    ROLE_NEGATIVE,
+    ROLE_NEUTRAL,
+    ROLE_POSITIVE,
+    ROLE_TARGET,
+    ROLE_UNCOND,
+    PromptBank,
+)
+
+
+@dataclass(frozen=True)
+class SD3ESDConfig:
+    max_denoising_steps: int = 50
+    train_cfg_scale: float = 1.0
+    batch_size: int = 1
+    height: int = 512
+    width: int = 512
+    latent_channels: int = 16
+    vae_scale: int = 8
+    remat: bool = True
+
+
+def make_sd3_esd_train_step(
+    transformer_apply: Callable,  # (params, latents, t, context, pooled)
+    sites,
+    schedule: FlowSchedule,
+    optimizer: optax.GradientTransformation,
+    cfg: SD3ESDConfig,
+    merge_fn=None,
+):
+    merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
+    b = cfg.batch_size
+    gs = cfg.train_cfg_scale
+
+    def tile(row):
+        return jnp.tile(row[None], (b,) + (1,) * row.ndim)
+
+    def cfg_step(apply_fn, params, latents, rows, pooled_rows, step_index):
+        """CFG velocity + flow step from ``step_index`` — predict_noise_sd3."""
+        doubled = jnp.concatenate([latents] * 2, axis=0)
+        t = jnp.broadcast_to(schedule.timesteps[step_index], (2 * b,))
+        v = apply_fn(params, doubled, t, rows, pooled_rows)
+        v_u, v_c = jnp.split(v, 2, axis=0)
+        guided = v_u + gs * (v_c - v_u)
+        return FlowMatchScheduler.step(schedule, guided, step_index, latents)
+
+    @jax.jit
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+        k_pair, k_t, k_noise = jax.random.split(key, 3)
+        n_pairs = bank.text.shape[0]
+        pair = jax.random.randint(k_pair, (), 0, n_pairs)
+        timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+
+        text = bank.text[pair]
+        pooled = bank.pooled[pair]
+        g_pair = bank.guidance[pair]
+        sign = bank.sign[pair]
+
+        def rows(role):
+            return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
+
+        def prows(role):
+            return jnp.concatenate([tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0)
+
+        latents0 = jax.random.normal(
+            k_noise,
+            (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
+            jnp.float32,
+        )
+
+        # warm-up with slider ON (multiplier 1), gradient-stopped
+        student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+
+        def body(i, lat):
+            return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
+
+        denoised = jax.lax.stop_gradient(
+            jax.lax.fori_loop(0, timesteps_to, body, latents0)
+        )
+
+        # teacher: one batched 4-row call at step index timesteps_to
+        t_idx = timesteps_to
+        teacher_rows = jnp.concatenate(
+            [tile(text[r]) for r in (ROLE_UNCOND, ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
+        )
+        teacher_pooled = jnp.concatenate(
+            [tile(pooled[r]) for r in (ROLE_UNCOND, ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
+        )
+        t_vec = jnp.broadcast_to(schedule.timesteps[t_idx], (4 * b,))
+        v_all = transformer_apply(
+            base_params, jnp.concatenate([denoised] * 4, axis=0), t_vec, teacher_rows, teacher_pooled
+        )
+        v_u, v_p, v_n, v_neg = jnp.split(v_all, 4, axis=0)
+
+        def stepped(v_c):
+            guided = v_u + gs * (v_c - v_u)
+            return FlowMatchScheduler.step(schedule, guided, t_idx, denoised)
+
+        pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
+        esd_target = jax.lax.stop_gradient(
+            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+        )
+
+        def loss_fn(lp):
+            sp = merge(base_params, sites, lp, 1.0)
+            tgt = cfg_step(student_apply, sp, denoised, rows(ROLE_TARGET), prows(ROLE_TARGET), t_idx)
+            diff = tgt.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        lora_params = optax.apply_updates(lora_params, updates)
+        return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step
