@@ -1,0 +1,143 @@
+"""CLI: Flux textual slider training (few-step flow matching).
+
+Flag-surface parity: reference ``conceptmod/textsliders/train_lora_flux.py``
+(same argparse as the XL trainer). Reference specifics preserved: 8
+inference steps with dynamic μ-shift, timesteps_to fixed at 0, no CFG,
+gradient accumulation to effective batch 8 via optax.MultiSteps, hardcoded
+AdamW(1e-4, wd 1e-6)+cosine(T_max=50), grad clip-value 1.0, '-'-delimited
+LoRA over Attention modules (dual and single stream q/k/v + dual to_out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core import config as config_util
+from sliders_conceptmod_tpu.core import prompts as prompt_util
+from sliders_conceptmod_tpu.diffusion.flow_match import calculate_shift
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.train import esd, esd_flux
+from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+import optax
+
+
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+    weight_dtype = config_util.parse_precision(config.train.precision)
+    tokenizers, encode_raw, transformer, scheduler = factory.load_models_flux(
+        config.pretrained_model.name_or_path, weight_dtype=weight_dtype
+    )
+    flux_cfg = transformer.config
+
+    def encode_fn(prompt: str):
+        return encode_raw(prompt)
+
+    if peft_type == "dora":
+        from sliders_conceptmod_tpu.adapters import dora as peft_mod
+    else:
+        peft_mod = lora_lib
+
+    sites = peft_mod.create_sites(
+        transformer.params,
+        rank=rank,
+        alpha=config.network.alpha,
+        target_replace=["Attention"],
+        train_method=config.network.training_method,
+        delimiter="-",
+    )
+    key = jax.random.PRNGKey(config.tpu.seed)
+    key, k_init = jax.random.split(key)
+    init_extra = {"base_params": transformer.params} if peft_type == "dora" else {}
+    lora_params = peft_mod.init_lora_params(k_init, sites, **init_extra)
+
+    resolution = prompts[0].resolution
+    batch_size = prompts[0].batch_size
+    # grad accumulation to effective batch 8 (reference :222-226)
+    accumulation_steps = math.ceil(8 / batch_size) if batch_size < 8 else 1
+
+    base_opt = get_optimizer(
+        "adamw",
+        get_lr_schedule("cosine", 1e-4, 50, 1e-6),
+        weight_decay=1e-6,
+        grad_clip_value=1.0,
+    )
+    optimizer = optax.MultiSteps(base_opt, every_k_schedule=accumulation_steps)
+    opt_state = optimizer.init(lora_params)
+
+    bank = esd.build_prompt_bank(prompts, encode_fn)
+
+    vae_scale = 8 if "tiny" not in str(config.pretrained_model.name_or_path).lower() else 2
+    n_steps = 8  # reference num_inference_steps (train_lora_flux.py:240)
+    gh = resolution // vae_scale // 2
+    gw = resolution // vae_scale // 2
+    # latent channels: packed token dim / 4
+    latent_channels = flux_cfg.in_channels // 4
+    mu = calculate_shift(gh * gw)
+    schedule = scheduler.set_timesteps(n_steps, mu=mu)
+
+    fcfg = esd_flux.FluxESDConfig(
+        num_inference_steps=n_steps,
+        batch_size=batch_size,
+        height=resolution,
+        width=resolution,
+        latent_channels=latent_channels,
+        vae_scale=vae_scale,
+        remat="tiny" not in str(config.pretrained_model.name_or_path).lower(),
+    )
+    step = esd_flux.make_flux_esd_train_step(
+        transformer.apply_fn(), sites, schedule, optimizer, fcfg,
+        merge_fn=peft_mod.merge_lora_params,
+    )
+
+    save_path = Path(config.save.path)
+    total_micro = config.train.iterations * accumulation_steps + 1  # reference :227
+    for i in range(total_micro):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+        if config.logging.verbose:
+            print(f"micro-step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        if on_step_complete is not None:
+            on_step_complete(i)
+
+    if save_file:
+        save_path.mkdir(parents=True, exist_ok=True)
+        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)
+        return None
+    return peft_mod.state_dict_numpy(sites, lora_params)
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    attributes = []
+    if args.attributes is not None:
+        attributes = [a.strip() for a in args.attributes.split(",")]
+    config.network.alpha = args.alpha
+    config.network.rank = args.rank
+    config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
+    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--alpha", type=float, required=True)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--device", type=int, default=0, help="Ignored on TPU.")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--attributes", type=str, default=None)
+    parser.add_argument("--peft_type", type=str, default="lora")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -264,8 +264,8 @@ class TransformerBundle:
     def apply_fn(self) -> Callable:
         model = self.model
 
-        def apply(params, latents, t, context, pooled):
-            return model.apply({"params": params}, latents, t, context, pooled)
+        def apply(params, *args, **kwargs):
+            return model.apply({"params": params}, *args, **kwargs)
 
         return apply
 
@@ -336,6 +336,57 @@ def encode_prompts_sd3(
         clip_embeds = jnp.pad(clip_embeds, ((0, 0), (0, 0), (0, joint_attention_dim - D)))
     t5_zeros = jnp.zeros((B, t5_seq_len, joint_attention_dim), clip_embeds.dtype)
     return jnp.concatenate([clip_embeds, t5_zeros], axis=1), jnp.concatenate(pooled, axis=-1)
+
+
+def load_models_flux(
+    name_or_path: str,
+    weight_dtype=jnp.float32,
+):
+    """Flux (schnell) — reference model_util.py:238-268. Returns
+    (tokenizers, encode_fn, transformer, flow scheduler).
+
+    KNOWN GAP: the T5-XXL text encoder is not ported yet; weightless/tiny
+    runs use a deterministic pseudo-embedding stub for the T5 slot (the
+    trainer/bench graph is identical). Real Flux checkpoints raise until the
+    T5 port lands.
+    """
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
+    from sliders_conceptmod_tpu.models.flux import FluxConfig, FluxTransformer2DModel
+    from sliders_conceptmod_tpu.models.tokenizer import HashTokenizer
+
+    is_tiny = "tiny" in str(name_or_path).lower()
+    if not is_tiny and _is_local_diffusers_dir(name_or_path):
+        raise NotImplementedError(
+            "Flux with real checkpoints needs the T5 encoder port (tracked gap); "
+            "weightless mode ('flux' / 'tiny-flux') is available"
+        )
+    flux_cfg = FluxConfig.tiny() if is_tiny else FluxConfig.schnell()
+    model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
+
+    seq_t5 = 8 if is_tiny else 512  # reference max_sequence_length (train_util.py:204)
+    tok = HashTokenizer(max_length=seq_t5)
+
+    def encode_fn(prompt: str):
+        """T5-slot pseudo-embeddings + CLIP-slot pooled stub (weightless)."""
+        ids = tok([prompt])[0]
+        k = jax.random.PRNGKey(int(np.asarray(ids, np.int64).sum()) % (2**31))
+        text = jax.random.normal(k, (seq_t5, flux_cfg.joint_attention_dim)) * 0.1
+        pooled = jax.random.normal(jax.random.fold_in(k, 1), (flux_cfg.pooled_projection_dim,)) * 0.1
+        return text.astype(weight_dtype), pooled.astype(weight_dtype)
+
+    gh = gw = 4
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
+        jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+        jnp.zeros((2, 3)),
+        jnp.zeros((gh * gw, 3)),
+    )["params"]
+    transformer = TransformerBundle(model, params, flux_cfg)
+    scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
+    return [tok], encode_fn, transformer, scheduler
 
 
 # ---------------------------------------------------------------------------

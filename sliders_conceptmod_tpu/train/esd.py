@@ -38,6 +38,7 @@ pair selection is a traced ``jnp.take`` — no host round-trip per step.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -248,10 +249,12 @@ def make_esd_train_step(
 
         return loss_fn
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
         # base_params flow through the jit signature — closure capture would
-        # bake the frozen UNet (GBs) into the executable as constants
+        # bake the frozen UNet (GBs) into the executable as constants.
+        # lora_params/opt_state are donated: they're replaced every step and
+        # the SDXL step runs within ~13MB of v5e HBM.
         if cfg.samples_per_step == 1:
             loss_fn = one_sample(base_params, lora_params, key, bank)
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)

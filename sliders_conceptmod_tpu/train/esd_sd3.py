@@ -22,6 +22,7 @@ linear in the velocity so stepping batches too), adapter-merge slider.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -78,7 +79,7 @@ def make_sd3_esd_train_step(
         guided = v_u + gs * (v_c - v_u)
         return FlowMatchScheduler.step(schedule, guided, step_index, latents)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
         k_pair, k_t, k_noise = jax.random.split(key, 3)
         n_pairs = bank.text.shape[0]
