@@ -39,6 +39,20 @@ import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.ops.attention import dot_product_attention
 
+# trace-time switch for attention-map capture (ptp-style controllers); use
+# the context manager so a single model definition serves both modes:
+#   with capture_attention_maps():
+#       out, inter = model.apply(vars, ..., mutable=["intermediates"])
+_CAPTURE_ATTENTION = [False]
+
+
+class capture_attention_maps:
+    def __enter__(self):
+        _CAPTURE_ATTENTION[0] = True
+
+    def __exit__(self, *a):
+        _CAPTURE_ATTENTION[0] = False
+
 
 @dataclass(frozen=True)
 class UNetConfig:
@@ -211,12 +225,23 @@ class ResnetBlock2D(nn.Module):
 
 
 class Attention(nn.Module):
-    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out.0."""
+    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out.0.
+
+    ``capture_maps=True`` sows the softmax attention probabilities into the
+    'intermediates' collection — the functional equivalent of the
+    reference's prompt-to-prompt attention controllers, which monkey-patch
+    ``CrossAttention.forward`` to expose maps
+    (reference conceptmod/textsliders/ptp_utils.py:173-240). Retrieve with
+    ``model.apply(..., capture_intermediates/mutable=['intermediates'])``;
+    this path uses the materializing XLA attention (maps can't come out of
+    the flash kernel without being materialized anyway).
+    """
 
     query_dim: int
     heads: int
     cross_attention_dim: Optional[int] = None  # None -> self attention
     dtype: jnp.dtype = jnp.float32
+    capture_maps: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -233,7 +258,15 @@ class Attention(nn.Module):
         q = q.reshape(B, S, self.heads, head_dim)
         k = k.reshape(B, Skv, self.heads, head_dim)
         v = v.reshape(B, Skv, self.heads, head_dim)
-        out = dot_product_attention(q, k, v)
+        if self.capture_maps or _CAPTURE_ATTENTION[0]:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * (head_dim**-0.5), k
+            ).astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "attn_probs", probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
+        else:
+            out = dot_product_attention(q, k, v)
         out = out.reshape(B, S, inner)
         return nn.Dense(self.query_dim, name="to_out_0", dtype=self.dtype)(out)
 
