@@ -68,8 +68,10 @@ def main():
             added_cond_kwargs=added,
         )
     )
-    # random-ish deterministic params without per-leaf RNG compile cost
-    params = jax.tree.map(lambda s: (jnp.ones(s.shape, s.dtype) * 0.02), shapes)["params"]
+    # random-ish deterministic params without per-leaf RNG compile cost.
+    # Stored in bf16 (the reference casts the whole model to the train
+    # precision, train_lora_xl.py:82) — fp32 storage alone overflows v5e HBM.
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
 
     def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
         return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)

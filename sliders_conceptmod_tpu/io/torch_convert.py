@@ -137,9 +137,10 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
 
 
 def _load_safetensors_dir(subdir: str, dtype=None) -> Dict[str, np.ndarray]:
-    """Load all .safetensors shards in a diffusers component directory."""
-    from safetensors import safe_open
+    """Load all .safetensors shards in a diffusers component directory.
 
+    Uses the native mmap reader (io/native.py, zero-copy) when built;
+    falls back to the safetensors package."""
     files = sorted(
         os.path.join(subdir, f) for f in os.listdir(subdir) if f.endswith(".safetensors")
     )
@@ -147,12 +148,18 @@ def _load_safetensors_dir(subdir: str, dtype=None) -> Dict[str, np.ndarray]:
         raise FileNotFoundError(f"No .safetensors found in {subdir}")
     sd = {}
     for path in files:
-        with safe_open(path, framework="numpy") as f:
-            for key in f.keys():
-                arr = f.get_tensor(key)
-                if dtype is not None:
-                    arr = arr.astype(dtype)
-                sd[key] = arr
+        try:
+            from sliders_conceptmod_tpu.io.native import load_safetensors_native
+
+            tensors = load_safetensors_native(path)
+        except Exception:
+            from safetensors.numpy import load_file
+
+            tensors = dict(load_file(path))
+        for key, arr in tensors.items():
+            if dtype is not None and arr.dtype != np.uint16:  # uint16 = raw bf16
+                arr = arr.astype(dtype)
+            sd[key] = arr
     return sd
 
 

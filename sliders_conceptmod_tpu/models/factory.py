@@ -124,6 +124,9 @@ def _init_unet(config: UNetConfig, dtype, seed: int = 0) -> UNetBundle:
     params = model.init(jax.random.PRNGKey(seed), sample, jnp.zeros((1,)), ctx, added_cond_kwargs=added)[
         "params"
     ]
+    # store params at the configured precision (the reference casts the
+    # whole model: unet.to(device, dtype=weight_dtype), train_lora_xl.py:82)
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
     return UNetBundle(model, params, config)
 
 
@@ -132,7 +135,7 @@ def _load_or_init_unet(name_or_path: str, family: str, dtype) -> UNetBundle:
         tree, cfg_json = tc.load_unet_params(name_or_path)
         config = _unet_config_from_json(cfg_json)
         model = UNet2DConditionModel(config, dtype=dtype)
-        return UNetBundle(model, tc.tree_to_jax(tree), config)
+        return UNetBundle(model, tc.tree_to_jax(tree, dtype=dtype), config)
     config = {
         "sd15": UNetConfig.sd15,
         "sd21": UNetConfig.sd21,

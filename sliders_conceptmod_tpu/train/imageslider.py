@@ -89,16 +89,25 @@ def build_image_bank(
     scales_arr = np.asarray(scales, dtype=np.float32)
     names = list_paired_images(folder_main, folders)
 
+    # native threaded decode when available (io/native.py); PIL fallback
+    def load_folder(folder):
+        paths = [os.path.join(folder_main, folder, n) for n in names]
+        try:
+            from sliders_conceptmod_tpu.io.native import load_images_native
+
+            batch = load_images_native(paths, resolution)
+        except Exception:
+            batch = None
+        if batch is None:
+            batch = np.concatenate([load_image_array(p, resolution) for p in paths])
+        return batch
+
     means, logvars = [], []
     for folder in folders:
-        f_means, f_logvars = [], []
-        for name in names:
-            arr = load_image_array(os.path.join(folder_main, folder, name), resolution)
-            mean, logvar = vae_encode(jnp.asarray(arr))
-            f_means.append(mean[0])
-            f_logvars.append(logvar[0])
-        means.append(jnp.stack(f_means))
-        logvars.append(jnp.stack(f_logvars))
+        batch = load_folder(folder)
+        mean, logvar = vae_encode(jnp.asarray(batch))
+        means.append(mean)
+        logvars.append(logvar)
 
     uniq = sorted({abs(float(s)) for s in scales_arr if s != 0})
     table, pair_scales = [], []
