@@ -50,6 +50,7 @@ LORA_PREFIX_UNET = "lora_unet"
 DEFAULT_TARGET_REPLACE = UNET_TARGET_REPLACE_MODULE_TRANSFORMER
 
 TRAINING_METHODS = (
+    "t5attn",
     "noxattn",
     "innoxattn",
     "selfattn",
@@ -126,6 +127,8 @@ def _classify_module(module_path: Tuple[str, ...]) -> Optional[Tuple[str, str, s
         return "Upsample2D", _dotted(module_path[:-1]), child
     if parent_seg == "self_attn" and child in _CLIP_ATTN_CHILDREN:
         return "CLIPAttention", _dotted(module_path[:-1]), child
+    if parent_seg == "SelfAttention" and child in ("q", "k", "v", "o"):
+        return "T5Attention", _dotted(module_path[:-1]), child
     return None
 
 
@@ -142,6 +145,9 @@ def _passes_train_method(train_method: str, parent_name: str, child_name: str) -
             return False
     elif train_method in ("xattn", "xattn-strict"):
         if "attn2" not in parent_name:
+            return False
+    elif train_method == "t5attn":  # reference dora.py:242-244
+        if "SelfAttention" not in parent_name:
             return False
     elif train_method == "full":
         pass

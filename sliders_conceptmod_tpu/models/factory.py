@@ -348,36 +348,89 @@ def load_models_flux(
     """Flux (schnell) — reference model_util.py:238-268. Returns
     (tokenizers, encode_fn, transformer, flow scheduler).
 
-    KNOWN GAP: the T5-XXL text encoder is not ported yet; weightless/tiny
-    runs use a deterministic pseudo-embedding stub for the T5 slot (the
-    trainer/bench graph is identical). Real Flux checkpoints raise until the
-    T5 port lands.
+    Real checkpoint dirs load the transformer + T5-XXL (models/t5.py) + CLIP
+    pooled encoder; the T5 tokenizer uses the dir's tokenizer.json when the
+    ``tokenizers`` lib can read it (no sentencepiece in this image), else the
+    deterministic hash tokenizer. Weightless/tiny mode uses a
+    pseudo-embedding stub for the whole text stack (identical graph).
     """
     from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
     from sliders_conceptmod_tpu.models.flux import FluxConfig, FluxTransformer2DModel
     from sliders_conceptmod_tpu.models.tokenizer import HashTokenizer
 
     is_tiny = "tiny" in str(name_or_path).lower()
-    if not is_tiny and _is_local_diffusers_dir(name_or_path):
-        raise NotImplementedError(
-            "Flux with real checkpoints needs the T5 encoder port (tracked gap); "
-            "weightless mode ('flux' / 'tiny-flux') is available"
-        )
+    is_local = os.path.isdir(os.path.join(str(name_or_path), "transformer"))
     flux_cfg = FluxConfig.tiny() if is_tiny else FluxConfig.schnell()
     model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
 
     seq_t5 = 8 if is_tiny else 512  # reference max_sequence_length (train_util.py:204)
-    tok = HashTokenizer(max_length=seq_t5)
+    tok = HashTokenizer(max_length=seq_t5, vocab_size=32128, bos=0, eos=1, pad=0)
 
-    def encode_fn(prompt: str):
-        """T5-slot pseudo-embeddings + CLIP-slot pooled stub (weightless)."""
-        ids = tok([prompt])[0]
-        k = jax.random.PRNGKey(int(np.asarray(ids, np.int64).sum()) % (2**31))
-        text = jax.random.normal(k, (seq_t5, flux_cfg.joint_attention_dim)) * 0.1
-        pooled = jax.random.normal(jax.random.fold_in(k, 1), (flux_cfg.pooled_projection_dim,)) * 0.1
-        return text.astype(weight_dtype), pooled.astype(weight_dtype)
+    if is_local:
+        from sliders_conceptmod_tpu.models.t5 import (
+            T5Config,
+            T5EncoderModel,
+            convert_t5_state_dict,
+        )
+
+        t5_dir = os.path.join(str(name_or_path), "text_encoder_2")
+        t5_cfg_json = tc._read_json(os.path.join(t5_dir, "config.json"))
+        t5_cfg = T5Config(
+            vocab_size=t5_cfg_json.get("vocab_size", 32128),
+            d_model=t5_cfg_json.get("d_model", 4096),
+            d_kv=t5_cfg_json.get("d_kv", 64),
+            d_ff=t5_cfg_json.get("d_ff", 10240),
+            num_layers=t5_cfg_json.get("num_layers", 24),
+            num_heads=t5_cfg_json.get("num_heads", 64),
+        )
+        t5_model = T5EncoderModel(t5_cfg, dtype=weight_dtype)
+        t5_params = tc.tree_to_jax(
+            convert_t5_state_dict(tc._load_safetensors_dir(t5_dir)), dtype=weight_dtype
+        )
+        te1 = _load_or_init_text_encoder(
+            name_or_path, "text_encoder", CLIPTextConfig.sd15_te(), weight_dtype, "tokenizer"
+        )
+        tok_json = os.path.join(t5_dir, "..", "tokenizer_2", "tokenizer.json")
+        if os.path.isfile(tok_json):
+            try:
+                from transformers import T5TokenizerFast
+
+                t5_tok = T5TokenizerFast(tokenizer_file=tok_json)
+
+                def t5_tokenize(prompts):
+                    enc = t5_tok(list(prompts), padding="max_length", max_length=seq_t5, truncation=True)
+                    return np.asarray(enc["input_ids"], np.int32)
+
+                tok = t5_tokenize
+            except Exception:
+                pass
+
+        def encode_fn(prompt: str):
+            ids = jnp.asarray(tok([prompt]))
+            text = t5_model.apply({"params": t5_params}, ids)[0]
+            pooled = te1.apply(jnp.asarray(te1.tokenizer([prompt]))).pooled_output[0]
+            return text, pooled
+
+    else:
+
+        def encode_fn(prompt: str):
+            """T5-slot pseudo-embeddings + CLIP-slot pooled stub (weightless)."""
+            ids = tok([prompt])[0]
+            k = jax.random.PRNGKey(int(np.asarray(ids, np.int64).sum()) % (2**31))
+            text = jax.random.normal(k, (seq_t5, flux_cfg.joint_attention_dim)) * 0.1
+            pooled = (
+                jax.random.normal(jax.random.fold_in(k, 1), (flux_cfg.pooled_projection_dim,)) * 0.1
+            )
+            return text.astype(weight_dtype), pooled.astype(weight_dtype)
 
     gh = gw = 4
+    if is_local:
+        sub = os.path.join(str(name_or_path), "transformer")
+        sd = tc._load_safetensors_dir(sub)
+        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+        transformer = TransformerBundle(model, params, flux_cfg)
+        scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
+        return [tok], encode_fn, transformer, scheduler
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
