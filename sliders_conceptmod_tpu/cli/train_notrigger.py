@@ -42,17 +42,48 @@ def train(
     save_file: bool = True,
     on_step_complete=None,
 ):
-    if model not in ("SDXL", "PonyXL", "tiny"):
-        raise NotImplementedError(
-            f"model={model}: FLUX.1/SD3-Medium text encoders (T5) are not built yet"
-        )
     weight_dtype = config_util.parse_precision(config.train.precision)
-    name = "tiny-xl" if model == "tiny" else config.pretrained_model.name_or_path
-    tokenizers, text_encoders, _unet, _sched = factory.load_models_xl(
-        name, weight_dtype=weight_dtype
-    )
-    te = text_encoders[clip_index]
-    prefix = ["lora_te1", "lora_te2"][clip_index]
+    is_flux = model in ("FLUX.1", "tiny-flux")
+    if not is_flux and model not in ("SDXL", "PonyXL", "tiny"):
+        raise NotImplementedError(f"model={model} not supported (SDXL/PonyXL/FLUX.1)")
+
+    if is_flux and clip_index == 1:
+        # FLUX te2 = T5 (reference train_notrigger.py:188-191 target
+        # T5Attention); keys lora_te2_encoder_block_*_SelfAttention_*
+        import jax.numpy as _jnp
+
+        from sliders_conceptmod_tpu.models.t5 import T5Config, T5EncoderModel
+        from sliders_conceptmod_tpu.models.tokenizer import HashTokenizer
+
+        t5_cfg = T5Config.tiny() if "tiny" in model else T5Config.xxl()
+        t5_model = T5EncoderModel(t5_cfg, dtype=weight_dtype)
+        tok = HashTokenizer(max_length=16 if "tiny" in model else 512, vocab_size=t5_cfg.vocab_size, bos=0, eos=1, pad=0)
+        params = t5_model.init(jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32))["params"]
+
+        class _T5Bundle:
+            model = t5_model
+            tokenizer = tok
+
+        te = _T5Bundle()
+        te.params = params
+        prefix = "lora_te2"
+        target_replace_override = ["T5Attention"]
+        name_path_prefix = ("encoder",)
+        train_method_override = "t5attn"
+
+        def encode_hidden(p, ids):
+            return t5_model.apply({"params": p}, ids)
+
+    else:
+        name = "tiny-xl" if model in ("tiny", "tiny-flux") else config.pretrained_model.name_or_path
+        tokenizers, text_encoders, _unet, _sched = factory.load_models_xl(
+            name, weight_dtype=weight_dtype
+        )
+        te = text_encoders[clip_index]
+        prefix = ["lora_te1", "lora_te2"][clip_index]
+        target_replace_override = None
+        name_path_prefix = CLIP_NAME_PATH_PREFIX
+        train_method_override = None
 
     if isinstance(positive, (list, tuple)):
         positive = ", ".join(positive)
@@ -65,9 +96,11 @@ def train(
     if positive is None and negative is None:
         raise ValueError("at least one of positive/negative is required")
 
-    def encode_hidden(params, ids):
-        out = te.model.apply({"params": params}, ids)
-        return out.hidden_states[-1]
+    if not (is_flux and clip_index == 1):
+
+        def encode_hidden(params, ids):
+            out = te.model.apply({"params": params}, ids)
+            return out.hidden_states[-1]
 
     neutral_ids = jnp.asarray(te.tokenizer([""]))
     pos_target = encode_hidden(te.params, jnp.asarray(te.tokenizer([positive]))) if positive else None
@@ -83,10 +116,10 @@ def train(
         te.params,
         rank=rank,
         alpha=config.network.alpha,
-        target_replace=nt.CLIP_TARGET_REPLACE,
+        target_replace=target_replace_override or nt.CLIP_TARGET_REPLACE,
         prefix=prefix,
-        train_method=config.network.training_method,
-        name_path_prefix=CLIP_NAME_PATH_PREFIX,
+        train_method=train_method_override or config.network.training_method,
+        name_path_prefix=name_path_prefix,
     )
     key = jax.random.PRNGKey(config.tpu.seed)
     key, k_init = jax.random.split(key)
