@@ -78,6 +78,8 @@ def test_train_step_runs_and_learns(xl):
     )
     opt_state = opt.init(lora_params)
 
+    # snapshot before stepping: the jitted step donates lora_params/opt_state
+    initial = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)
     lp = lora_params
     losses = []
     for i in range(3):
@@ -87,7 +89,7 @@ def test_train_step_runs_and_learns(xl):
     assert all(np.isfinite(l) for l in losses)
     # up-weights start at zero; after steps they must have moved
     moved = jax.tree.reduce(
-        lambda a, x: a + float(jnp.sum(jnp.abs(x))), jax.tree.map(lambda a, b: a - b, lp, lora_params), 0.0
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), jax.tree.map(lambda a, b: np.asarray(a) - b, lp, initial), 0.0
     )
     assert moved > 0
 
