@@ -34,26 +34,44 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
 
     is_xl = "xl" in str(config.pretrained_model.name_or_path).lower()
     resolution = 512 if is_xl else 256  # reference resize (:219 / xl :220)
-    if is_xl:
-        raise NotImplementedError(
-            "XL visual sliders land with the XL image pipeline; use SD1/2 for now"
-        )
 
     weight_dtype = config_util.parse_precision(config.train.precision)
-    tokenizer, te, vae, unet, scheduler = factory.load_models(
-        config.pretrained_model.name_or_path,
-        scheduler_name=config.train.noise_scheduler,
-        v2=config.pretrained_model.v2,
-        v_pred=config.pretrained_model.v_pred,
-        weight_dtype=weight_dtype,
-        with_vae=True,
-    )
-
     settings = prompts[0]
-    emb = {
-        p: factory.encode_prompts(te, [p], config.pretrained_model.clip_skip)[0]
-        for p in {settings.positive, settings.neutral, settings.unconditional}
-    }
+    pooled = None
+    add_tids = None
+    if is_xl:
+        from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+
+        tokenizers, text_encoders, unet, scheduler, vae = factory.load_models_xl(
+            config.pretrained_model.name_or_path,
+            scheduler_name=config.train.noise_scheduler,
+            weight_dtype=weight_dtype,
+            with_vae=True,
+        )
+        emb, pooled_map = {}, {}
+        for prompt_str in {settings.positive, settings.neutral, settings.unconditional}:
+            text, pool = factory.encode_prompts_xl(text_encoders, [prompt_str])
+            emb[prompt_str] = text[0]
+            pooled_map[prompt_str] = pool[0]
+        pooled = {
+            "positive": pooled_map[settings.positive],
+            "neutral": pooled_map[settings.neutral],
+            "uncond": pooled_map[settings.unconditional],
+        }
+        add_tids = jnp.asarray(get_add_time_ids(resolution, resolution))
+    else:
+        tokenizer, te, vae, unet, scheduler = factory.load_models(
+            config.pretrained_model.name_or_path,
+            scheduler_name=config.train.noise_scheduler,
+            v2=config.pretrained_model.v2,
+            v_pred=config.pretrained_model.v_pred,
+            weight_dtype=weight_dtype,
+            with_vae=True,
+        )
+        emb = {
+            p: factory.encode_prompts(te, [p], config.pretrained_model.clip_skip)[0]
+            for p in {settings.positive, settings.neutral, settings.unconditional}
+        }
 
     sites = lora_lib.create_sites(
         unet.params,
@@ -91,6 +109,8 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
         positive_emb=emb[settings.positive],
         neutral_emb=emb[settings.neutral],
         uncond_emb=emb[settings.unconditional],
+        pooled=pooled,
+        add_time_ids=add_tids,
     )
 
     save_path = Path(config.save.path)

@@ -140,7 +140,13 @@ def make_esd_train_step(
     def tile(emb_row):  # [S, D] -> [b, S, D]
         return jnp.tile(emb_row[None], (b,) + (1,) * emb_row.ndim)
 
-    student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
+    # remat with matmul outputs saved: recomputes only cheap elementwise ops
+    # in the backward pass — bf16 params leave ~4.5GB HBM headroom on v5e
+    student_apply = (
+        jax.checkpoint(unet_apply, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        if cfg.remat_unet
+        else unet_apply
+    )
 
     def one_sample(base_params, lora_params, key, bank: PromptBank):
         k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)

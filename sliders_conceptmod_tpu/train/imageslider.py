@@ -144,12 +144,25 @@ def make_image_slider_step(
     neutral_emb: jnp.ndarray,
     uncond_emb: jnp.ndarray,
     merge_fn=None,
+    pooled: Optional[dict] = None,  # XL: {"positive","neutral","uncond"} [Dp]
+    add_time_ids: Optional[jnp.ndarray] = None,  # XL [1, 6]
 ):
+    """SD1 path when ``pooled`` is None; XL variant (reference
+    train_lora-scale-xl.py, 512px + text_time conditioning) otherwise."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
+    is_xl = pooled is not None
 
     def cfg_rows(cond):  # guidance 1 still runs the CFG pair (reference :254-278)
         return jnp.stack([uncond_emb, cond], axis=0)
+
+    def xl_kwargs(pool_cond):
+        if not is_xl:
+            return None
+        return {
+            "text_embeds": jnp.stack([pooled["uncond"], pool_cond], axis=0),
+            "time_ids": jnp.tile(add_time_ids, (2, 1)),
+        }
 
     @jax.jit
     def step(base_params, lora_params, opt_state, key, bank: ImageBank):
@@ -183,18 +196,25 @@ def make_image_slider_step(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
         )
 
-        def predict(params, latents, rows):
+        def predict(params, latents, rows, added):
             doubled = jnp.concatenate([latents] * 2, axis=0)
             scaled = scheduler.scale_model_input_train_t(schedule, doubled, current_t)
-            eps = student_apply(params, scaled, current_t, rows)
+            if added is None:
+                eps = student_apply(params, scaled, current_t, rows)
+            else:
+                eps = student_apply(params, scaled, current_t, rows, added_cond_kwargs=added)
             unc, cond = jnp.split(eps, 2, axis=0)
             return unc + 1.0 * (cond - unc)
 
         def loss_fn(lp):
             p_plus = merge(base_params, sites, lp, scale)
             p_minus = merge(base_params, sites, lp, -scale)
-            eps_high = predict(p_plus, noisy_high, cfg_rows(positive_emb))
-            eps_low = predict(p_minus, noisy_low, cfg_rows(neutral_emb))
+            eps_high = predict(
+                p_plus, noisy_high, cfg_rows(positive_emb), xl_kwargs(pooled["positive"]) if is_xl else None
+            )
+            eps_low = predict(
+                p_minus, noisy_low, cfg_rows(neutral_emb), xl_kwargs(pooled["neutral"]) if is_xl else None
+            )
             l_high = jnp.mean((eps_high.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
             l_low = jnp.mean((eps_low.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
             return l_high + l_low, (l_high, l_low)
