@@ -116,6 +116,7 @@ class ESDConfig:
     height: int = 512
     width: int = 512
     samples_per_step: int = 1
+    shard_samples: bool = False  # constrain the sample axis to the mesh 'data' axis
     num_train_timesteps: int = 1000
     remat_unet: bool = True  # jax.checkpoint the student UNet call
 
@@ -266,12 +267,23 @@ def make_esd_train_step(
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         else:
             keys = jax.random.split(key, cfg.samples_per_step)
+            if cfg.shard_samples:
+                # pin the independent samples to the mesh data axis so XLA
+                # partitions the vmapped UNet work per chip and inserts the
+                # gradient all-reduce (SURVEY §2.2 DP plan)
+                from jax.sharding import PartitionSpec as P
+
+                keys = jax.lax.with_sharding_constraint(keys, P("data"))
 
             def per_sample_loss(lp, k):
                 return one_sample(base_params, lp, k, bank)(lp)
 
             def mean_loss(lp):
                 losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)
+                if cfg.shard_samples:
+                    from jax.sharding import PartitionSpec as P
+
+                    losses = jax.lax.with_sharding_constraint(losses, P("data"))
                 return jnp.mean(losses)
 
             loss, grads = jax.value_and_grad(mean_loss)(lora_params)
