@@ -197,6 +197,19 @@ def train(
     if config.tpu.profile_dir:
         jax.profiler.start_trace(config.tpu.profile_dir)
 
+    # observability: optional wandb (reference train_lora_xl.py:59-60,343-346)
+    # + always-on metrics jsonl next to the checkpoints
+    wandb_run = None
+    if config.logging.use_wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=f"LECO_{config.save.name}", config=metadata)
+        except Exception as e:  # wandb not installed / offline
+            print(f"wandb disabled: {e}")
+    save_path.mkdir(parents=True, exist_ok=True)
+    metrics_file = open(save_path / f"{config.save.name}_metrics.jsonl", "a")
+
     # --- loop -------------------------------------------------------------
     losses: List[float] = []
     t_start = None
@@ -210,6 +223,9 @@ def train(
         losses.append(loss)
         if config.logging.verbose:
             print(f"step {i} loss*1k {loss*1000:.4f}")
+        metrics_file.write(json.dumps({"step": i, "loss": loss, "grad_norm": float(metrics["grad_norm"])}) + "\n")
+        if wandb_run is not None:
+            wandb_run.log({"loss": loss, "iteration": i})
         if (
             save_file
             and config.save.per_steps
@@ -240,6 +256,10 @@ def train(
 
     if config.tpu.profile_dir:
         jax.profiler.stop_trace()
+    metrics_file.write(json.dumps({"steps_per_sec": sps}) + "\n")
+    metrics_file.close()
+    if wandb_run is not None:
+        wandb_run.finish()
 
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
