@@ -1,0 +1,212 @@
+"""Single-file SD checkpoint (LDM layout) → flax param trees.
+
+Parity target: the reference loads both HF-hub repos and single-file
+``.ckpt``/``.safetensors`` checkpoints (``model_util.py:37-109``, via
+diffusers' ``download_from_original_stable_diffusion_ckpt``). This module is
+the from-scratch LDM→diffusers key mapping for SD1.x/2.x: UNet
+(``model.diffusion_model.``), VAE (``first_stage_model.``) and CLIP
+(``cond_stage_model.transformer.``), composed with io/torch_convert.py's
+layout rules to produce flax trees directly.
+
+Layout notes:
+* LDM UNet input/output blocks flatten to (block, layer) by //3 and %3;
+  downsamplers sit at input_blocks {3,6,9}, upsamplers inside output block
+  slots (the last module of output_blocks {2,5,8}),
+* LDM VAE attention q/k/v/proj_out are 1×1 convs — squeezed to the Linear
+  layout diffusers (and models/vae.py) use; decoder ``up.{i}`` indices are
+  REVERSED relative to diffusers ``up_blocks``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from sliders_conceptmod_tpu.io.torch_convert import (
+    _assign,
+    convert_clip_text_state_dict,
+    torch_entry_to_flax,
+)
+
+UNET_PREFIX = "model.diffusion_model."
+VAE_PREFIX = "first_stage_model."
+CLIP_PREFIX = "cond_stage_model.transformer."
+
+_RESNET_RENAMES = {
+    "in_layers.0": "norm1",
+    "in_layers.2": "conv1",
+    "emb_layers.1": "time_emb_proj",
+    "out_layers.0": "norm2",
+    "out_layers.3": "conv2",
+    "skip_connection": "conv_shortcut",
+}
+
+
+def _rename_unet_key(key: str) -> str:
+    """LDM diffusion_model key → diffusers UNet key (without prefix)."""
+    parts = key.split(".")
+
+    if parts[0] == "time_embed":
+        idx = {"0": "linear_1", "2": "linear_2"}[parts[1]]
+        return ".".join(["time_embedding", idx] + parts[2:])
+    if parts[0] == "out":
+        mod = {"0": "conv_norm_out", "2": "conv_out"}[parts[1]]
+        return ".".join([mod] + parts[2:])
+
+    if parts[0] == "input_blocks":
+        i = int(parts[1])
+        if i == 0:
+            return ".".join(["conv_in"] + parts[3:])
+        block, layer = (i - 1) // 3, (i - 1) % 3
+        if layer == 2:  # downsample slot
+            return ".".join(
+                [f"down_blocks.{block}", "downsamplers.0.conv"] + parts[4:]
+            )
+        sub = parts[2]
+        rest = parts[3:]
+        if sub == "0":  # resnet
+            return ".".join(
+                [f"down_blocks.{block}.resnets.{layer}", _resnet_tail(rest)]
+            )
+        return ".".join([f"down_blocks.{block}.attentions.{layer}"] + _attn_tail(rest))
+
+    if parts[0] == "middle_block":
+        sub = parts[1]
+        rest = parts[2:]
+        if sub == "0":
+            return ".".join(["mid_block.resnets.0", _resnet_tail(rest)])
+        if sub == "1":
+            return ".".join(["mid_block.attentions.0"] + _attn_tail(rest))
+        return ".".join(["mid_block.resnets.1", _resnet_tail(rest)])
+
+    if parts[0] == "output_blocks":
+        i = int(parts[1])
+        block, layer = i // 3, i % 3
+        sub = parts[2]
+        rest = parts[3:]
+        if sub == "0":
+            return ".".join([f"up_blocks.{block}.resnets.{layer}", _resnet_tail(rest)])
+        # sub >= 1: attention OR upsampler conv
+        if rest and rest[0] == "conv":  # upsampler (SD1 uses .conv directly)
+            return ".".join([f"up_blocks.{block}.upsamplers.0.conv"] + rest[1:])
+        return ".".join([f"up_blocks.{block}.attentions.{layer}"] + _attn_tail(rest))
+
+    raise ValueError(f"Unmapped LDM UNet key: {key}")
+
+
+def _resnet_tail(rest) -> str:
+    joined = ".".join(rest[:-1])
+    leaf = rest[-1]
+    return _RESNET_RENAMES.get(joined, joined) + "." + leaf
+
+
+def _attn_tail(rest) -> list:
+    # LDM SpatialTransformer keys already match diffusers Transformer2D
+    # naming (norm, proj_in, transformer_blocks.N.attn1.to_q ...)
+    return rest
+
+
+_VAE_MID_ATTN = {
+    "q": "to_q",
+    "k": "to_k",
+    "v": "to_v",
+    "proj_out": "to_out.0",
+    "norm": "group_norm",
+}
+
+
+def _rename_vae_key(key: str, num_up_blocks: int = 4) -> Tuple[str, bool]:
+    """LDM first_stage_model key → diffusers VAE key (without prefix).
+    Returns (key, squeeze_attn_conv)."""
+    parts = key.split(".")
+    squeeze = False
+
+    def resnet_tail(rest):
+        joined = ".".join(rest[:-1])
+        renames = {"nin_shortcut": "conv_shortcut"}
+        return renames.get(joined, joined) + "." + rest[-1]
+
+    if parts[0] in ("encoder", "decoder"):
+        side = parts[0]
+        body = parts[1:]
+        if body[0] == "conv_in" or body[0] == "conv_out":
+            return ".".join([side] + body), False
+        if body[0] == "norm_out":
+            return ".".join([side, "conv_norm_out"] + body[1:]), False
+        if body[0] == "mid":
+            sub = body[1]
+            if sub == "block_1":
+                return ".".join([side, "mid_block.resnets.0", resnet_tail(body[2:])]), False
+            if sub == "block_2":
+                return ".".join([side, "mid_block.resnets.1", resnet_tail(body[2:])]), False
+            if sub == "attn_1":
+                mod = _VAE_MID_ATTN[body[2]]
+                squeeze = body[2] != "norm"
+                return ".".join([side, "mid_block.attentions.0", mod] + body[3:]), squeeze
+        if body[0] == "down":
+            i = int(body[1])
+            if body[2] == "block":
+                return (
+                    ".".join([side, f"down_blocks.{i}.resnets.{body[3]}", resnet_tail(body[4:])]),
+                    False,
+                )
+            if body[2] == "downsample":
+                return ".".join([side, f"down_blocks.{i}.downsamplers.0"] + body[3:]), False
+        if body[0] == "up":
+            i = int(body[1])
+            rev = num_up_blocks - 1 - i  # LDM decoder up indices are reversed
+            if body[2] == "block":
+                return (
+                    ".".join([side, f"up_blocks.{rev}.resnets.{body[3]}", resnet_tail(body[4:])]),
+                    False,
+                )
+            if body[2] == "upsample":
+                return ".".join([side, f"up_blocks.{rev}.upsamplers.0"] + body[3:]), False
+    if parts[0] in ("quant_conv", "post_quant_conv"):
+        return key, False
+    raise ValueError(f"Unmapped LDM VAE key: {key}")
+
+
+def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """Split + convert a full LDM state dict → {"unet", "vae", "text_encoder"}
+    flax trees (SD1.x; SD2 works for the UNet/VAE, its OpenCLIP text tower
+    uses a different key layout and is not mapped here)."""
+    unet_tree: Dict = {}
+    vae_tree: Dict = {}
+    clip_sd: Dict[str, np.ndarray] = {}
+
+    for key, value in sd.items():
+        value = np.asarray(value)
+        if key.startswith(UNET_PREFIX):
+            mapped = _rename_unet_key(key[len(UNET_PREFIX):])
+            entry = torch_entry_to_flax(mapped, value)
+            if entry:
+                _assign(unet_tree, entry[0], entry[1])
+        elif key.startswith(VAE_PREFIX):
+            mapped, squeeze = _rename_vae_key(key[len(VAE_PREFIX):])
+            if squeeze and value.ndim == 4:  # 1x1 conv -> Linear
+                value = value[:, :, 0, 0]
+            entry = torch_entry_to_flax(mapped, value)
+            if entry:
+                _assign(vae_tree, entry[0], entry[1])
+        elif key.startswith(CLIP_PREFIX):
+            clip_sd[key[len(CLIP_PREFIX):]] = value
+
+    out = {"unet": unet_tree, "vae": vae_tree}
+    if clip_sd:
+        out["text_encoder"] = convert_clip_text_state_dict(clip_sd)
+    return out
+
+
+def load_ldm_checkpoint(path: str) -> Dict[str, Dict]:
+    if str(path).endswith(".safetensors"):
+        from sliders_conceptmod_tpu.io.native import load_safetensors_native
+
+        sd = load_safetensors_native(path)
+    else:
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.float().numpy() for k, v in data.get("state_dict", data).items()}
+    return convert_ldm_checkpoint(sd)

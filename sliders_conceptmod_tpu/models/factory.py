@@ -207,7 +207,39 @@ def load_models(
     with_vae: bool = False,
 ):
     """SD1/2 — reference model_util.py:112-137 (imagesliders variant returns
-    the VAE too, trainscripts/imagesliders/model_util.py:75,108-133)."""
+    the VAE too, trainscripts/imagesliders/model_util.py:75,108-133).
+    Single-file .ckpt/.safetensors checkpoints (LDM layout) load via
+    io/ldm_convert, matching model_util.py:37-109."""
+    if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
+        from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
+
+        trees = load_ldm_checkpoint(str(name_or_path))
+        clip_cfg = CLIPTextConfig.sd2_te() if v2 else CLIPTextConfig.sd15_te()
+        unet_cfg = UNetConfig.sd21() if v2 else UNetConfig.sd15()
+        tok = load_tokenizer("", component="tokenizer")
+        te = TextEncoderBundle(
+            CLIPTextEncoder(clip_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees.get("text_encoder", {}), dtype=weight_dtype),
+            tok,
+        )
+        unet = UNetBundle(
+            UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
+            unet_cfg,
+        )
+        scheduler = create_noise_scheduler(
+            scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
+        )
+        if with_vae:
+            vae_cfg = VAEConfig.sd()
+            vae = VAEBundle(
+                AutoencoderKL(vae_cfg, dtype=weight_dtype),
+                tc.tree_to_jax(trees["vae"], dtype=weight_dtype),
+                vae_cfg,
+            )
+            return tok, te, vae, unet, scheduler
+        return tok, te, unet, scheduler
+
     family = _family_from_path(name_or_path, v2)
     if family == "sdxl":
         raise ValueError("Use load_models_xl for SDXL checkpoints")
