@@ -119,7 +119,7 @@ def predict_noise(
     scheduler: NoiseScheduler,
     schedule: Schedule,
     latents: jnp.ndarray,  # [B, C, H, W]
-    text_embeddings: jnp.ndarray,  # [2B, S, D] — uncond ++ cond
+    text_embeddings: jnp.ndarray,  # [2B, S, D] uncond ++ cond, or [B] cond-only
     *,
     step_index=None,  # schedule-index timestep (sampler loops)
     train_t=None,  # raw train timestep (teacher/student branches)
@@ -127,14 +127,24 @@ def predict_noise(
     added_cond_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
     """One CFG-guided ε-prediction — reference predict_noise{,_xl}
-    (train_util.py:276-302,449-489). Exactly one of step_index/train_t."""
-    doubled = jnp.concatenate([latents] * 2, axis=0)
+    (train_util.py:276-302,449-489). Exactly one of step_index/train_t.
+
+    When ``text_embeddings`` has the same batch as ``latents`` the call is
+    cond-only (the g==1 fast path: u + 1·(c−u) ≡ c) — no doubling, no
+    combine; identical math, half the UNet rows.
+    """
+    use_cfg = text_embeddings.shape[0] != latents.shape[0]
+    model_in = jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
     if step_index is not None:
-        scaled = scheduler.scale_model_input(schedule, doubled, step_index)
+        scaled = scheduler.scale_model_input(schedule, model_in, step_index)
         timestep = schedule.timesteps[step_index]
     else:
-        scaled = scheduler.scale_model_input_train_t(schedule, doubled, train_t)
+        scaled = scheduler.scale_model_input_train_t(schedule, model_in, train_t)
         timestep = train_t
+    if not use_cfg:
+        return unet_apply(
+            unet_params, scaled, timestep, text_embeddings, added_cond_kwargs=added_cond_kwargs
+        )
     return _cfg_call(
         unet_apply, unet_params, scaled, timestep, text_embeddings, guidance_scale, added_cond_kwargs
     )

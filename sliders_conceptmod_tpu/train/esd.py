@@ -137,6 +137,12 @@ def make_esd_train_step(
     is_xl = add_time_ids is not None
     b = cfg.batch_size
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    # CFG with guidance exactly 1.0 reduces to the conditional prediction:
+    # u + 1·(c − u) = c. The reference still evaluates the uncond rows
+    # (train_lora_xl.py:230,258 with config cfg=1.0 default) — skipping them
+    # statically removes ~45%% of the UNet FLOPs per step with bit-identical
+    # math. Any other guidance value keeps the full CFG batches.
+    use_cfg = float(cfg.train_cfg_scale) != 1.0
 
     def tile(emb_row):  # [S, D] -> [b, S, D]
         return jnp.tile(emb_row[None], (b,) + (1,) * emb_row.ndim)
@@ -162,12 +168,19 @@ def make_esd_train_step(
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
 
-        def cfg_rows(role):  # [2b, S, D]: uncond rows then cond rows
+        def cfg_rows(role):  # [2b, S, D] (uncond ++ cond), or [b] cond-only
+            if not use_cfg:
+                return tile(text[role])
             return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
 
         def xl_kwargs(role):
             if not is_xl:
                 return None
+            if not use_cfg:
+                return {
+                    "text_embeds": tile(pooled[role]),
+                    "time_ids": jnp.tile(add_time_ids, (b, 1)),
+                }
             return {
                 "text_embeds": jnp.concatenate(
                     [tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0
@@ -197,40 +210,31 @@ def make_esd_train_step(
         )
 
         # --- (3) teacher branches, slider OFF, one batched call ------------
-        # rows: [uncond, positive, neutral, negative], each tiled to b
-        teacher_rows = jnp.concatenate(
-            [
-                tile(text[ROLE_UNCOND]),
-                tile(text[ROLE_POSITIVE]),
-                tile(text[ROLE_NEUTRAL]),
-                tile(text[ROLE_NEGATIVE]),
-            ],
-            axis=0,
-        )
-        teacher_latents = jnp.concatenate([denoised] * 4, axis=0)
+        # rows: [pos, neu, neg] (+ a shared uncond row when CFG is active)
+        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+        if use_cfg:
+            roles = (ROLE_UNCOND,) + roles
+        n_rows = len(roles)
+        teacher_rows = jnp.concatenate([tile(text[r]) for r in roles], axis=0)
+        teacher_latents = jnp.concatenate([denoised] * n_rows, axis=0)
         scaled = scheduler.scale_model_input_train_t(schedule, teacher_latents, current_t)
         teacher_kwargs = None
         if is_xl:
             teacher_kwargs = {
-                "text_embeds": jnp.concatenate(
-                    [
-                        tile(pooled[ROLE_UNCOND]),
-                        tile(pooled[ROLE_POSITIVE]),
-                        tile(pooled[ROLE_NEUTRAL]),
-                        tile(pooled[ROLE_NEGATIVE]),
-                    ],
-                    axis=0,
-                ),
-                "time_ids": jnp.tile(add_time_ids, (4 * b, 1)),
+                "text_embeds": jnp.concatenate([tile(pooled[r]) for r in roles], axis=0),
+                "time_ids": jnp.tile(add_time_ids, (n_rows * b, 1)),
             }
         teacher_eps = unet_apply(
             base_params, scaled, current_t, teacher_rows, added_cond_kwargs=teacher_kwargs
         )
-        e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
         gs = cfg.train_cfg_scale
-        pos_lat = e_u + gs * (e_pos - e_u)
-        neu_lat = e_u + gs * (e_neu - e_u)
-        neg_lat = e_u + gs * (e_neg - e_u)
+        if use_cfg:
+            e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
+            pos_lat = e_u + gs * (e_pos - e_u)
+            neu_lat = e_u + gs * (e_neu - e_u)
+            neg_lat = e_u + gs * (e_neg - e_u)
+        else:
+            pos_lat, neu_lat, neg_lat = jnp.split(teacher_eps, 3, axis=0)
 
         # --- (4)+(5) student + loss ----------------------------------------
         # ESD target: neutral ∓ g·(positive − negative) (prompt_util.py:134-161)
