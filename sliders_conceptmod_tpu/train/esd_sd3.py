@@ -66,12 +66,18 @@ def make_sd3_esd_train_step(
     student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
     b = cfg.batch_size
     gs = cfg.train_cfg_scale
+    # g==1 fast path: u + 1·(c−u) ≡ c — skip the uncond rows (see train/esd.py)
+    use_cfg = float(gs) != 1.0
 
     def tile(row):
         return jnp.tile(row[None], (b,) + (1,) * row.ndim)
 
     def cfg_step(apply_fn, params, latents, rows, pooled_rows, step_index):
         """CFG velocity + flow step from ``step_index`` — predict_noise_sd3."""
+        if not use_cfg:
+            t = jnp.broadcast_to(schedule.timesteps[step_index], (b,))
+            guided = apply_fn(params, latents, t, rows, pooled_rows)
+            return FlowMatchScheduler.step(schedule, guided, step_index, latents)
         doubled = jnp.concatenate([latents] * 2, axis=0)
         t = jnp.broadcast_to(schedule.timesteps[step_index], (2 * b,))
         v = apply_fn(params, doubled, t, rows, pooled_rows)
@@ -92,9 +98,13 @@ def make_sd3_esd_train_step(
         sign = bank.sign[pair]
 
         def rows(role):
+            if not use_cfg:
+                return tile(text[role])
             return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
 
         def prows(role):
+            if not use_cfg:
+                return tile(pooled[role])
             return jnp.concatenate([tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0)
 
         latents0 = jax.random.normal(
@@ -113,25 +123,30 @@ def make_sd3_esd_train_step(
             jax.lax.fori_loop(0, timesteps_to, body, latents0)
         )
 
-        # teacher: one batched 4-row call at step index timesteps_to
+        # teacher: one batched call at step index timesteps_to
         t_idx = timesteps_to
-        teacher_rows = jnp.concatenate(
-            [tile(text[r]) for r in (ROLE_UNCOND, ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
-        )
-        teacher_pooled = jnp.concatenate(
-            [tile(pooled[r]) for r in (ROLE_UNCOND, ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
-        )
-        t_vec = jnp.broadcast_to(schedule.timesteps[t_idx], (4 * b,))
+        troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+        if use_cfg:
+            troles = (ROLE_UNCOND,) + troles
+        n_rows = len(troles)
+        teacher_rows = jnp.concatenate([tile(text[r]) for r in troles], axis=0)
+        teacher_pooled = jnp.concatenate([tile(pooled[r]) for r in troles], axis=0)
+        t_vec = jnp.broadcast_to(schedule.timesteps[t_idx], (n_rows * b,))
         v_all = transformer_apply(
-            base_params, jnp.concatenate([denoised] * 4, axis=0), t_vec, teacher_rows, teacher_pooled
+            base_params, jnp.concatenate([denoised] * n_rows, axis=0), t_vec, teacher_rows, teacher_pooled
         )
-        v_u, v_p, v_n, v_neg = jnp.split(v_all, 4, axis=0)
+        if use_cfg:
+            v_u, v_p, v_n, v_neg = jnp.split(v_all, 4, axis=0)
 
-        def stepped(v_c):
-            guided = v_u + gs * (v_c - v_u)
-            return FlowMatchScheduler.step(schedule, guided, t_idx, denoised)
+            def stepped(v_c):
+                guided = v_u + gs * (v_c - v_u)
+                return FlowMatchScheduler.step(schedule, guided, t_idx, denoised)
 
-        pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
+            pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
+        else:
+            v_p, v_n, v_neg = jnp.split(v_all, 3, axis=0)
+            stepped = lambda v: FlowMatchScheduler.step(schedule, v, t_idx, denoised)
+            pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
         esd_target = jax.lax.stop_gradient(
             (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
         )

@@ -153,15 +153,17 @@ def make_image_slider_step(
     student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
     is_xl = pooled is not None
 
-    def cfg_rows(cond):  # guidance 1 still runs the CFG pair (reference :254-278)
-        return jnp.stack([uncond_emb, cond], axis=0)
+    # the reference runs the CFG pair at guidance 1 (train_lora-scale.py:254-278)
+    # — u + 1·(c−u) ≡ c, so only the conditional row is evaluated here
+    def cfg_rows(cond):
+        return cond[None]
 
     def xl_kwargs(pool_cond):
         if not is_xl:
             return None
         return {
-            "text_embeds": jnp.stack([pooled["uncond"], pool_cond], axis=0),
-            "time_ids": jnp.tile(add_time_ids, (2, 1)),
+            "text_embeds": pool_cond[None],
+            "time_ids": add_time_ids,
         }
 
     @jax.jit
@@ -197,14 +199,10 @@ def make_image_slider_step(
         )
 
         def predict(params, latents, rows, added):
-            doubled = jnp.concatenate([latents] * 2, axis=0)
-            scaled = scheduler.scale_model_input_train_t(schedule, doubled, current_t)
+            scaled = scheduler.scale_model_input_train_t(schedule, latents, current_t)
             if added is None:
-                eps = student_apply(params, scaled, current_t, rows)
-            else:
-                eps = student_apply(params, scaled, current_t, rows, added_cond_kwargs=added)
-            unc, cond = jnp.split(eps, 2, axis=0)
-            return unc + 1.0 * (cond - unc)
+                return student_apply(params, scaled, current_t, rows)
+            return student_apply(params, scaled, current_t, rows, added_cond_kwargs=added)
 
         def loss_fn(lp):
             p_plus = merge(base_params, sites, lp, scale)
