@@ -13,12 +13,15 @@ flattened-spatial sequences.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 _FLASH_MIN_SEQ = 256  # below this, plain XLA attention is faster than a kernel launch
+# benchmark/A-B switch: SLIDERS_DISABLE_FLASH=1 forces the XLA path
+_FLASH_DISABLED = os.environ.get("SLIDERS_DISABLE_FLASH") == "1"
 
 
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -46,7 +49,7 @@ def dot_product_attention(
     q_seq = q.shape[1]
     kv_seq = k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
-    if use_flash and on_tpu and q_seq >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
+    if use_flash and not _FLASH_DISABLED and on_tpu and q_seq >= _FLASH_MIN_SEQ and q.shape[-1] % 64 == 0:
         from sliders_conceptmod_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
