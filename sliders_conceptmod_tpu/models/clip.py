@@ -173,9 +173,16 @@ class CLIPTextEncoder(nn.Module):
 
         last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm", dtype=self.dtype)(x)
 
-        # pooled = final-LN hidden state at the EOS position (first occurrence
-        # of eos_token_id; HF CLIPTextModel semantics for modern configs)
-        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=1)
+        # pooled = final-LN hidden state at the EOS position. HF quirk
+        # (CLIPTextModel.forward): configs with eos_token_id == 2 (all the
+        # shipped OpenAI/SD configs) take argmax over raw token ids — the
+        # "legacy" path; since the real vocab's eos (49407) is the max id and
+        # also the pad token, argmax-first-occurrence lands on the same
+        # position as first-eos. Other configs match on the eos id directly.
+        if cfg.eos_token_id == 2:
+            eos_pos = jnp.argmax(input_ids, axis=1)
+        else:
+            eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=1)
         pooled = jnp.take_along_axis(last, eos_pos[:, None, None], axis=1)[:, 0]
 
         projected = None
