@@ -19,7 +19,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_FLASH_MIN_SEQ = 256  # below this, plain XLA attention is faster than a kernel launch
+# Measured on v5e (SDXL ESD train step, BASELINE.md): at 512px-training
+# sequence lengths (1024/256 tokens) XLA's fused attention beats the Pallas
+# kernel — 5.35 vs 4.35 steps/s end-to-end — because the O(S²) logits still
+# fit comfortably on-chip and the kernel adds launch/layout overhead. Flash
+# pays off once the logits get HBM-bound (≥2048 tokens: 1024px SDXL latents,
+# SD3/Flux joint sequences, VAE decode attention at 1024px).
+_FLASH_MIN_SEQ = 2048
 # benchmark/A-B switch: SLIDERS_DISABLE_FLASH=1 forces the XLA path
 _FLASH_DISABLED = os.environ.get("SLIDERS_DISABLE_FLASH") == "1"
 
