@@ -28,7 +28,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.infer.generate import (

@@ -15,7 +15,6 @@ import math
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.core import config as config_util

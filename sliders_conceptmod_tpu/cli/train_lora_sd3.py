@@ -13,7 +13,6 @@ import argparse
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.core import config as config_util

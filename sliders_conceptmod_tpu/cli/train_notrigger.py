@@ -18,7 +18,6 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.core import config as config_util

@@ -18,7 +18,7 @@ two-phase machinery (helper below).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,13 +17,13 @@ no duplicate param trees beyond the single merged copy.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sliders_conceptmod_tpu.diffusion.sampling import predict_noise, rescale_noise_cfg
+from sliders_conceptmod_tpu.diffusion.sampling import rescale_noise_cfg
 from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, Schedule
 
 

@@ -24,13 +24,13 @@ from infer/generate.py with per-step uncond embeddings.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, Schedule
+from sliders_conceptmod_tpu.diffusion.schedulers import Schedule
 
 NUM_DDIM_STEPS = 50
 GUIDANCE_SCALE = 7.5

@@ -14,8 +14,6 @@ tower, no causal mask), post-LN on the class token, linear projection.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

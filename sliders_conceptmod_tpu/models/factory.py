@@ -12,9 +12,10 @@ Parity targets:
 
 Loading modes:
 * a local diffusers-format directory → real weights via io/torch_convert,
+* a single-file .ckpt/.safetensors checkpoint (LDM layout) → io/ldm_convert,
 * anything else → random-init at the true architecture ("weightless mode",
-  for benchmarks/tests in this zero-egress environment). HF-hub download and
-  single-file .ckpt loading are deliberately not implemented here.
+  for benchmarks/tests in this zero-egress environment). HF-hub downloads
+  are deliberately not implemented (zero egress).
 
 TPU note: ``encode_prompts*`` are jitted over token ids; all five prompts of
 a slider pair batch through the encoder in one call at train start, then the
@@ -25,14 +26,13 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler, create_noise_scheduler
+from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
 from sliders_conceptmod_tpu.io import torch_convert as tc
 from sliders_conceptmod_tpu.models.clip import (
     CLIPTextConfig,

@@ -17,7 +17,7 @@ Weights: zero-egress environment — load from local files via
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,7 @@ Two implementations behind one callable interface
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

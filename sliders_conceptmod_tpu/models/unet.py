@@ -30,8 +30,8 @@ preserved: SD1.5's ``attention_head_dim=8`` → 8 heads; SDXL's ``[5,10,20]``
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -39,11 +39,16 @@ import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.ops.attention import dot_product_attention
 
-# trace-time switch for attention-map capture (ptp-style controllers); use
-# the context manager so a single model definition serves both modes:
+# trace-time switches for ptp-style attention controllers (the reference
+# monkey-patches CrossAttention.forward to expose/modify maps,
+# ptp_utils.py:173-240,243-295); context managers keep one model definition
+# serving all modes:
 #   with capture_attention_maps():
 #       out, inter = model.apply(vars, ..., mutable=["intermediates"])
+#   with reweight_cross_attention(token_weights):   # [S_text] scales
+#       out = model.apply(vars, ...)
 _CAPTURE_ATTENTION = [False]
+_CROSS_ATTN_WEIGHTS = [None]
 
 
 class capture_attention_maps:
@@ -52,6 +57,22 @@ class capture_attention_maps:
 
     def __exit__(self, *a):
         _CAPTURE_ATTENTION[0] = False
+
+
+class reweight_cross_attention:
+    """Scale cross-attention probabilities per text token — the functional
+    equivalent of prompt-to-prompt attention reweighting (the reference's
+    alpha-schedule helpers, ptp_utils.py:243-295). ``weights`` is a [S_text]
+    vector; probabilities are multiplied column-wise and renormalized."""
+
+    def __init__(self, weights):
+        self.weights = weights
+
+    def __enter__(self):
+        _CROSS_ATTN_WEIGHTS[0] = self.weights
+
+    def __exit__(self, *a):
+        _CROSS_ATTN_WEIGHTS[0] = None
 
 
 @dataclass(frozen=True)
@@ -258,12 +279,19 @@ class Attention(nn.Module):
         q = q.reshape(B, S, self.heads, head_dim)
         k = k.reshape(B, Skv, self.heads, head_dim)
         v = v.reshape(B, Skv, self.heads, head_dim)
-        if self.capture_maps or _CAPTURE_ATTENTION[0]:
+        is_cross = self.cross_attention_dim is not None
+        reweight = _CROSS_ATTN_WEIGHTS[0] if is_cross else None
+        if self.capture_maps or _CAPTURE_ATTENTION[0] or reweight is not None:
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk", q * (head_dim**-0.5), k
             ).astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
-            self.sow("intermediates", "attn_probs", probs)
+            if reweight is not None:
+                w = jnp.asarray(reweight, jnp.float32).reshape(1, 1, 1, -1)
+                probs = probs * w
+                probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+            if self.capture_maps or _CAPTURE_ATTENTION[0]:
+                self.sow("intermediates", "attn_probs", probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
         else:
             out = dot_product_attention(q, k, v)

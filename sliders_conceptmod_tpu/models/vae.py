@@ -19,7 +19,7 @@ tokens — flash-attention eligible on TPU.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

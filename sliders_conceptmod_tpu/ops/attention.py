@@ -12,7 +12,6 @@ flattened-spatial sequences.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

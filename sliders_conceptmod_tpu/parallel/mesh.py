@@ -18,8 +18,6 @@ code path is identical from laptop CPU to a v5e pod slice.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

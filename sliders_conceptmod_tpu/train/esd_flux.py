@@ -40,7 +40,6 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_NEUTRAL,
     ROLE_POSITIVE,
     ROLE_TARGET,
-    ROLE_UNCOND,
     PromptBank,
 )
 

@@ -18,7 +18,6 @@ DAdapt/Prodigy are not shipped in this environment; requesting them raises.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

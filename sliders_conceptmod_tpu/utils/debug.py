@@ -10,7 +10,6 @@ a documented no-op.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def check_trainable(lora_params, max_entries: int = 5) -> None:
