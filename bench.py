@@ -43,6 +43,7 @@ def main():
 
     model_kind = os.environ.get("BENCH_MODEL", "sdxl")
     n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    samples = int(os.environ.get("BENCH_SAMPLES", "1"))  # DP samples per step
     res = int(os.environ.get("BENCH_RES", "512"))
     max_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "12"))
     dtype = jnp.bfloat16
@@ -98,6 +99,7 @@ def main():
         batch_size=1,
         height=res,
         width=res,
+        samples_per_step=samples,
         remat_unet=True,
     )
     opt = get_optimizer(
@@ -129,10 +131,13 @@ def main():
     elapsed = time.time() - t0
 
     sps = n_steps / elapsed
+    metric = "sdxl_esd_train_steps_per_sec"
+    if samples > 1:
+        metric = f"sdxl_esd_train_steps_per_sec_x{samples}samples"
     print(
         json.dumps(
             {
-                "metric": "sdxl_esd_train_steps_per_sec",
+                "metric": metric,
                 "value": round(sps, 4),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
