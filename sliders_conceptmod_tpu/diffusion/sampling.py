@@ -55,6 +55,13 @@ def get_initial_latents(
     return noise * schedule.init_noise_sigma
 
 
+def apply_noise_offset(key: jax.Array, latents: jnp.ndarray, noise_offset: float) -> jnp.ndarray:
+    """Offset noise (crosslabs blog) — reference train_util.py:42-47. Present
+    in the reference's library but unused by its trainers; kept for parity."""
+    offs = jax.random.normal(key, (latents.shape[0], latents.shape[1], 1, 1), latents.dtype)
+    return latents + noise_offset * offs
+
+
 def get_add_time_ids(
     height: int,
     width: int,
