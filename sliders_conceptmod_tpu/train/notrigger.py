@@ -77,6 +77,12 @@ class NoTriggerConfig:
     lambda_similarity: float = 0.1  # λp = λn (reference :279-280)
     has_positive: bool = True
     has_negative: bool = True
+    # attribute stabilization λs = 5e-4/len(attributes) (reference :281-285).
+    # NOTE: the reference hard-resets attributes=[] (:270, SURVEY §2.4) so
+    # this path is dormant there; here it is functional when attribute
+    # embeddings are provided. Applied every step (the reference's
+    # stabilize_every periodicity is vacuous at its shipped setting).
+    lambda_stabilize: float = 0.0
 
 
 def make_notrigger_step(
@@ -91,6 +97,8 @@ def make_notrigger_step(
     distance1: Optional[jnp.ndarray],
     distance2: Optional[jnp.ndarray],
     merge_fn=None,
+    attribute_ids: Optional[jnp.ndarray] = None,  # [A, S] tokenized attributes
+    attribute_targets: Optional[jnp.ndarray] = None,  # [A, S, D] static embeds
 ):
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     λ = cfg.lambda_similarity
@@ -136,6 +144,15 @@ def make_notrigger_step(
                     similarity = similarity + λ * nreg
                 nperc = jnp.linalg.norm(neg_target - tn) / (distance2 * SPLIT) if cfg.has_positive else jnp.asarray(0.0)
                 metrics["ndist"] = jnp.linalg.norm(neg_target - tn)
+
+            if attribute_ids is not None and cfg.lambda_stabilize > 0:
+                # attribute stabilization: Σ‖enc_trainable(attr) − static‖₂
+                # at multiplier +1 (reference :327-331)
+                attr_params = merge(base_params, sites, lp, 1.0)
+                attr_embs = encode_hidden(attr_params, attribute_ids)
+                stab = jnp.sqrt(jnp.sum((attr_embs - attribute_targets) ** 2))
+                metrics["stabilize"] = stab
+                similarity = similarity + cfg.lambda_stabilize * stab
 
             if both:
                 # normalized-distance curriculum (reference :420-439; the
