@@ -152,7 +152,21 @@ def main(args):
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
     folders = [f.strip() for f in args.folders.split(",")]
     scales = [float(s) for s in args.scales.split(",")]
-    train(config, prompts, args.folder_main, folders, scales, rank=args.rank)
+    if args.stylecheck is not None:
+        # batch mode "a-b": one slider per numbered folder_main{i}
+        # (reference train_lora-scale.py:408-417)
+        import os as _os
+
+        lo, hi = (int(x) for x in args.stylecheck.split("-"))
+        base_name = config.save.name
+        for i in range(lo, hi):
+            folder_main = args.folder_main + f"{i}"
+            config.save.name = f"{_os.path.basename(folder_main)}_alpha{args.alpha}_rank{args.rank}"
+            config.save.path = f"models/{config.save.name}"
+            train(config, prompts, folder_main, folders, scales, rank=args.rank)
+        config.save.name = base_name
+    else:
+        train(config, prompts, args.folder_main, folders, scales, rank=args.rank)
 
 
 def build_parser():
@@ -164,6 +178,7 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--folder_main", type=str, required=True)
+    parser.add_argument("--stylecheck", type=str, default=None, help='"a-b" batch range')
     parser.add_argument("--folders", type=str, required=True)
     parser.add_argument("--scales", type=str, required=True)
     return parser
