@@ -1,0 +1,115 @@
+"""CLI: SD3 slider inference sweep (flow matching).
+
+Completes the reference surface for SD3-family sliders (the reference only
+ships notebook inference for SD3/Flux): sweep slider scales over a prompts
+CSV with the two-phase flow-Euler sampler, '-'-delimited LoRA checkpoints,
+start_noise expressed in continuous flow timesteps (0..1000).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_checkpoint
+from sliders_conceptmod_tpu.infer.generate_flow import (
+    flip_step_for_start_noise,
+    sample_flow_loop,
+    sd3_latents_to_images,
+)
+from sliders_conceptmod_tpu.models import factory
+
+
+def run(args):
+    rows = load_prompts_csv(args.prompts_path)
+    scales = [float(s) for s in args.scales.split(",")]
+    name = os.path.basename(args.model_name)
+    for scale in scales:
+        os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
+
+    tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
+        args.base, weight_dtype=jnp.bfloat16
+    )
+    mm_cfg = transformer.config
+    is_tiny = "tiny" in str(args.base).lower()
+
+    rank, alpha = 4, 1.0
+    exact = settings_from_checkpoint(args.model_name)
+    if exact is not None:
+        rank, alpha = exact
+    sites = lora_lib.create_sites(
+        transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
+    if not sites:
+        raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
+    lora_params = lora_lib.load_weights(args.model_name, sites)
+
+    schedule = scheduler.set_timesteps(args.steps)
+    flip = flip_step_for_start_noise(schedule, args.start_noise)
+    apply_fn = transformer.apply_fn()
+    latent_res = args.image_size // 8
+
+    vae = None
+    if os.path.isdir(os.path.join(str(args.base), "vae")):
+        vae = factory._load_or_init_vae(args.base, "sd3", jnp.float32)
+
+    for case_number, prompt, seed in rows:
+        if not (args.from_case <= case_number <= args.till_case):
+            continue
+        text, pooled = factory.encode_prompts_sd3(
+            text_encoders, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim,
+            t5_seq_len=4 if is_tiny else 256,
+        )
+        text_u, pooled_u = factory.encode_prompts_sd3(
+            text_encoders, [""], joint_attention_dim=mm_cfg.joint_attention_dim,
+            t5_seq_len=4 if is_tiny else 256,
+        )
+        emb = jnp.concatenate([text_u, text], axis=0)
+        pool = jnp.concatenate([pooled_u, pooled], axis=0)
+        for scale in scales:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(
+                key, (1, mm_cfg.in_channels, latent_res, latent_res), jnp.float32
+            )
+            merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
+            final = sample_flow_loop(
+                apply_fn, transformer.params, merged, flip, schedule,
+                latents.astype(jnp.bfloat16), emb, pool, guidance_scale=args.guidance_scale,
+            )
+            out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
+            if vae is not None:
+                from PIL import Image
+
+                img = sd3_latents_to_images(vae.decode, final)[0]
+                Image.fromarray(img).save(out_path + ".png")
+            else:  # weightless smoke: persist raw latents
+                import numpy as np
+
+                np.save(out_path + ".npy", jax.device_get(final))
+            print(f"case {case_number} scale {scale}: wrote {out_path}")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(prog="generateImagesSD3")
+    parser.add_argument("--model_name", type=str, required=True)
+    parser.add_argument("--prompts_path", type=str, required=True)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--base", type=str, default="stabilityai/stable-diffusion-3-medium")
+    parser.add_argument("--guidance_scale", type=float, default=7.0)
+    parser.add_argument("--image_size", type=int, default=512)
+    parser.add_argument("--till_case", type=int, default=1000000)
+    parser.add_argument("--from_case", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=28)
+    parser.add_argument("--start_noise", type=float, default=750)
+    parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    return parser
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

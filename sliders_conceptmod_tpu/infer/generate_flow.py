@@ -1,0 +1,78 @@
+"""Slider inference for flow-matching families (SD3 / Flux).
+
+The reference's SD3/Flux inference surface is notebook/pipeline-level only
+(SURVEY L6 lists SD1/XL generators); this module completes the framework so
+flow-matching sliders can be swept the same way: a two-phase Euler sampler
+(base params while ``t > start_noise``, slider-merged params after) mirroring
+infer/generate.py, plus the 16-channel SD3 VAE decode conventions
+(scaling_factor 1.5305, shift_factor 0.0609).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, FlowSchedule
+
+
+def flip_step_for_start_noise(schedule: FlowSchedule, start_noise: float) -> int:
+    """First step index whose (continuous) timestep is <= start_noise."""
+    ts = np.asarray(schedule.timesteps)
+    if ts[0] <= start_noise:
+        return 0
+    if not np.any(ts <= start_noise):
+        return len(ts)
+    return int(np.argmax(ts <= start_noise))
+
+
+def sample_flow_loop(
+    apply_fn: Callable,  # (params, latents, t_vec, context, pooled) -> velocity
+    params_structure,
+    params_slider,
+    flip_step: int,
+    schedule: FlowSchedule,
+    latents: jnp.ndarray,
+    text_embeddings: jnp.ndarray,  # [2B] uncond ++ cond, or [B] cond-only
+    pooled: jnp.ndarray,
+    guidance_scale: float = 7.0,
+) -> jnp.ndarray:
+    """Two-phase flow-Euler sampling with CFG (cond-only when the embedding
+    batch matches the latents batch)."""
+    n = schedule.num_inference_steps
+    b = latents.shape[0]
+    use_cfg = text_embeddings.shape[0] != b
+
+    def make_body(params):
+        def body(i, lat):
+            t = schedule.timesteps[i]
+            if use_cfg:
+                doubled = jnp.concatenate([lat] * 2, axis=0)
+                v = apply_fn(params, doubled, jnp.broadcast_to(t, (2 * b,)), text_embeddings, pooled)
+                v_u, v_c = jnp.split(v, 2, axis=0)
+                guided = v_u + guidance_scale * (v_c - v_u)
+            else:
+                guided = apply_fn(params, lat, jnp.broadcast_to(t, (b,)), text_embeddings, pooled)
+            return FlowMatchScheduler.step(schedule, guided, i, lat)
+
+        return body
+
+    lat = latents
+    if flip_step > 0:
+        lat = jax.lax.fori_loop(0, flip_step, make_body(params_structure), lat)
+    if flip_step < n:
+        lat = jax.lax.fori_loop(flip_step, n, make_body(params_slider), lat)
+    return lat
+
+
+def sd3_latents_to_images(vae_decode: Callable, latents: jnp.ndarray,
+                          scaling_factor: float = 1.5305, shift_factor: float = 0.0609) -> np.ndarray:
+    """SD3 VAE conventions: x = z / scaling + shift before decode."""
+    z = latents.astype(jnp.float32) / scaling_factor + shift_factor
+    imgs = vae_decode(z)
+    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+    imgs = jnp.transpose(imgs, (0, 2, 3, 1))
+    return np.asarray(jnp.round(imgs * 255).astype(jnp.uint8))
