@@ -1,0 +1,124 @@
+"""CLI: Flux slider inference sweep (few-step flow matching, packed tokens).
+
+Completes the Flux inference surface (the reference ships only notebook /
+pipeline inference for Flux): few-step un-guided sampling with the slider
+flipped on below ``--start_noise`` (continuous flow timestep), dynamic
+μ-shifted schedule, '-'-delimited LoRA checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_checkpoint
+from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
+from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise, sd3_latents_to_images
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
+
+
+def run(args):
+    rows = load_prompts_csv(args.prompts_path)
+    scales = [float(s) for s in args.scales.split(",")]
+    name = os.path.basename(args.model_name)
+    for scale in scales:
+        os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
+
+    tokenizers, encode_fn, transformer, scheduler = factory.load_models_flux(
+        args.base, weight_dtype=jnp.bfloat16
+    )
+    flux_cfg = transformer.config
+    is_tiny = "tiny" in str(args.base).lower()
+    vae_scale = 2 if is_tiny else 8
+    latent_channels = flux_cfg.in_channels // 4
+
+    rank, alpha = 4, 1.0
+    exact = settings_from_checkpoint(args.model_name)
+    if exact is not None:
+        rank, alpha = exact
+    sites = lora_lib.create_sites(
+        transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
+    if not sites:
+        raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
+    lora_params = lora_lib.load_weights(args.model_name, sites)
+
+    gh = args.image_size // vae_scale // 2
+    gw = args.image_size // vae_scale // 2
+    mu = calculate_shift(gh * gw)
+    schedule = scheduler.set_timesteps(args.steps, mu=mu)
+    flip = flip_step_for_start_noise(schedule, args.start_noise)
+    apply_fn = transformer.apply_fn()
+    img_ids = jnp.asarray(prepare_latent_image_ids(gh, gw))
+
+    def sample(params_a, params_b, tokens, text, pooled):
+        txt_ids = jnp.zeros((text.shape[1], 3))
+
+        def make_body(params):
+            def body(i, tok):
+                t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
+                v = apply_fn(params, tok, t, text, pooled, txt_ids, img_ids)
+                return FlowMatchScheduler.step(schedule, v, i, tok)
+
+            return body
+
+        if flip > 0:
+            tokens = jax.lax.fori_loop(0, flip, make_body(params_a), tokens)
+        if flip < schedule.num_inference_steps:
+            tokens = jax.lax.fori_loop(flip, schedule.num_inference_steps, make_body(params_b), tokens)
+        return tokens
+
+    vae = None
+    if os.path.isdir(os.path.join(str(args.base), "vae")):
+        vae = factory._load_or_init_vae(args.base, "flux", jnp.float32)
+
+    for case_number, prompt, seed in rows:
+        if not (args.from_case <= case_number <= args.till_case):
+            continue
+        text, pooled = encode_fn(prompt)
+        text, pooled = text[None], pooled[None]
+        for scale in scales:
+            key = jax.random.PRNGKey(seed)
+            latents = jax.random.normal(
+                key, (1, latent_channels, gh * 2, gw * 2), jnp.float32
+            )
+            tokens = pack_latents(latents).astype(jnp.bfloat16)
+            merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
+            final_tokens = sample(transformer.params, merged, tokens, text, pooled)
+            final = unpack_latents(final_tokens, gh * 2, gw * 2)
+            out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
+            if vae is not None:
+                from PIL import Image
+
+                img = sd3_latents_to_images(vae.decode, final)[0]
+                Image.fromarray(img).save(out_path + ".png")
+            else:
+                np.save(out_path + ".npy", jax.device_get(final))
+            print(f"case {case_number} scale {scale}: wrote {out_path}")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(prog="generateImagesFlux")
+    parser.add_argument("--model_name", type=str, required=True)
+    parser.add_argument("--prompts_path", type=str, required=True)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--base", type=str, default="black-forest-labs/FLUX.1-schnell")
+    parser.add_argument("--image_size", type=int, default=512)
+    parser.add_argument("--till_case", type=int, default=1000000)
+    parser.add_argument("--from_case", type=int, default=0)
+    parser.add_argument("--steps", type=int, default=8)
+    parser.add_argument("--start_noise", type=float, default=800)
+    parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    return parser
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

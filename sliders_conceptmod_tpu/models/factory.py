@@ -176,7 +176,12 @@ def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
         )
         model = AutoencoderKL(config, dtype=dtype)
         return VAEBundle(model, tc.tree_to_jax(tree), config)
-    config = VAEConfig.sdxl() if family == "sdxl" else VAEConfig.sd()
+    if family == "sdxl":
+        config = VAEConfig.sdxl()
+    elif family in ("sd3", "flux"):
+        config = VAEConfig.sd3()
+    else:
+        config = VAEConfig.sd()
     model = AutoencoderKL(config, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
     return VAEBundle(model, params, config)

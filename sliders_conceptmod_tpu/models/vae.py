@@ -47,6 +47,12 @@ class VAEConfig:
         return cls(scaling_factor=0.13025)
 
     @classmethod
+    def sd3(cls) -> "VAEConfig":
+        """16-channel SD3/Flux VAE (shift_factor applied by the caller —
+        infer/generate_flow.sd3_latents_to_images)."""
+        return cls(latent_channels=16, scaling_factor=1.5305)
+
+    @classmethod
     def tiny(cls) -> "VAEConfig":
         # two blocks -> 2x downsampling; latents are H/2 (not the SD H/8)
         return cls(block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=4)
