@@ -123,6 +123,62 @@ def main(args):
     train(config, prompts, rank=args.rank, peft_type=args.peft_type)
 
 
+def train_lora(
+    target,
+    positive,
+    negative,
+    unconditional,
+    alpha=1.0,
+    device=0,
+    name=None,
+    attributes=None,
+    batch_size=1,
+    config_file="data/config-xl.yaml",
+    resolution=512,
+    steps=None,
+    on_step_complete=None,
+    peft_type="lora",
+    rank=4,
+):
+    """Programmatic API — same surface as the XL trainer's train_lora
+    (reference train_lora_xl.py:421-458): writes a prompts yaml, trains,
+    returns the state dict."""
+    import os
+
+    import yaml
+
+    spec = {
+        "target": target,
+        "positive": positive,
+        "negative": negative,
+        "unconditional": unconditional,
+        "neutral": target,
+        "action": "enhance",
+        "resolution": resolution,
+        "dynamic_resolution": False,
+        "batch_size": batch_size,
+    }
+    prompts_path = os.path.join(os.path.dirname(config_file) or ".", "prompts-api.yaml")
+    with open(prompts_path, "w") as f:
+        yaml.dump([spec], f)
+    config = config_util.load_config_from_yaml(config_file)
+    config.prompts_file = prompts_path
+    if name is not None:
+        config.save.name = name
+    if steps is not None:
+        config.train.iterations = steps
+    attr_list = [a.strip() for a in attributes.split(",")] if attributes else []
+    config.network.alpha = alpha
+    config.network.rank = rank
+    config.save.name += f"_alpha{alpha}_rank{rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attr_list)
+    return train(
+        config, prompts, rank=rank, peft_type=peft_type, save_file=False,
+        on_step_complete=on_step_complete,
+    )
+
+
 def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_file", required=True)

@@ -213,6 +213,50 @@ def main(args):
     )
 
 
+def train_lora(
+    target,
+    positive,
+    negative,
+    unconditional,
+    alpha=1.0,
+    rank=4,
+    device=0,
+    name=None,
+    attributes=None,
+    batch_size=1,
+    config_file="data/config-xl.yaml",
+    resolution=512,
+    steps=None,
+    on_step_complete=None,
+    clip_index=0,
+    peft_type="lora",
+    model="SDXL",
+):
+    """Programmatic API — reference train_notrigger.py:507-545 (the prompts
+    yaml it writes is vestigial for notrigger; the trainer consumes
+    positive/negative directly)."""
+    config = config_util.load_config_from_yaml(config_file)
+    if name is not None:
+        config.save.name = name
+    if steps is not None:
+        config.train.iterations = steps
+    config.network.alpha = alpha
+    config.network.rank = rank
+    config.save.name += f"_alpha{alpha}_rank{rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    return train(
+        config,
+        positive=[positive] if isinstance(positive, str) else positive,
+        negative=negative,
+        clip_index=clip_index,
+        peft_type=peft_type,
+        rank=rank,
+        model=model,
+        save_file=False,
+        on_step_complete=on_step_complete,
+    )
+
+
 def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_file", required=True)
