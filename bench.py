@@ -100,7 +100,7 @@ def main():
         height=res,
         width=res,
         samples_per_step=samples,
-        remat_unet=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat_unet=os.environ.get("BENCH_REMAT", "1" if res > 512 else "0") == "1",
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2

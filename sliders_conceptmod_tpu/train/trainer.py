@@ -168,6 +168,9 @@ def train(
         samples_per_step=max(tpu_cfg.samples_per_step, 1)
         if hasattr(tpu_cfg, "samples_per_step")
         else 1,
+        # measured on v5e (BASELINE.md): no-remat is ~4% faster and fits HBM
+        # at <=512px; above that activation memory needs rematerialization
+        remat_unet=resolution > 512,
     )
     add_tids = jnp.asarray(get_add_time_ids(resolution, resolution, dynamic_crops)) if is_xl else None
 
