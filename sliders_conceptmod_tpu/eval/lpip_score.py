@@ -52,7 +52,9 @@ def run(args):
         edited_path = os.path.join(args.im_path, model_name)
         file_names = [n for n in os.listdir(edited_path) if ".png" in n]
         col = f"lpips_{model_name.replace('half', '0.5')}"
-        df[col] = df["case_number"] * 0
+        # the reference seeds the column with case_number*0 (int64) — modern
+        # pandas then rejects float assignment; seed as float instead
+        df[col] = df["case_number"] * 0.0
         for index, row in df.iterrows():
             case = row.case_number
             scores = []
