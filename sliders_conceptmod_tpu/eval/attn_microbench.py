@@ -35,9 +35,7 @@ def bench_fn(fn, q, k, v, iters=20):
 def main():
     heads, d = 10, 64
     results = []
-    # 16384×64 exceeds the kernel's scoped-VMEM staging limit (dispatch
-    # guard in ops/attention.py); bench up to the supported range
-    for seq in (256, 512, 1024, 2048, 4096, 8192):
+    for seq in (256, 512, 1024, 2048, 4096, 8192, 16384):
         b = max(1, 4096 // seq)  # keep total tokens comparable
         q = jax.random.normal(jax.random.PRNGKey(0), (b, seq, heads, d), jnp.bfloat16)
         t_xla = bench_fn(jax.jit(xla_attention), q, q, q)

@@ -54,18 +54,12 @@ def dot_product_attention(
     q_seq = q.shape[1]
     kv_seq = k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
-    # VMEM guard: the kernel stages full K/V per (batch,head) — beyond
-    # ~512K elements per head the double-buffered staging exceeds the 16MB
-    # scoped-VMEM limit (measured OOM at 16384x64). A k-grid kernel variant
-    # lifts this; until then XLA takes the very-long tail.
-    fits_vmem = kv_seq * q.shape[-1] <= 512 * 1024
     if (
         use_flash
         and not _FLASH_DISABLED
         and on_tpu
         and q_seq >= _FLASH_MIN_SEQ
         and q.shape[-1] % 64 == 0
-        and fits_vmem
     ):
         from sliders_conceptmod_tpu.ops.flash_attention import flash_attention
 
