@@ -44,6 +44,7 @@ def main():
     model_kind = os.environ.get("BENCH_MODEL", "sdxl")
     n_steps = int(os.environ.get("BENCH_STEPS", "8"))
     samples = int(os.environ.get("BENCH_SAMPLES", "1"))  # DP samples per step
+    batch = int(os.environ.get("BENCH_BATCH", "1"))  # per-pair batch size
     res = int(os.environ.get("BENCH_RES", "512"))
     max_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "12"))
     dtype = jnp.bfloat16
@@ -90,13 +91,13 @@ def main():
             jax.random.normal(jax.random.fold_in(k, 1), (pooled_dim,), dtype) * 0.1,
         )
 
-    settings = [PromptSettings(target="person", positive="old person", resolution=res)]
+    settings = [PromptSettings(target="person", positive="old person", resolution=res, batch_size=batch)]
     bank = esd.build_prompt_bank(settings, encode_fn)
 
     ecfg = esd.ESDConfig(
         max_denoising_steps=max_denoise,
         train_cfg_scale=1.0,
-        batch_size=1,
+        batch_size=batch,
         height=res,
         width=res,
         samples_per_step=samples,
@@ -134,6 +135,8 @@ def main():
     metric = "sdxl_esd_train_steps_per_sec"
     if samples > 1:
         metric = f"sdxl_esd_train_steps_per_sec_x{samples}samples"
+    if batch > 1:
+        metric += f"_b{batch}"
     print(
         json.dumps(
             {

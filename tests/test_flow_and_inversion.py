@@ -148,3 +148,15 @@ def test_flux_step_runs():
     opt_state = opt.init(lp)
     lp, opt_state, metrics = step(params, lp, opt_state, jax.random.PRNGKey(0), bank)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_flow_flip_step():
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
+    from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise
+
+    sched = FlowMatchScheduler(shift=3.0).set_timesteps(8)
+    ts = np.asarray(sched.timesteps)  # descending, ts[0] = 1000
+    flip = flip_step_for_start_noise(sched, 750.0)
+    assert ts[flip] <= 750.0 and ts[flip - 1] > 750.0
+    assert flip_step_for_start_noise(sched, 2000.0) == 0
+    assert flip_step_for_start_noise(sched, -1.0) == 8
