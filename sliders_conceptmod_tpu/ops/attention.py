@@ -54,12 +54,18 @@ def dot_product_attention(
     q_seq = q.shape[1]
     kv_seq = k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
+    # staged-KV kernel limit: beyond ~512K elements per head the
+    # double-buffered K/V staging exceeds scoped VMEM. Measured e2e, the
+    # k-grid variant (flash_attention_kgrid.py) and XLA are both slower than
+    # the staged kernel inside this range, and XLA wins beyond it.
+    fits_vmem = kv_seq * q.shape[-1] <= 512 * 1024
     if (
         use_flash
         and not _FLASH_DISABLED
         and on_tpu
         and q_seq >= _FLASH_MIN_SEQ
         and q.shape[-1] % 64 == 0
+        and fits_vmem
     ):
         from sliders_conceptmod_tpu.ops.flash_attention import flash_attention
 

@@ -6,24 +6,17 @@ reference ``conceptmod/textsliders/train_lora_xl.py:83-84``,
 ``config_util.py:59-60``). UNet self/cross attention is unmasked, so no
 causal machinery is needed; CLIP (77 tokens) stays on the XLA path.
 
-Algorithm: FlashAttention-2 online softmax with a fully blocked grid —
-``(batch·heads, q_blocks, k_blocks)`` with the K axis innermost. K/V arrive
-one block at a time via BlockSpec pipelining (double-buffered DMA by the
-Pallas runtime), and the running (max, sum, acc) state lives in VMEM scratch
-that persists across the K iterations of one (bh, q) cell. Nothing O(S²)
-touches HBM and VMEM usage is O(block²), so sequence length is unbounded
-(16k+ tokens — 1024px VAE attention — included; the previous full-KV-staging
-variant OOMed scoped VMEM there). Backward uses the standard two-kernel
-split (dQ with K innermost; dK/dV with Q innermost) on recomputed
-probabilities from the saved logsumexp.
+Algorithm: FlashAttention-2 style online softmax. The kernel grid is
+``(batch*heads, q_blocks)``; K/V for one (batch, head) are staged fully in
+VMEM (<= a few MB at SD/SDXL sequence lengths) and each program streams its
+q-block over k-chunks with a running (max, sum, acc) carry. Backward uses
+the standard two-kernel split (dQ; dK/dV) with probabilities recomputed from
+the saved logsumexp, so nothing O(S²) is ever materialized in HBM.
 
 Layout: public API is BSHD ``[batch, seq, heads, head_dim]``; internally
-folded to ``[batch*heads, seq, head_dim]``. Sequences pad to block
-multiples; padded keys are masked in-kernel, padded queries are masked in
-the dK/dV kernel and sliced off outside. The row statistics (lse, delta)
-are stored lane-replicated ``[BH, Sq, 128]`` — TPU tiling rejects (1, bq)
-2D blocks and dynamic single-lane column stores; the redundancy is ~1% of
-the QKV traffic.
+folded to ``[batch*heads, seq, head_dim]``. Sequence lengths are padded to
+block multiples; padded keys are masked in-kernel, padded queries are
+sliced off outside.
 """
 
 from __future__ import annotations
@@ -62,48 +55,48 @@ def _pad_seq(x, target):
 
 
 # ---------------------------------------------------------------------------
-# forward: grid (bh, q_blocks, k_blocks), K innermost
+# forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, block_k, kv_len, scale):
-    """Blocks: q (1,bq,d) / k,v (1,bk,d) / o (1,bq,d) / lse (1,bq,128).
-    Scratch (m, l, acc) persists across the innermost K grid dimension."""
-    ki = pl.program_id(2)
-    num_k = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, kv_len):
+    """One (bh, q_block) program. Block shapes: q (1,bq,d), k/v (1,Skp,d);
+    lse is lane-replicated [BH, Sqp, 128] — TPU tiling rejects (1, bq)
+    2D blocks (second-to-last block dim must divide 8 or equal the array
+    dim) and dynamic single-lane column stores, so the row statistic is
+    broadcast across the lane axis instead. Extra HBM traffic is ~1%% of
+    the QKV streams."""
     q = q_ref[0].astype(jnp.float32) * scale
-    bq = q.shape[0]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    bq, d = q.shape
+    skp = k_ref.shape[1]
+    num_k = skp // block_k
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    m0 = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((bq, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((bq, d), dtype=jnp.float32)
 
-    m_prev = m_scr[...]
-    m_new = jnp.maximum(m_prev, jnp.broadcast_to(jnp.max(s, axis=-1, keepdims=True), m_prev.shape))
-    p = jnp.exp(s - m_new[:, :1])
-    corr = jnp.exp(m_prev - m_new)
-    m_scr[...] = m_new
-    l_scr[...] = l_scr[...] * corr + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
-    )
-    acc_scr[...] = acc_scr[...] * corr[:, :1] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    def body(ki, carry):
+        m, l, acc = carry
+        k_chunk = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_chunk = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, block_k]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
-    @pl.when(ki == num_k - 1)
-    def _():
-        l = l_scr[...][:, :1]
-        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[...] + jnp.log(l_scr[...])
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v_chunk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_k, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, 128))
 
 
 # ---------------------------------------------------------------------------
@@ -111,75 +104,76 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, b
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, block_k, kv_len, scale):
-    """grid (bh, q_blocks, k_blocks): accumulate dq in scratch over K."""
-    ki = pl.program_id(2)
-    num_k = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _():
-        dq_scr[...] = jnp.zeros_like(dq_scr)
-
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, scale, block_k, kv_len
+):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
-    bq = q.shape[0]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    bq, d = q.shape
+    lse = lse_ref[0, :, :1]  # [bq, 1] (lane-replicated storage)
+    delta = delta_ref[0, :, :1]
+    skp = k_ref.shape[1]
+    num_k = skp // block_k
 
-    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)  # padded keys -> exact 0
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
-    dq_scr[...] = dq_scr[...] + scale * jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    def body(ki, dq):
+        k_chunk = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_chunk = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # padded keys -> exact 0
+        dp = jax.lax.dot_general(
+            do, v_chunk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        return dq + scale * jax.lax.dot_general(
+            ds, k_chunk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
-    @pl.when(ki == num_k - 1)
-    def _():
-        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), dtype=jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, block_q, q_len, scale
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, scale, block_q, q_len
 ):
-    """grid (bh, k_blocks, q_blocks): accumulate dk/dv in scratch over Q."""
-    qi = pl.program_id(2)
-    num_q = pl.num_programs(2)
-
-    @pl.when(qi == 0)
-    def _():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
-
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    bk = k.shape[0]
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, :1]
-    delta = delta_ref[0][:, :1]
+    bk, d = k.shape
+    sqp = q_ref.shape[1]
+    num_q = sqp // block_q
 
-    s = scale * jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], bk), 0) + qi * block_q
-    # padded query rows would contaminate dk/dv — mask them out
-    p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
-    dv_scr[...] = dv_scr[...] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
-    dk_scr[...] = dk_scr[...] + scale * jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    def body(qi, carry):
+        dk, dv = carry
+        q_chunk = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        do_chunk = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :1]
+        delta = delta_ref[0, pl.ds(qi * block_q, block_q), :1]
+        s = scale * jax.lax.dot_general(
+            q_chunk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, bk]
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0) + qi * block_q
+        # padded query rows would contaminate dk/dv — mask them out
+        p = jnp.where(row < q_len, jnp.exp(s - lse), 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            p, do_chunk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_chunk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_new = dk + scale * jax.lax.dot_general(
+            ds, q_chunk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
 
-    @pl.when(qi == num_q - 1)
-    def _():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+    dk, dv = jax.lax.fori_loop(
+        0, num_q, body, (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32))
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -204,25 +198,20 @@ def _flash_fwd_impl(q, k, v, scale, interpret):
     bh = b * h
 
     out3, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=bk, kv_len=sk, scale=scale),
-        grid=(bh, sqp // bq, skp // bk),
+        functools.partial(_fwd_kernel, scale=scale, block_k=bk, kv_len=sk),
+        grid=(bh, sqp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sqp, d), q.dtype),
             jax.ShapeDtypeStruct((bh, sqp, 128), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
-            pltpu.VMEM((bq, 128), jnp.float32),  # running sum
-            pltpu.VMEM((bq, d), jnp.float32),  # output accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * sqp * skp * d,
@@ -262,44 +251,39 @@ def _vjp_bwd(scale, interpret, saved, g):
     )
 
     dq3 = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=bk, kv_len=sk, scale=scale),
-        grid=(bh, sqp // bq, skp // bk),
+        functools.partial(_bwd_dq_kernel, scale=scale, block_k=bk, kv_len=sk),
+        grid=(bh, sqp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, i, j: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i, j: (bb, i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, sqp, d), q3.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
     )(q3, k3, v3, do3, lse, delta)
 
     dk3, dv3 = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=bq, q_len=sq, scale=scale),
-        grid=(bh, skp // bk, sqp // bq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq, q_len=sq),
+        grid=(bh, skp // bk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bb, j, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, j, i: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, j, i: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, d), lambda bb, j, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda bb, j, i: (bb, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda bb, j, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sqp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sqp, d), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sqp, 128), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sqp, 128), lambda bb, i: (bb, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, d), lambda bb, j, i: (bb, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bb, j, i: (bb, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, skp, d), k3.dtype),
             jax.ShapeDtypeStruct((bh, skp, d), v3.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
         ],
         interpret=interpret,
     )(q3, k3, v3, do3, lse, delta)

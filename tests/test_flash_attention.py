@@ -70,3 +70,24 @@ def test_bf16_forward_close():
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
     )
+
+
+def test_kgrid_variant_matches_xla():
+    """The alternate fully-blocked kernel stays correct (kept for
+    unbounded-sequence work; see its module docstring)."""
+    from sliders_conceptmod_tpu.ops.flash_attention_kgrid import flash_attention as kgrid
+
+    b, sq, sk, h, d = 1, 300, 77, 2, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, sq, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, sk, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, sk, h, d), dtype=jnp.float32)
+    out = kgrid(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_attention(q, k, v, d**-0.5)), atol=2e-5, rtol=2e-5
+    )
+    g = jax.grad(lambda a, b_, c: jnp.sum(kgrid(a, b_, c, interpret=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda a, b_, c: jnp.sum(ref_attention(a, b_, c, d**-0.5) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4, rtol=5e-4)
