@@ -1,0 +1,167 @@
+"""Minimal slider inference server — compiled sampler behind HTTP.
+
+The reference has no serving story (single-GPU scripts only); this closes
+the deployment loop for the TPU build: models load once, the two-phase
+sampler compiles once, and each request pays only embedding encode + an
+adapter merge + the cached jitted sampler call. Slider scale is a merge-time
+scalar, so arbitrary float scales hit the same executable.
+
+  python -m sliders_conceptmod_tpu.serve --base tiny-xl --slider s.safetensors --port 8500
+
+  curl -s 'localhost:8500/generate?prompt=a+photo+of+a+person&scale=1.5&seed=7' > out.png
+  curl -s localhost:8500/healthz
+
+GET /generate params: prompt (required), scale (default 0), seed (default 0),
+steps (default 25), guidance (default 7.5), start_noise (default 750).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import jax.numpy as jnp
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.cli.generate_images_xl import infer_network_settings, settings_from_checkpoint
+from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+from sliders_conceptmod_tpu.infer.generate import flip_step_for_start_noise, latents_to_images, sample_loop
+from sliders_conceptmod_tpu.models import factory
+
+
+class SliderService:
+    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25, start_noise: float = 750):
+        self.image_size = image_size
+        self.steps = steps
+        t0 = time.time()
+        (self.tokenizers, self.text_encoders, self.unet, self.scheduler, self.vae) = factory.load_models_xl(
+            base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True
+        )
+        train_method, network_type, rank, alpha = infer_network_settings(slider_path)
+        exact = settings_from_checkpoint(slider_path)
+        if exact is not None:
+            rank, alpha = exact
+        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER + (
+            lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if network_type == "c3lier" else []
+        )
+        sites = lora_lib.create_sites(
+            self.unet.params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
+        )
+        self.sites = lora_lib.filter_sites_to_checkpoint(slider_path, sites)
+        self.lora_params = lora_lib.load_weights(slider_path, self.sites)
+
+        self.schedule = self.scheduler.set_timesteps(steps)
+        self.flip = flip_step_for_start_noise(self.schedule, start_noise)
+        unet_apply = self.unet.apply_fn()
+        scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
+
+        @jax.jit
+        def _sample(params_slider, latents, text_emb, added, key, guidance):
+            return sample_loop(
+                unet_apply, self.unet.params, params_slider, flip, scheduler, schedule,
+                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+            )
+
+        self._sample = _sample
+        self._embed_cache = {}
+        self.load_seconds = time.time() - t0
+
+    @functools.lru_cache(maxsize=256)
+    def _encode(self, prompt: str):
+        text, pooled = factory.encode_prompts_xl(self.text_encoders, [prompt])
+        return text, pooled
+
+    def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
+        text, pooled = self._encode(prompt)
+        text_u, pooled_u = self._encode("")
+        emb = jnp.concatenate([text_u, text], axis=0)
+        added = {
+            "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
+            "time_ids": jnp.tile(
+                jnp.asarray(get_add_time_ids(self.image_size, self.image_size)), (2, 1)
+            ),
+        }
+        res = self.image_size // 8
+        latents = (
+            jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
+            * self.schedule.init_noise_sigma
+        ).astype(jnp.bfloat16)
+        merged = lora_lib.merge_lora_params(self.unet.params, self.sites, self.lora_params, scale)
+        final = self._sample(merged, latents, emb, added, jax.random.PRNGKey(seed), guidance)
+        img = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)[0]
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def make_handler(service: SliderService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print(f"[serve] {fmt % args}")
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                body = json.dumps({"status": "ok", "load_seconds": round(service.load_seconds, 1)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if url.path == "/generate":
+                q = parse_qs(url.query)
+                prompt = q.get("prompt", [None])[0]
+                if not prompt:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b'{"error": "prompt required"}')
+                    return
+                try:
+                    scale = float(q.get("scale", ["0"])[0])
+                    seed = int(q.get("seed", ["0"])[0])
+                    guidance = float(q.get("guidance", ["7.5"])[0])
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b'{"error": "bad numeric parameter"}')
+                    return
+                t0 = time.time()
+                png = service.generate(prompt, scale, seed, guidance)
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("X-Generate-Seconds", f"{time.time()-t0:.2f}")
+                self.end_headers()
+                self.wfile.write(png)
+                return
+            self.send_response(404)
+            self.end_headers()
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="stabilityai/stable-diffusion-xl-base-1.0")
+    ap.add_argument("--slider", required=True)
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--image_size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--start_noise", type=float, default=750)
+    args = ap.parse_args()
+
+    service = SliderService(args.base, args.slider, args.image_size, args.steps, args.start_noise)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"slider server on :{args.port} (models loaded in {service.load_seconds:.1f}s)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
