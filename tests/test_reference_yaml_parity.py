@@ -39,8 +39,9 @@ def test_all_reference_prompts_parse():
         parsed += 1
     assert parsed >= 5
 
-    # attribute fan-out multiplies pairs (prompt_util.py:177-201)
-    f = f"{REF}/conceptmod/textsliders/data/prompts-xl.yaml"
+    # attribute fan-out multiplies pairs (prompt_util.py:177-201);
+    # prompts-xl.yaml ships 1-byte empty, so use the SD3 prompts
+    f = f"{REF}/conceptmod/textsliders/data/prompts-sd3.yaml"
     base = load_prompts_from_yaml(f)
     fanned = load_prompts_from_yaml(f, ["woman", "man"])
     assert len(fanned) == 2 * len(base)
