@@ -136,6 +136,7 @@ def run(args):
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
+        per_scale_first = []
         text, pooled = factory.encode_prompts_xl(text_encoders, [prompt] * args.num_samples)
         text_u, pooled_u = factory.encode_prompts_xl(text_encoders, [neg] * args.num_samples)
         text_emb = jnp.concatenate([text_u, text], axis=0)
@@ -166,7 +167,17 @@ def run(args):
                 Image.fromarray(images[idx]).save(
                     f"{args.save_path}/{name}/{scale}/{case_number}_{idx}.png"
                 )
+            per_scale_first.append(images[0])
             print(f"case {case_number} scale {scale}: saved {images.shape[0]} images")
+        if per_scale_first:
+            # composite grid across the scale sweep (matches the SD1 CLI)
+            import numpy as np
+            from PIL import Image
+
+            os.makedirs(f"{args.save_path}/{name}/all", exist_ok=True)
+            Image.fromarray(np.concatenate(per_scale_first, axis=1)).save(
+                f"{args.save_path}/{name}/all/{case_number}.png"
+            )
 
 
 def build_parser():
