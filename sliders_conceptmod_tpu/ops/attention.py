@@ -53,21 +53,29 @@ def dot_product_attention(
 
     q_seq = q.shape[1]
     kv_seq = k.shape[1]
+    d = q.shape[-1]
+    # head dims that aren't lane-aligned (SD1.5: 40/80) zero-pad to the next
+    # multiple of 64 for the kernel — scores are unchanged (padded q·k dims
+    # contribute 0) and padded V columns slice off
+    d_pad = ((d + 63) // 64) * 64
     on_tpu = jax.default_backend() == "tpu"
     # staged-KV kernel limit: beyond ~512K elements per head the
     # double-buffered K/V staging exceeds scoped VMEM. Measured e2e, the
     # k-grid variant (flash_attention_kgrid.py) and XLA are both slower than
     # the staged kernel inside this range, and XLA wins beyond it.
-    fits_vmem = kv_seq * q.shape[-1] <= 512 * 1024
+    fits_vmem = kv_seq * d_pad <= 512 * 1024
     if (
         use_flash
         and not _FLASH_DISABLED
         and on_tpu
         and q_seq >= _FLASH_MIN_SEQ
-        and q.shape[-1] % 64 == 0
         and fits_vmem
     ):
         from sliders_conceptmod_tpu.ops.flash_attention import flash_attention
 
+        if d_pad != d:
+            pad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
+            out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), scale=scale)
+            return out[..., :d]
         return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)

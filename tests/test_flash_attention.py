@@ -91,3 +91,22 @@ def test_kgrid_variant_matches_xla():
     gr = jax.grad(lambda a, b_, c: jnp.sum(ref_attention(a, b_, c, d**-0.5) ** 2), argnums=(0, 1, 2))(q, k, v)
     for x, y in zip(g, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-4, rtol=5e-4)
+
+
+def test_headdim_padding_equivalence():
+    """Zero-padding head_dim (SD1.5's 40/80 dims) must not change results:
+    padded q·k dims add 0 to scores; padded V columns slice off."""
+    b, s, h, d = 1, 256, 2, 40
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d))
+    k = jax.random.normal(kk, (b, s, h, d))
+    v = jax.random.normal(kv, (b, s, h, d))
+    scale = d**-0.5
+    pad = ((0, 0), (0, 0), (0, 0), (0, 64 - d))
+    out_pad = flash_attention(
+        jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), scale=scale, interpret=True
+    )[..., :d]
+    np.testing.assert_allclose(
+        np.asarray(out_pad), np.asarray(ref_attention(q, k, v, scale)), atol=2e-5, rtol=2e-5
+    )
