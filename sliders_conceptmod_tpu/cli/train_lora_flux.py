@@ -95,15 +95,18 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     )
 
     save_path = Path(config.save.path)
+    from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
+
+    logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     total_micro = config.train.iterations * accumulation_steps + 1  # reference :227
     for i in range(total_micro):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
-        if config.logging.verbose:
-            print(f"micro-step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        logger.log(i, metrics)
         if on_step_complete is not None:
             on_step_complete(i)
 
+    logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
         peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)

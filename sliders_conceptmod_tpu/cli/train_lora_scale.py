@@ -114,11 +114,13 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     )
 
     save_path = Path(config.save.path)
+    from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
+
+    logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     for i in range(config.train.iterations):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(unet.params, lora_params, opt_state, k, bank)
-        if config.logging.verbose:
-            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        logger.log(i, metrics)
         if (
             save_file
             and config.save.per_steps
@@ -131,6 +133,7 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
                 save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
             )
 
+    logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
         lora_lib.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)

@@ -82,11 +82,13 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     )
 
     save_path = Path(config.save.path)
+    from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
+
+    logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     for i in range(config.train.iterations):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
-        if config.logging.verbose:
-            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
+        logger.log(i, metrics)
         if (
             save_file
             and config.save.per_steps
@@ -101,6 +103,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         if on_step_complete is not None:
             on_step_complete(i)
 
+    logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
         peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)

@@ -154,18 +154,19 @@ def train(
     )
 
     save_path = Path(config.save.path)
+    from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
+
+    logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     last_loss = None
     for i in range(config.train.iterations):
         lora_params, opt_state, metrics = step(te.params, lora_params, opt_state)
+        cur = logger.log(i, metrics)
         # stalled-loss early exit (reference :389-393)
         if i % 800 == 0 and i > 1000:
-            cur = float(metrics["loss"])
             if last_loss is not None and last_loss == cur:
                 print("loss stopped moving. exiting early.")
                 break
             last_loss = cur
-        if config.logging.verbose:
-            print(f"step {i} loss*1k {float(metrics['loss'])*1000:.4f}")
         if (
             save_file
             and config.save.per_steps
@@ -182,6 +183,7 @@ def train(
         if on_step_complete is not None:
             on_step_complete(i)
 
+    logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
         peft_mod.save_weights(
