@@ -1,4 +1,6 @@
-"""Benchmark: SDXL textual-slider ESD training steps/sec on one chip.
+"""Benchmark: textual-slider ESD training steps/sec on one chip.
+
+BENCH_MODEL=sdxl (default) | sd3 (SD3-Medium MMDiT) | tiny.
 
 Prints ONE JSON line:
   {"metric": "sdxl_esd_train_steps_per_sec", "value": N, "unit": "steps/s",
@@ -32,6 +34,72 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC_PER_CHIP = 500 / 600 / 8  # north-star v5e-8 budget
 
 
+def bench_sd3(n_steps, res, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+    from sliders_conceptmod_tpu.train import esd, esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    cfg = MMDiTConfig.sd3_medium()
+    model = SD3Transformer2DModel(cfg, dtype=dtype)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 16, res // 8, res // 8), dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 154, cfg.joint_attention_dim), dtype),
+            jnp.zeros((1, cfg.pooled_projection_dim), dtype),
+        )
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+    def apply(p, *a, **kw):
+        return model.apply({"params": p}, *a, **kw)
+
+    sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    schedule = FlowMatchScheduler(shift=3.0).set_timesteps(28)
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
+        return (
+            jax.random.normal(k, (154, cfg.joint_attention_dim), dtype) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 1), (cfg.pooled_projection_dim,), dtype) * 0.1,
+        )
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
+    scfg = esd_sd3.SD3ESDConfig(max_denoising_steps=28, height=res, width=res, remat=True)
+    opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
+    step = esd_sd3.make_sd3_esd_train_step(apply, sites, schedule, opt, scfg)
+    opt_state = opt.init(lora_params)
+
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    sps = n_steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "sd3_esd_train_steps_per_sec",
+                "value": round(sps, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
 def main():
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
     from sliders_conceptmod_tpu.core.prompts import PromptSettings
@@ -49,6 +117,11 @@ def main():
     max_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "12"))
     dtype = jnp.bfloat16
 
+    if model_kind == "sd3":
+        import jax.numpy as _jnp
+
+        bench_sd3(n_steps, res, _jnp.bfloat16)
+        return
     if model_kind == "tiny":
         cfg = UNetConfig.tiny_xl()
         res, seq, ctx_dim, pooled_dim, max_denoise = 64, 7, 32, 32, 3
