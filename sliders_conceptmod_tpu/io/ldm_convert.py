@@ -26,12 +26,14 @@ import numpy as np
 from sliders_conceptmod_tpu.io.torch_convert import (
     _assign,
     convert_clip_text_state_dict,
+    convert_openclip_text_state_dict,
     torch_entry_to_flax,
 )
 
 UNET_PREFIX = "model.diffusion_model."
 VAE_PREFIX = "first_stage_model."
 CLIP_PREFIX = "cond_stage_model.transformer."
+OPENCLIP_PREFIX = "cond_stage_model.model."  # SD2.x OpenCLIP ViT-H text tower
 
 _RESNET_RENAMES = {
     "in_layers.0": "norm1",
@@ -170,11 +172,23 @@ def _rename_vae_key(key: str, num_up_blocks: int = 4) -> Tuple[str, bool]:
 
 def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     """Split + convert a full LDM state dict → {"unet", "vae", "text_encoder"}
-    flax trees (SD1.x; SD2 works for the UNet/VAE, its OpenCLIP text tower
-    uses a different key layout and is not mapped here)."""
+    flax trees. SD1.x text towers are transformers-layout under
+    ``cond_stage_model.transformer.``; SD2.x ships an OpenCLIP tower under
+    ``cond_stage_model.model.`` (mapped via convert_openclip_text_state_dict,
+    trimmed to the 23 deployed layers)."""
     unet_tree: Dict = {}
     vae_tree: Dict = {}
     clip_sd: Dict[str, np.ndarray] = {}
+    openclip_sd: Dict[str, np.ndarray] = {}
+
+    # decoder depth from the checkpoint itself (SD1/2 have 4 up blocks, but
+    # the reversed-index math must hold for any depth)
+    up_indices = [
+        int(k[len(VAE_PREFIX):].split(".")[2])
+        for k in sd
+        if k.startswith(VAE_PREFIX + "decoder.up.")
+    ]
+    num_up_blocks = max(up_indices) + 1 if up_indices else 4
 
     for key, value in sd.items():
         value = np.asarray(value)
@@ -184,7 +198,7 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
             if entry:
                 _assign(unet_tree, entry[0], entry[1])
         elif key.startswith(VAE_PREFIX):
-            mapped, squeeze = _rename_vae_key(key[len(VAE_PREFIX):])
+            mapped, squeeze = _rename_vae_key(key[len(VAE_PREFIX):], num_up_blocks)
             if squeeze and value.ndim == 4:  # 1x1 conv -> Linear
                 value = value[:, :, 0, 0]
             entry = torch_entry_to_flax(mapped, value)
@@ -192,10 +206,19 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
                 _assign(vae_tree, entry[0], entry[1])
         elif key.startswith(CLIP_PREFIX):
             clip_sd[key[len(CLIP_PREFIX):]] = value
+        elif key.startswith(OPENCLIP_PREFIX):
+            openclip_sd[key[len(OPENCLIP_PREFIX):]] = value
 
     out = {"unet": unet_tree, "vae": vae_tree}
     if clip_sd:
         out["text_encoder"] = convert_clip_text_state_dict(clip_sd)
+    elif openclip_sd:
+        n_layers = 1 + max(
+            int(k.split(".")[2]) for k in openclip_sd if k.startswith("transformer.resblocks.")
+        )
+        out["text_encoder"] = convert_openclip_text_state_dict(
+            openclip_sd, max_layers=min(n_layers, 23)
+        )
     return out
 
 

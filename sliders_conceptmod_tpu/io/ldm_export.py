@@ -1,0 +1,248 @@
+"""Flax param trees → single-file LDM checkpoint (the exact inverse of
+io/ldm_convert.py).
+
+The reference only CONSUMES single-file checkpoints (model_util.py:37-109 via
+diffusers); this exporter is the round-trip counterpart: it lets this
+framework WRITE an SD1/SD2-layout ``.safetensors`` from flax params, which
+
+* gives users a path back to the single-file ecosystem (A1111 & friends), and
+* makes the whole LDM key mapping testable as a loss-free round trip and the
+  single-file loading surface drivable at tiny scale (no 5GB fixture needed).
+
+Scope: SD-standard UNet topology (``layers_per_block == 2`` — the universal
+SD1/SD2 layout the LDM ``//3`` slot math encodes), the SD2 OpenCLIP text
+tower (``cond_stage_model.model.*``), and the KL VAE.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+# flax module names where a trailing _<digit> is part of the torch name
+# itself, not a merged list index (io/torch_convert.py _merge_numeric)
+_KEEP_UNDERSCORE = {"linear_1", "linear_2", "mlp_fc1", "mlp_fc2", "block_1", "block_2", "attn_1"}
+
+_RESNET_INV = {
+    "norm1": "in_layers.0",
+    "conv1": "in_layers.2",
+    "time_emb_proj": "emb_layers.1",
+    "norm2": "out_layers.0",
+    "conv2": "out_layers.3",
+    "conv_shortcut": "skip_connection",
+}
+
+
+def _split_segment(seg: str) -> list:
+    if seg in _KEEP_UNDERSCORE:
+        return [seg]
+    head, _, tail = seg.rpartition("_")
+    if head and tail.isdigit():
+        return [head, tail]
+    return [seg]
+
+
+def _flax_to_torch_entries(tree: Dict, path=()) -> Dict[str, np.ndarray]:
+    """Inverse of torch_convert.torch_entry_to_flax over a whole tree:
+    nested flax dict → flat diffusers-style torch key/value dict."""
+    out: Dict[str, np.ndarray] = {}
+    for name, node in tree.items():
+        if isinstance(node, dict):
+            out.update(_flax_to_torch_entries(node, path + tuple(_split_segment(name))))
+            continue
+        value = np.asarray(node)
+        key = ".".join(path)
+        if name == "kernel":
+            if value.ndim == 4:  # HWIO -> OIHW
+                out[key + ".weight"] = np.ascontiguousarray(np.transpose(value, (3, 2, 0, 1)))
+            else:  # [in, out] -> [out, in]
+                out[key + ".weight"] = np.ascontiguousarray(value.T)
+        elif name == "scale":
+            out[key + ".weight"] = value
+        elif name == "embedding":
+            out[key + ".weight"] = value
+        elif name == "bias":
+            out[key + ".bias"] = value
+        else:
+            raise ValueError(f"Unexpected flax leaf {name} at {key}")
+    return out
+
+
+def _unet_key_to_ldm(key: str, attn_up_blocks) -> str:
+    """diffusers UNet key → LDM diffusion_model key (inverse of
+    ldm_convert._rename_unet_key; assumes layers_per_block == 2)."""
+    parts = key.split(".")
+    if parts[0] == "time_embedding":
+        idx = {"linear_1": "0", "linear_2": "2"}[parts[1]]
+        return ".".join(["time_embed", idx] + parts[2:])
+    if parts[0] == "conv_norm_out":
+        return ".".join(["out", "0"] + parts[1:])
+    if parts[0] == "conv_out":
+        return ".".join(["out", "2"] + parts[1:])
+    if parts[0] == "conv_in":
+        return ".".join(["input_blocks", "0", "0"] + parts[1:])
+
+    def resnet_inv(rest):
+        tail = _RESNET_INV[rest[0]]
+        return tail.split(".") + rest[1:]
+
+    if parts[0] == "down_blocks":
+        block, kind, layer = int(parts[1]), parts[2], int(parts[3])
+        if kind == "resnets":
+            return ".".join(["input_blocks", str(1 + 3 * block + layer), "0"] + resnet_inv(parts[4:]))
+        if kind == "attentions":
+            return ".".join(["input_blocks", str(1 + 3 * block + layer), "1"] + parts[4:])
+        if kind == "downsamplers":
+            return ".".join(["input_blocks", str(3 * block + 3), "0", "op"] + parts[5:])
+    if parts[0] == "mid_block":
+        kind, layer = parts[1], parts[2]
+        if kind == "attentions":
+            return ".".join(["middle_block", "1"] + parts[3:])
+        return ".".join(["middle_block", "0" if layer == "0" else "2"] + resnet_inv(parts[3:]))
+    if parts[0] == "up_blocks":
+        block, kind, layer = int(parts[1]), parts[2], int(parts[3])
+        if kind == "resnets":
+            return ".".join(["output_blocks", str(3 * block + layer), "0"] + resnet_inv(parts[4:]))
+        if kind == "attentions":
+            return ".".join(["output_blocks", str(3 * block + layer), "1"] + parts[4:])
+        if kind == "upsamplers":
+            sub = "2" if block in attn_up_blocks else "1"
+            return ".".join(["output_blocks", str(3 * block + 2), sub, "conv"] + parts[5:])
+    raise ValueError(f"Cannot export UNet key: {key}")
+
+
+def export_unet(unet_params: Dict) -> Dict[str, np.ndarray]:
+    torch_sd = _flax_to_torch_entries(unet_params)
+    attn_up_blocks = {
+        int(k.split(".")[1]) for k in torch_sd if k.startswith("up_blocks") and ".attentions." in k
+    }
+    return {
+        "model.diffusion_model." + _unet_key_to_ldm(k, attn_up_blocks): v
+        for k, v in torch_sd.items()
+    }
+
+
+def export_openclip_text(te_params: Dict) -> Dict[str, np.ndarray]:
+    """Flax CLIP text tree → SD2 OpenCLIP layout (cond_stage_model.model.*).
+
+    Inverse of torch_convert.convert_openclip_text_state_dict: re-fuses the
+    q/k/v projections into ``attn.in_proj_*`` and restores the original CLIP
+    module names.
+    """
+    out: Dict[str, np.ndarray] = {}
+    p = "cond_stage_model.model."
+    out[p + "token_embedding.weight"] = np.asarray(te_params["token_embedding"]["embedding"])
+    out[p + "positional_embedding"] = np.asarray(te_params["position_embedding"]["embedding"])
+    out[p + "ln_final.weight"] = np.asarray(te_params["final_layer_norm"]["scale"])
+    out[p + "ln_final.bias"] = np.asarray(te_params["final_layer_norm"]["bias"])
+    if "text_projection" in te_params:
+        # flax kernel [width, proj] IS the openclip x @ W layout
+        out[p + "text_projection"] = np.asarray(te_params["text_projection"]["kernel"])
+    layers = sorted(
+        (int(k.split("_")[1]), v) for k, v in te_params.items() if k.startswith("layers_")
+    )
+    for i, layer in layers:
+        d = p + f"transformer.resblocks.{i}."
+        attn = layer["self_attn"]
+        out[d + "attn.in_proj_weight"] = np.concatenate(
+            [np.asarray(attn[n]["kernel"]).T for n in ("q_proj", "k_proj", "v_proj")], axis=0
+        )
+        out[d + "attn.in_proj_bias"] = np.concatenate(
+            [np.asarray(attn[n]["bias"]) for n in ("q_proj", "k_proj", "v_proj")], axis=0
+        )
+        out[d + "attn.out_proj.weight"] = np.ascontiguousarray(
+            np.asarray(attn["out_proj"]["kernel"]).T
+        )
+        out[d + "attn.out_proj.bias"] = np.asarray(attn["out_proj"]["bias"])
+        for flax_name, oc_name in (
+            ("layer_norm1", "ln_1"),
+            ("layer_norm2", "ln_2"),
+            ("mlp_fc1", "mlp.c_fc"),
+            ("mlp_fc2", "mlp.c_proj"),
+        ):
+            sub = layer[flax_name]
+            w = np.asarray(sub.get("kernel", sub.get("scale")))
+            out[d + oc_name + ".weight"] = np.ascontiguousarray(w.T if w.ndim == 2 else w)
+            out[d + oc_name + ".bias"] = np.asarray(sub["bias"])
+    return out
+
+
+def export_ldm_checkpoint(
+    unet_params: Dict, text_encoder_params: Dict = None, vae_params: Dict = None
+) -> Dict[str, np.ndarray]:
+    sd = export_unet(unet_params)
+    if text_encoder_params is not None:
+        sd.update(export_openclip_text(text_encoder_params))
+    if vae_params is not None:
+        sd.update(export_vae(vae_params))
+    return sd
+
+
+def _vae_resnet_inv(rest):
+    return {
+        "norm1": ["norm1"],
+        "conv1": ["conv1"],
+        "norm2": ["norm2"],
+        "conv2": ["conv2"],
+        "conv_shortcut": ["nin_shortcut"],
+    }[rest[0]] + rest[1:]
+
+
+_VAE_ATTN_INV = {"to_q": "q", "to_k": "k", "to_v": "v", "group_norm": "norm"}
+
+
+def export_vae(vae_params: Dict) -> Dict[str, np.ndarray]:
+    """Flax KL-VAE tree → LDM first_stage_model layout (inverse of
+    ldm_convert._rename_vae_key: decoder up indices re-reverse; the mid
+    attention Linears re-expand to 1×1 convs)."""
+    torch_sd = _flax_to_torch_entries(vae_params)
+    n_up = 1 + max(
+        (int(k.split(".")[2]) for k in torch_sd if k.startswith("decoder.up_blocks.")), default=0
+    )
+    out: Dict[str, np.ndarray] = {}
+    for key, value in torch_sd.items():
+        parts = key.split(".")
+        if parts[0] in ("quant_conv", "post_quant_conv"):
+            out["first_stage_model." + key] = value
+            continue
+        side, body = parts[0], parts[1:]
+        if body[0] in ("conv_in", "conv_out"):
+            mapped = body
+        elif body[0] == "conv_norm_out":
+            mapped = ["norm_out"] + body[1:]
+        elif body[0] == "mid_block":
+            if body[1] == "resnets":
+                mapped = ["mid", "block_1" if body[2] == "0" else "block_2"] + _vae_resnet_inv(
+                    body[3:]
+                )
+            else:  # attentions.0
+                name = _VAE_ATTN_INV.get(body[3], body[3])
+                rest = body[4:]
+                if body[3] == "to_out":
+                    name, rest = "proj_out", body[5:]
+                if value.ndim == 2:  # Linear back to 1x1 conv
+                    value = value[:, :, None, None]
+                mapped = ["mid", "attn_1", name] + rest
+        elif body[0] == "down_blocks":
+            i = body[1]
+            if body[2] == "resnets":
+                mapped = ["down", i, "block", body[3]] + _vae_resnet_inv(body[4:])
+            else:  # downsamplers.0.conv
+                mapped = ["down", i, "downsample", "conv"] + body[5:]
+        elif body[0] == "up_blocks":
+            i = str(n_up - 1 - int(body[1]))  # ldm_convert reverses: undo
+            if body[2] == "resnets":
+                mapped = ["up", i, "block", body[3]] + _vae_resnet_inv(body[4:])
+            else:  # upsamplers.0.conv
+                mapped = ["up", i, "upsample", "conv"] + body[5:]
+        else:
+            raise ValueError(f"Cannot export VAE key: {key}")
+        out["first_stage_model." + side + "." + ".".join(mapped)] = value
+    return out
+
+
+def save_ldm_checkpoint(path: str, sd: Dict[str, np.ndarray]) -> None:
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)

@@ -133,6 +133,67 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+def convert_openclip_text_state_dict(
+    sd: Dict[str, np.ndarray], max_layers: int = None
+) -> Dict:
+    """OpenCLIP text tower (SD2.x LDM ``cond_stage_model.model.*`` layout) →
+    models/clip.py tree.
+
+    SD2's conditioner is an OpenCLIP ViT-H text tower stored with the
+    original CLIP module names — fused ``attn.in_proj_weight`` qkv, ``ln_1``/
+    ``ln_2``, ``c_fc``/``c_proj`` — rather than the transformers layout the
+    reference loads via ``StableDiffusionPipeline.from_single_file``
+    (reference conceptmod/textsliders/model_util.py:79-96 delegates that
+    mapping to diffusers). We rename to the transformers schema and reuse
+    :func:`convert_clip_text_state_dict`.
+
+    ``max_layers`` drops trailing transformer blocks: SD2 conditions on the
+    penultimate hidden state, so its deployed text encoder keeps 23 of the
+    24 checkpoint layers (``CLIPTextConfig.sd2_te``).
+    """
+    hf_sd: Dict[str, np.ndarray] = {}
+    for key, value in sd.items():
+        value = np.asarray(value)
+        if key in ("logit_scale", "text_projection"):
+            if key == "text_projection":
+                # openclip applies x @ W [width, proj]; transformers stores
+                # the [proj, width] Linear weight
+                hf_sd["text_projection.weight"] = value.T
+            continue
+        if key == "token_embedding.weight":
+            hf_sd["text_model.embeddings.token_embedding.weight"] = value
+            continue
+        if key == "positional_embedding":
+            hf_sd["text_model.embeddings.position_embedding.weight"] = value
+            continue
+        if key.startswith("ln_final."):
+            hf_sd["text_model.final_layer_norm." + key[len("ln_final."):]] = value
+            continue
+        if not key.startswith("transformer.resblocks."):
+            continue
+        rest = key[len("transformer.resblocks."):]
+        layer, _, tail = rest.partition(".")
+        if max_layers is not None and int(layer) >= max_layers:
+            continue
+        base = f"text_model.encoder.layers.{layer}."
+        if tail == "attn_mask":
+            continue
+        if tail in ("attn.in_proj_weight", "attn.in_proj_bias"):
+            leaf = "weight" if tail.endswith("weight") else "bias"
+            for name, chunk in zip(("q_proj", "k_proj", "v_proj"), np.split(value, 3, axis=0)):
+                hf_sd[f"{base}self_attn.{name}.{leaf}"] = chunk
+            continue
+        tail = (
+            tail.replace("attn.out_proj", "self_attn.out_proj")
+            .replace("ln_1", "layer_norm1")
+            .replace("ln_2", "layer_norm2")
+            .replace("mlp.c_fc", "mlp.fc1")
+            .replace("mlp.c_proj", "mlp.fc2")
+        )
+        hf_sd[base + tail] = value
+    return convert_clip_text_state_dict(hf_sd)
+
+
 # --- model-directory loading ------------------------------------------------
 
 

@@ -24,6 +24,7 @@ encoders are dropped (the reference deletes them too, train_lora_xl.py:156-159).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
@@ -219,8 +220,15 @@ def load_models(
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
         trees = load_ldm_checkpoint(str(name_or_path))
-        clip_cfg = CLIPTextConfig.sd2_te() if v2 else CLIPTextConfig.sd15_te()
-        unet_cfg = UNetConfig.sd21() if v2 else UNetConfig.sd15()
+        if "tiny" in os.path.basename(str(name_or_path)).lower():
+            # weightless-family escape: tiny single files (io/ldm_export.py)
+            # keep the whole LDM surface drivable on CPU CI. The LDM //3 slot
+            # layout requires the SD-standard layers_per_block=2.
+            clip_cfg = CLIPTextConfig.tiny()
+            unet_cfg = dataclasses.replace(UNetConfig.tiny(), layers_per_block=2)
+        else:
+            clip_cfg = CLIPTextConfig.sd2_te() if v2 else CLIPTextConfig.sd15_te()
+            unet_cfg = UNetConfig.sd21() if v2 else UNetConfig.sd15()
         tok = load_tokenizer("", component="tokenizer")
         te = TextEncoderBundle(
             CLIPTextEncoder(clip_cfg, dtype=weight_dtype),
@@ -236,7 +244,11 @@ def load_models(
             scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
         )
         if with_vae:
-            vae_cfg = VAEConfig.sd()
+            vae_cfg = (
+                VAEConfig.tiny()
+                if "tiny" in os.path.basename(str(name_or_path)).lower()
+                else VAEConfig.sd()
+            )
             vae = VAEBundle(
                 AutoencoderKL(vae_cfg, dtype=weight_dtype),
                 tc.tree_to_jax(trees["vae"], dtype=weight_dtype),

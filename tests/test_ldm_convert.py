@@ -82,3 +82,134 @@ def test_full_convert_smoke():
     # VAE attention 1x1 conv squeezed to Linear layout
     assert out["vae"]["encoder"]["mid_block"]["attentions_0"]["to_q"]["kernel"].shape == (512, 512)
     assert out["text_encoder"]["final_layer_norm"]["scale"].shape == (768,)
+
+
+def _openclip_sd_from_hf(hf_sd, n_layers):
+    """Inverse-map a transformers CLIPText state dict into the OpenCLIP
+    on-disk layout SD2 checkpoints use (fused qkv, ln_1/ln_2, c_fc/c_proj)."""
+    oc = {
+        "token_embedding.weight": hf_sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": hf_sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": hf_sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": hf_sd["text_model.final_layer_norm.bias"],
+        "text_projection": hf_sd["text_projection.weight"].T,
+        "logit_scale": np.float32(4.6),
+    }
+    for i in range(n_layers):
+        src = f"text_model.encoder.layers.{i}."
+        dst = f"transformer.resblocks.{i}."
+        oc[dst + "attn.in_proj_weight"] = np.concatenate(
+            [hf_sd[src + f"self_attn.{n}.weight"] for n in ("q_proj", "k_proj", "v_proj")], axis=0
+        )
+        oc[dst + "attn.in_proj_bias"] = np.concatenate(
+            [hf_sd[src + f"self_attn.{n}.bias"] for n in ("q_proj", "k_proj", "v_proj")], axis=0
+        )
+        oc[dst + "attn_mask"] = np.zeros((4, 4), np.float32)
+        for a, b in (
+            ("attn.out_proj", "self_attn.out_proj"),
+            ("ln_1", "layer_norm1"),
+            ("ln_2", "layer_norm2"),
+            ("mlp.c_fc", "mlp.fc1"),
+            ("mlp.c_proj", "mlp.fc2"),
+        ):
+            oc[dst + a + ".weight"] = hf_sd[src + b + ".weight"]
+            oc[dst + a + ".bias"] = hf_sd[src + b + ".bias"]
+    return oc
+
+
+def test_openclip_text_tower_roundtrip():
+    """convert_openclip_text_state_dict(inverse(hf_sd)) == the HF conversion —
+    validates the SD2 text-tower mapping leaf-for-leaf against the HF path
+    that tests/test_hf_parity.py already proves numerically correct."""
+    pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import torch
+
+    from sliders_conceptmod_tpu.io.torch_convert import (
+        convert_clip_text_state_dict,
+        convert_openclip_text_state_dict,
+    )
+
+    torch.manual_seed(0)
+    hf = transformers.CLIPTextModelWithProjection(
+        transformers.CLIPTextConfig(
+            vocab_size=99,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            max_position_embeddings=16,
+            projection_dim=16,
+        )
+    )
+    hf_sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    expected = convert_clip_text_state_dict(hf_sd)
+
+    got = convert_openclip_text_state_dict(_openclip_sd_from_hf(hf_sd, 3))
+
+    import jax as _jax
+
+    e = {_jax.tree_util.keystr(p): v for p, v in _jax.tree_util.tree_flatten_with_path(expected)[0]}
+    g = {_jax.tree_util.keystr(p): v for p, v in _jax.tree_util.tree_flatten_with_path(got)[0]}
+    assert set(e) == set(g)
+    for k in e:
+        np.testing.assert_array_equal(e[k], g[k], err_msg=k)
+
+    # penultimate-layer deployment trims trailing blocks (SD2 keeps 23/24)
+    trimmed = convert_openclip_text_state_dict(_openclip_sd_from_hf(hf_sd, 3), max_layers=2)
+    assert "layers_2" not in trimmed
+    assert "layers_1" in trimmed
+
+
+def test_full_convert_routes_openclip_tower():
+    sd = {
+        "cond_stage_model.model.ln_final.weight": np.ones((8,), np.float32),
+        "cond_stage_model.model.ln_final.bias": np.zeros((8,), np.float32),
+        "cond_stage_model.model.token_embedding.weight": np.zeros((9, 8), np.float32),
+        "cond_stage_model.model.positional_embedding": np.zeros((4, 8), np.float32),
+        "cond_stage_model.model.transformer.resblocks.0.ln_1.weight": np.ones((8,), np.float32),
+        "cond_stage_model.model.transformer.resblocks.0.ln_1.bias": np.zeros((8,), np.float32),
+    }
+    out = lc.convert_ldm_checkpoint(sd)
+    te = out["text_encoder"]
+    assert te["final_layer_norm"]["scale"].shape == (8,)
+    assert te["token_embedding"]["embedding"].shape == (9, 8)
+    assert te["layers_0"]["layer_norm1"]["scale"].shape == (8,)
+
+
+def test_ldm_export_roundtrip():
+    """export (io/ldm_export) → convert (io/ldm_convert) reproduces every
+    leaf bit-for-bit across UNet + OpenCLIP text tower + VAE — a loss-free
+    round trip through the entire LDM key mapping."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.io import ldm_export as le
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from sliders_conceptmod_tpu.models.unet import UNetConfig, UNet2DConditionModel
+    from sliders_conceptmod_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    ucfg = dataclasses.replace(UNetConfig.tiny(), layers_per_block=2)
+    unet = UNet2DConditionModel(ucfg)
+    up = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)), jnp.zeros((1, 5, 32))
+    )["params"]
+    te = CLIPTextEncoder(CLIPTextConfig.tiny())
+    tp = te.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
+    vae = AutoencoderKL(VAEConfig.tiny())
+    vp = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, 3, 16, 16)))["params"]
+
+    sd = le.export_ldm_checkpoint(up, tp, vp)
+    trees = lc.convert_ldm_checkpoint(sd)
+
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    for name, original in (("unet", up), ("text_encoder", tp), ("vae", vp)):
+        exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(original)[0]}
+        got = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(trees[name])[0]}
+        missing, extra = set(exp) - set(got), set(got) - set(exp)
+        assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
+        for k in exp:
+            np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
