@@ -168,12 +168,42 @@ def export_openclip_text(te_params: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def export_clip_text(te_params: Dict) -> Dict[str, np.ndarray]:
+    """Flax CLIP text tree → SD1 transformers layout
+    (``cond_stage_model.transformer.text_model...`` — the inverse of
+    torch_convert.convert_clip_text_state_dict)."""
+    torch_sd = _flax_to_torch_entries(te_params)
+    p = "cond_stage_model.transformer."
+    out: Dict[str, np.ndarray] = {}
+    for key, value in torch_sd.items():
+        key = key.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
+        if key.startswith("layers."):
+            out[p + "text_model.encoder." + key] = value
+        elif key.startswith("final_layer_norm."):
+            out[p + "text_model." + key] = value
+        elif key == "text_projection.weight":
+            out[p + key] = value
+        elif key == "token_embedding.weight":
+            out[p + "text_model.embeddings.token_embedding.weight"] = value
+        elif key == "position_embedding.weight":
+            out[p + "text_model.embeddings.position_embedding.weight"] = value
+        else:
+            raise ValueError(f"Cannot export CLIP key: {key}")
+    return out
+
+
 def export_ldm_checkpoint(
-    unet_params: Dict, text_encoder_params: Dict = None, vae_params: Dict = None
+    unet_params: Dict,
+    text_encoder_params: Dict = None,
+    vae_params: Dict = None,
+    v2: bool = True,
 ) -> Dict[str, np.ndarray]:
     sd = export_unet(unet_params)
     if text_encoder_params is not None:
-        sd.update(export_openclip_text(text_encoder_params))
+        if v2:
+            sd.update(export_openclip_text(text_encoder_params))
+        else:
+            sd.update(export_clip_text(text_encoder_params))
     if vae_params is not None:
         sd.update(export_vae(vae_params))
     return sd

@@ -222,10 +222,12 @@ def load_models(
         trees = load_ldm_checkpoint(str(name_or_path))
         if "tiny" in os.path.basename(str(name_or_path)).lower():
             # weightless-family escape: tiny single files (io/ldm_export.py)
-            # keep the whole LDM surface drivable on CPU CI. The LDM //3 slot
-            # layout requires the SD-standard layers_per_block=2.
+            # keep the whole LDM surface drivable on CPU CI. The stride-3
+            # LDM slot layout round-trips layers_per_block 1 and 2; read the
+            # depth off the converted tree.
             clip_cfg = CLIPTextConfig.tiny()
-            unet_cfg = dataclasses.replace(UNetConfig.tiny(), layers_per_block=2)
+            lpb = 2 if "resnets_1" in trees["unet"].get("down_blocks_0", {}) else 1
+            unet_cfg = dataclasses.replace(UNetConfig.tiny(), layers_per_block=lpb)
         else:
             clip_cfg = CLIPTextConfig.sd2_te() if v2 else CLIPTextConfig.sd15_te()
             unet_cfg = UNetConfig.sd21() if v2 else UNetConfig.sd15()
@@ -244,11 +246,10 @@ def load_models(
             scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
         )
         if with_vae:
-            vae_cfg = (
-                VAEConfig.tiny()
-                if "tiny" in os.path.basename(str(name_or_path)).lower()
-                else VAEConfig.sd()
-            )
+            # width off the checkpoint itself: the tiny escape can carry
+            # either the tiny VAE or the full SD VAE (weightless family)
+            dec_in = trees["vae"]["decoder"]["conv_in"]["kernel"].shape[-1]
+            vae_cfg = VAEConfig.tiny() if dec_in <= 32 else VAEConfig.sd()
             vae = VAEBundle(
                 AutoencoderKL(vae_cfg, dtype=weight_dtype),
                 tc.tree_to_jax(trees["vae"], dtype=weight_dtype),
