@@ -213,3 +213,27 @@ def test_ldm_export_roundtrip():
         assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
         for k in exp:
             np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
+
+
+def test_ldm_export_roundtrip_sd1_text_layout():
+    """v2=False export writes the transformers layout
+    (cond_stage_model.transformer.*) and round-trips bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.io import ldm_export as le
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+
+    te = CLIPTextEncoder(CLIPTextConfig.tiny(projection_dim=16))
+    tp = te.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
+    sd = le.export_clip_text(tp)
+    assert all(k.startswith("cond_stage_model.transformer.") for k in sd)
+    trees = lc.convert_ldm_checkpoint(sd)
+
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(tp)[0]}
+    got = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(trees["text_encoder"])[0]}
+    assert set(exp) == set(got), (sorted(set(exp) - set(got))[:4], sorted(set(got) - set(exp))[:4])
+    for k in exp:
+        np.testing.assert_array_equal(exp[k], got[k], err_msg=k)
