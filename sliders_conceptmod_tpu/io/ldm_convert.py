@@ -34,6 +34,9 @@ UNET_PREFIX = "model.diffusion_model."
 VAE_PREFIX = "first_stage_model."
 CLIP_PREFIX = "cond_stage_model.transformer."
 OPENCLIP_PREFIX = "cond_stage_model.model."  # SD2.x OpenCLIP ViT-H text tower
+# SDXL single files carry both towers under conditioner.embedders
+XL_TE1_PREFIX = "conditioner.embedders.0.transformer."  # CLIP ViT-L (transformers layout)
+XL_TE2_PREFIX = "conditioner.embedders.1.model."  # OpenCLIP ViT-bigG (CLIP layout)
 
 _RESNET_RENAMES = {
     "in_layers.0": "norm1",
@@ -52,6 +55,10 @@ def _rename_unet_key(key: str) -> str:
     if parts[0] == "time_embed":
         idx = {"0": "linear_1", "2": "linear_2"}[parts[1]]
         return ".".join(["time_embedding", idx] + parts[2:])
+    if parts[0] == "label_emb":
+        # SDXL text_time addition embedding: label_emb.0.{0,2} -> add_embedding
+        idx = {"0": "linear_1", "2": "linear_2"}[parts[2]]
+        return ".".join(["add_embedding", idx] + parts[3:])
     if parts[0] == "out":
         mod = {"0": "conv_norm_out", "2": "conv_out"}[parts[1]]
         return ".".join([mod] + parts[2:])
@@ -180,6 +187,8 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     vae_tree: Dict = {}
     clip_sd: Dict[str, np.ndarray] = {}
     openclip_sd: Dict[str, np.ndarray] = {}
+    xl_te1_sd: Dict[str, np.ndarray] = {}
+    xl_te2_sd: Dict[str, np.ndarray] = {}
 
     # decoder depth from the checkpoint itself (SD1/2 have 4 up blocks, but
     # the reversed-index math must hold for any depth)
@@ -204,12 +213,22 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
             entry = torch_entry_to_flax(mapped, value)
             if entry:
                 _assign(vae_tree, entry[0], entry[1])
+        elif key.startswith(XL_TE1_PREFIX):
+            xl_te1_sd[key[len(XL_TE1_PREFIX):]] = value
+        elif key.startswith(XL_TE2_PREFIX):
+            xl_te2_sd[key[len(XL_TE2_PREFIX):]] = value
         elif key.startswith(CLIP_PREFIX):
             clip_sd[key[len(CLIP_PREFIX):]] = value
         elif key.startswith(OPENCLIP_PREFIX):
             openclip_sd[key[len(OPENCLIP_PREFIX):]] = value
 
     out = {"unet": unet_tree, "vae": vae_tree}
+    if xl_te1_sd:
+        out["text_encoder"] = convert_clip_text_state_dict(xl_te1_sd)
+    if xl_te2_sd:
+        # bigG keeps all its layers (SDXL takes the penultimate state at
+        # runtime; no deploy-time trim, unlike SD2's 23/24)
+        out["text_encoder_2"] = convert_openclip_text_state_dict(xl_te2_sd)
     if clip_sd:
         out["text_encoder"] = convert_clip_text_state_dict(clip_sd)
     elif openclip_sd:

@@ -76,6 +76,9 @@ def _unet_key_to_ldm(key: str, attn_up_blocks) -> str:
     if parts[0] == "time_embedding":
         idx = {"linear_1": "0", "linear_2": "2"}[parts[1]]
         return ".".join(["time_embed", idx] + parts[2:])
+    if parts[0] == "add_embedding":
+        idx = {"linear_1": "0", "linear_2": "2"}[parts[1]]
+        return ".".join(["label_emb", "0", idx] + parts[2:])
     if parts[0] == "conv_norm_out":
         return ".".join(["out", "0"] + parts[1:])
     if parts[0] == "conv_out":
@@ -123,15 +126,18 @@ def export_unet(unet_params: Dict) -> Dict[str, np.ndarray]:
     }
 
 
-def export_openclip_text(te_params: Dict) -> Dict[str, np.ndarray]:
-    """Flax CLIP text tree → SD2 OpenCLIP layout (cond_stage_model.model.*).
+def export_openclip_text(
+    te_params: Dict, prefix: str = "cond_stage_model.model."
+) -> Dict[str, np.ndarray]:
+    """Flax CLIP text tree → OpenCLIP layout (SD2's ``cond_stage_model.model.*``
+    or SDXL te2's ``conditioner.embedders.1.model.*``).
 
     Inverse of torch_convert.convert_openclip_text_state_dict: re-fuses the
     q/k/v projections into ``attn.in_proj_*`` and restores the original CLIP
     module names.
     """
     out: Dict[str, np.ndarray] = {}
-    p = "cond_stage_model.model."
+    p = prefix
     out[p + "token_embedding.weight"] = np.asarray(te_params["token_embedding"]["embedding"])
     out[p + "positional_embedding"] = np.asarray(te_params["position_embedding"]["embedding"])
     out[p + "ln_final.weight"] = np.asarray(te_params["final_layer_norm"]["scale"])
@@ -168,12 +174,15 @@ def export_openclip_text(te_params: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def export_clip_text(te_params: Dict) -> Dict[str, np.ndarray]:
-    """Flax CLIP text tree → SD1 transformers layout
-    (``cond_stage_model.transformer.text_model...`` — the inverse of
+def export_clip_text(
+    te_params: Dict, prefix: str = "cond_stage_model.transformer."
+) -> Dict[str, np.ndarray]:
+    """Flax CLIP text tree → transformers layout (SD1's
+    ``cond_stage_model.transformer.text_model...`` or SDXL te1's
+    ``conditioner.embedders.0.transformer...`` — the inverse of
     torch_convert.convert_clip_text_state_dict)."""
     torch_sd = _flax_to_torch_entries(te_params)
-    p = "cond_stage_model.transformer."
+    p = prefix
     out: Dict[str, np.ndarray] = {}
     for key, value in torch_sd.items():
         key = key.replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2")
@@ -204,6 +213,24 @@ def export_ldm_checkpoint(
             sd.update(export_openclip_text(text_encoder_params))
         else:
             sd.update(export_clip_text(text_encoder_params))
+    if vae_params is not None:
+        sd.update(export_vae(vae_params))
+    return sd
+
+
+def export_sdxl_checkpoint(
+    unet_params: Dict,
+    te1_params: Dict = None,
+    te2_params: Dict = None,
+    vae_params: Dict = None,
+) -> Dict[str, np.ndarray]:
+    """SDXL single-file layout: both text towers under conditioner.embedders
+    (te1 transformers layout, te2 OpenCLIP bigG layout)."""
+    sd = export_unet(unet_params)
+    if te1_params is not None:
+        sd.update(export_clip_text(te1_params, prefix="conditioner.embedders.0.transformer."))
+    if te2_params is not None:
+        sd.update(export_openclip_text(te2_params, prefix="conditioner.embedders.1.model."))
     if vae_params is not None:
         sd.update(export_vae(vae_params))
     return sd

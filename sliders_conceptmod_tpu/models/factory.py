@@ -285,7 +285,54 @@ def load_models_xl(
     with_vae: bool = False,
 ):
     """SDXL — reference model_util.py:358-385: two tokenizers (te2 pads with
-    id 0), two encoders, UNet, scheduler."""
+    id 0), two encoders, UNet, scheduler. Single-file .ckpt/.safetensors
+    checkpoints (SGM layout: conditioner.embedders.{0,1} towers) load via
+    io/ldm_convert, matching the reference's from_single_file path
+    (model_util.py:387-403)."""
+    if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
+        from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
+
+        trees = load_ldm_checkpoint(str(name_or_path))
+        tiny = "tiny" in os.path.basename(str(name_or_path)).lower()
+        if tiny:
+            te1_cfg = CLIPTextConfig.tiny(hidden_size=16)
+            te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=32)
+            lpb = 2 if "resnets_1" in trees["unet"].get("down_blocks_0", {}) else 1
+            unet_cfg = dataclasses.replace(UNetConfig.tiny_xl(), layers_per_block=lpb)
+        else:
+            te1_cfg = CLIPTextConfig.sdxl_te1()
+            te2_cfg = CLIPTextConfig.sdxl_te2()
+            unet_cfg = UNetConfig.sdxl()
+        tok1 = load_tokenizer("", component="tokenizer")
+        tok2 = load_tokenizer("", component="tokenizer_2", pad_token_id=0)
+        te1 = TextEncoderBundle(
+            CLIPTextEncoder(te1_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees.get("text_encoder", {}), dtype=weight_dtype),
+            tok1,
+        )
+        te2 = TextEncoderBundle(
+            CLIPTextEncoder(te2_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees.get("text_encoder_2", {}), dtype=weight_dtype),
+            tok2,
+        )
+        unet = UNetBundle(
+            UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
+            unet_cfg,
+        )
+        scheduler = create_noise_scheduler(scheduler_name)
+        out = ([tok1, tok2], [te1, te2], unet, scheduler)
+        if with_vae:
+            dec_in = trees["vae"]["decoder"]["conv_in"]["kernel"].shape[-1]
+            vae_cfg = VAEConfig.tiny() if dec_in <= 32 else VAEConfig.sdxl()
+            vae = VAEBundle(
+                AutoencoderKL(vae_cfg, dtype=weight_dtype),
+                tc.tree_to_jax(trees["vae"], dtype=weight_dtype),
+                vae_cfg,
+            )
+            return out + (vae,)
+        return out
+
     family = _family_from_path(name_or_path, False)
     if family == "tiny-xl":
         # two 16-wide tiny encoders -> 32-dim concat context; te2 projects to

@@ -237,3 +237,45 @@ def test_ldm_export_roundtrip_sd1_text_layout():
     assert set(exp) == set(got), (sorted(set(exp) - set(got))[:4], sorted(set(got) - set(exp))[:4])
     for k in exp:
         np.testing.assert_array_equal(exp[k], got[k], err_msg=k)
+
+
+def test_sdxl_single_file_roundtrip():
+    """SDXL SGM layout (conditioner.embedders.{0,1}, label_emb add-embedding)
+    round-trips bit-exactly through export_sdxl_checkpoint -> convert."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.io import ldm_export as le
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from sliders_conceptmod_tpu.models.unet import UNetConfig, UNet2DConditionModel
+
+    ucfg = dataclasses.replace(UNetConfig.tiny_xl(), layers_per_block=2)
+    unet = UNet2DConditionModel(ucfg)
+    added = {"text_embeds": jnp.zeros((1, 32)), "time_ids": jnp.zeros((1, 6))}
+    up = unet.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 8, 8)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 5, 32)),
+        added_cond_kwargs=added,
+    )["params"]
+    te1 = CLIPTextEncoder(CLIPTextConfig.tiny(hidden_size=16))
+    tp1 = te1.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
+    te2 = CLIPTextEncoder(CLIPTextConfig.tiny(hidden_size=16, projection_dim=32))
+    tp2 = te2.init(jax.random.PRNGKey(2), jnp.zeros((1, 77), jnp.int32))["params"]
+
+    sd = le.export_sdxl_checkpoint(up, tp1, tp2)
+    assert any(k.startswith("model.diffusion_model.label_emb.0.0.") for k in sd)
+    trees = lc.convert_ldm_checkpoint(sd)
+
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    for name, original in (("unet", up), ("text_encoder", tp1), ("text_encoder_2", tp2)):
+        exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(original)[0]}
+        got = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(trees[name])[0]}
+        missing, extra = set(exp) - set(got), set(got) - set(exp)
+        assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
+        for k in exp:
+            np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
