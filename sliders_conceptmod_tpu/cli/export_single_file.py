@@ -35,12 +35,18 @@ def main(argv=None):
     parser.add_argument("--scale", type=float, default=1.0, help="slider scale to bake at")
     parser.add_argument("--output", required=True)
     parser.add_argument("--v2", action="store_true", help="SD2 (OpenCLIP text-tower layout)")
+    parser.add_argument("--xl", action="store_true", help="SDXL (SGM conditioner layout)")
     parser.add_argument("--half", action="store_true", help="save float16 tensors")
     args = parser.parse_args(argv)
 
-    tokenizer, te, vae, unet, scheduler = factory.load_models(
-        args.base, scheduler_name="ddim", v2=args.v2, with_vae=True
-    )
+    if args.xl:
+        tokenizers, tes, unet, scheduler, vae = factory.load_models_xl(
+            args.base, with_vae=True
+        )
+    else:
+        tokenizer, te, vae, unet, scheduler = factory.load_models(
+            args.base, scheduler_name="ddim", v2=args.v2, with_vae=True
+        )
     unet_params = unet.params
     if args.slider:
         train_method, network_type, rank, alpha = infer_network_settings(args.slider)
@@ -60,7 +66,12 @@ def main(argv=None):
         unet_params = lora_lib.merge_lora_params(unet_params, sites, lora_params, args.scale)
         print(f"baked {len(sites)} LoRA sites at scale {args.scale}")
 
-    sd = ldm_export.export_ldm_checkpoint(unet_params, te.params, vae.params, v2=args.v2)
+    if args.xl:
+        sd = ldm_export.export_sdxl_checkpoint(
+            unet_params, tes[0].params, tes[1].params, vae.params
+        )
+    else:
+        sd = ldm_export.export_ldm_checkpoint(unet_params, te.params, vae.params, v2=args.v2)
     if args.half:
         sd = {k: np.asarray(v, np.float16) for k, v in sd.items()}
     else:
