@@ -100,6 +100,75 @@ def bench_sd3(n_steps, res, dtype):
     )
 
 
+def bench_infer(n_images, res, steps, dtype):
+    """DDIM images/sec — the second north-star metric (BASELINE.md targets).
+
+    Mirrors the reference inference sweep protocol
+    (eval-scripts/generate_images_xl.py:429-445): 50 steps, CFG 7.5,
+    start_noise-flip sampling on SDXL at native 1024px. VAE decode excluded
+    (one decode per image amortizes over the 50 UNet steps and the reference
+    measures no numbers at all).
+    """
+    from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.infer.generate import flip_step_for_start_noise, sample_loop
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+
+    cfg = UNetConfig.sdxl()
+    model = UNet2DConditionModel(cfg, dtype=dtype)
+    added = {
+        "text_embeds": jnp.zeros((2, 1280), dtype),
+        "time_ids": jnp.tile(jnp.asarray(get_add_time_ids(res, res)), (2, 1)),
+    }
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, 4, res // 8, res // 8), dtype),
+            jnp.zeros(()),
+            jnp.zeros((2, 77, 2048), dtype),
+            added_cond_kwargs=added,
+        )
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+    def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(steps)
+    flip = flip_step_for_start_noise(schedule, 750.0)
+    text_emb = jnp.full((2, 77, 2048), 0.01, dtype)
+
+    @jax.jit
+    def run(latents, key):
+        return sample_loop(
+            unet_apply, params, params, flip, scheduler, schedule, latents, text_emb,
+            key, guidance_scale=7.5, added_cond_kwargs=added,
+        )
+
+    lat_shape = (1, 4, res // 8, res // 8)
+    out = run(jnp.zeros(lat_shape, dtype), jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for i in range(n_images):
+        out = run(
+            jax.random.normal(jax.random.PRNGKey(i), lat_shape, dtype) * schedule.init_noise_sigma,
+            jax.random.PRNGKey(i),
+        )
+    jax.block_until_ready(out)
+    ips = n_images / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": f"sdxl_ddim{steps}_images_per_sec_{res}px",
+                "value": round(ips, 4),
+                "unit": "images/s",
+                "vs_baseline": round(ips, 4),
+            }
+        )
+    )
+
+
 def main():
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
     from sliders_conceptmod_tpu.core.prompts import PromptSettings
@@ -121,6 +190,14 @@ def main():
         import jax.numpy as _jnp
 
         bench_sd3(n_steps, res, _jnp.bfloat16)
+        return
+    if os.environ.get("BENCH_MODE") == "infer":
+        bench_infer(
+            n_images=int(os.environ.get("BENCH_IMAGES", "4")),
+            res=int(os.environ.get("BENCH_RES", "1024")),
+            steps=int(os.environ.get("BENCH_DDIM_STEPS", "50")),
+            dtype=dtype,
+        )
         return
     if model_kind == "tiny":
         cfg = UNetConfig.tiny_xl()
