@@ -37,6 +37,11 @@ OPENCLIP_PREFIX = "cond_stage_model.model."  # SD2.x OpenCLIP ViT-H text tower
 # SDXL single files carry both towers under conditioner.embedders
 XL_TE1_PREFIX = "conditioner.embedders.0.transformer."  # CLIP ViT-L (transformers layout)
 XL_TE2_PREFIX = "conditioner.embedders.1.model."  # OpenCLIP ViT-bigG (CLIP layout)
+# SD3 single files (sd3_medium.safetensors): MMDiT under model.diffusion_model,
+# optional transformers-layout towers under text_encoders.*
+SD3_TE1_PREFIX = "text_encoders.clip_l.transformer."
+SD3_TE2_PREFIX = "text_encoders.clip_g.transformer."
+SD3_TE3_PREFIX = "text_encoders.t5xxl.transformer."
 
 _RESNET_RENAMES = {
     "in_layers.0": "norm1",
@@ -177,6 +182,78 @@ def _rename_vae_key(key: str, num_up_blocks: int = 4) -> Tuple[str, bool]:
     raise ValueError(f"Unmapped LDM VAE key: {key}")
 
 
+def _swap_scale_shift(value: np.ndarray) -> np.ndarray:
+    """SGM AdaLN heads emit (shift, scale); diffusers (and models/mmdit.py's
+    AdaLayerNormContinuous) chunk (scale, shift) — swap the two halves."""
+    half = value.shape[0] // 2
+    return np.concatenate([value[half:], value[:half]], axis=0)
+
+
+def convert_sd3_mmdit_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """SD3 single-file MMDiT (``model.diffusion_model.joint_blocks...``, the
+    SGM/MM-DiT layout of sd3_medium.safetensors) → models/mmdit.py flax tree.
+
+    Follows the same renames diffusers' single-file SD3 conversion applies:
+    fused qkv splits into to_q/to_k/to_v (add_* for the context stream),
+    adaLN_modulation.1 → norm1*.linear / norm_out.linear, with the
+    (shift, scale) → (scale, shift) swap on the 2·dim heads.
+    """
+    tree: Dict = {}
+    for key, value in sd.items():
+        value = np.asarray(value)
+        parts = key.split(".")
+        if parts[0] == "pos_embed":
+            continue  # deterministic 2D sin-cos table; recomputed at apply
+        mapped: str
+        if parts[0] == "x_embedder":
+            mapped = ".".join(["pos_embed"] + parts[1:])
+        elif parts[0] in ("t_embedder", "y_embedder"):
+            sub = "timestep_embedder" if parts[0] == "t_embedder" else "text_embedder"
+            lin = {"0": "linear_1", "2": "linear_2"}[parts[2]]
+            mapped = ".".join(["time_text_embed", sub, lin] + parts[3:])
+        elif parts[0] == "context_embedder":
+            mapped = key
+        elif parts[0] == "final_layer":
+            if parts[1] == "adaLN_modulation":
+                value = _swap_scale_shift(value)
+                mapped = ".".join(["norm_out", "linear"] + parts[3:])
+            else:  # final_layer.linear
+                mapped = ".".join(["proj_out"] + parts[2:])
+        elif parts[0] == "joint_blocks":
+            n, stream = parts[1], parts[2]
+            base = f"transformer_blocks.{n}."
+            ctx = stream == "context_block"
+            rest = parts[3:]
+            if rest[0] == "attn" and rest[1] == "qkv":
+                names = ("add_q_proj", "add_k_proj", "add_v_proj") if ctx else ("to_q", "to_k", "to_v")
+                for name, chunk in zip(names, np.split(value, 3, axis=0)):
+                    entry = torch_entry_to_flax(base + f"attn.{name}.{rest[2]}", chunk)
+                    _assign(tree, entry[0], entry[1])
+                continue
+            if rest[0] == "attn" and rest[1] == "proj":
+                mapped = base + ("attn.to_add_out." if ctx else "attn.to_out.0.") + rest[2]
+            elif rest[0] == "adaLN_modulation":
+                # the final block's context head is 2·dim (AdaLayerNormContinuous,
+                # needs the swap); infer from the sibling weight's shape so the
+                # bias swaps consistently
+                w_key = ".".join(parts[:-1] + ["weight"])
+                w = np.asarray(sd[w_key])
+                if ctx and w.shape[0] == 2 * w.shape[1]:
+                    value = _swap_scale_shift(value)
+                mapped = base + ("norm1_context.linear." if ctx else "norm1.linear.") + rest[2]
+            elif rest[0] == "mlp":
+                fc = {"fc1": "net.0.proj", "fc2": "net.2"}[rest[1]]
+                mapped = base + ("ff_context." if ctx else "ff.") + fc + "." + rest[2]
+            else:
+                raise ValueError(f"Unmapped SD3 MMDiT key: {key}")
+        else:
+            raise ValueError(f"Unmapped SD3 MMDiT key: {key}")
+        entry = torch_entry_to_flax(mapped, value)
+        if entry:
+            _assign(tree, entry[0], entry[1])
+    return tree
+
+
 def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     """Split + convert a full LDM state dict → {"unet", "vae", "text_encoder"}
     flax trees. SD1.x text towers are transformers-layout under
@@ -189,6 +266,32 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     openclip_sd: Dict[str, np.ndarray] = {}
     xl_te1_sd: Dict[str, np.ndarray] = {}
     xl_te2_sd: Dict[str, np.ndarray] = {}
+
+    # SD3: MMDiT shares the model.diffusion_model prefix but is a different
+    # architecture (joint_blocks); split it out before the UNet renamer runs
+    if any(k.startswith(UNET_PREFIX + "joint_blocks.") for k in sd):
+        mmdit_sd = {k[len(UNET_PREFIX):]: v for k, v in sd.items() if k.startswith(UNET_PREFIX)}
+        out: Dict[str, Dict] = {"transformer": convert_sd3_mmdit_state_dict(mmdit_sd)}
+        vae_sd = {k: v for k, v in sd.items() if k.startswith(VAE_PREFIX)}
+        if vae_sd:
+            out["vae"] = convert_ldm_checkpoint(vae_sd)["vae"]
+        for prefix, name in (
+            (SD3_TE1_PREFIX, "text_encoder"),
+            (SD3_TE2_PREFIX, "text_encoder_2"),
+        ):
+            te_sd = {k[len(prefix):]: np.asarray(v) for k, v in sd.items() if k.startswith(prefix)}
+            if te_sd:
+                out[name] = convert_clip_text_state_dict(te_sd)
+        t5_sd = {
+            k[len(SD3_TE3_PREFIX):]: np.asarray(v)
+            for k, v in sd.items()
+            if k.startswith(SD3_TE3_PREFIX)
+        }
+        if t5_sd:
+            from sliders_conceptmod_tpu.models.t5 import convert_t5_state_dict
+
+            out["text_encoder_3"] = convert_t5_state_dict(t5_sd)
+        return out
 
     # decoder depth from the checkpoint itself (SD1/2 have 4 up blocks, but
     # the reversed-index math must hold for any depth)

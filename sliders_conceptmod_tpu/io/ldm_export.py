@@ -236,6 +236,92 @@ def export_sdxl_checkpoint(
     return sd
 
 
+def _swap_scale_shift(value: np.ndarray) -> np.ndarray:
+    half = value.shape[0] // 2
+    return np.concatenate([value[half:], value[:half]], axis=0)
+
+
+def export_sd3_mmdit(params: Dict) -> Dict[str, np.ndarray]:
+    """Flax MMDiT tree → SD3 single-file SGM layout (inverse of
+    ldm_convert.convert_sd3_mmdit_state_dict): re-fuses q/k/v into
+    ``attn.qkv`` and swaps the 2·dim AdaLN heads back to (shift, scale)."""
+    torch_sd = _flax_to_torch_entries(params)
+    out: Dict[str, np.ndarray] = {}
+    p = "model.diffusion_model."
+    qkv_parts: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, value in torch_sd.items():
+        parts = key.split(".")
+        if parts[0] == "pos_embed":  # PatchEmbedProj conv
+            out[p + "x_embedder." + ".".join(parts[1:])] = value
+            continue
+        if parts[0] == "time_text_embed":
+            emb = "t_embedder" if parts[1] == "timestep_embedder" else "y_embedder"
+            lin = {"linear_1": "0", "linear_2": "2"}[parts[2]]
+            out[p + f"{emb}.mlp.{lin}." + parts[3]] = value
+            continue
+        if parts[0] == "context_embedder":
+            out[p + key] = value
+            continue
+        if parts[0] == "norm_out":
+            out[p + "final_layer.adaLN_modulation.1." + parts[2]] = _swap_scale_shift(value)
+            continue
+        if parts[0] == "proj_out":
+            out[p + "final_layer.linear." + parts[1]] = value
+            continue
+        if parts[0] == "transformer_blocks":
+            n = parts[1]
+            rest = parts[2:]
+            xb, cb = f"joint_blocks.{n}.x_block.", f"joint_blocks.{n}.context_block."
+            if rest[0] == "attn":
+                name, leaf = rest[1], rest[-1]
+                if name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+                    blk = cb if name.startswith("add_") else xb
+                    slot = {"q": 0, "k": 1, "v": 2}[name.replace("add_", "to_")[3]]
+                    qkv_parts.setdefault(p + blk + "attn.qkv." + leaf, {})[str(slot)] = value
+                    continue
+                if name == "to_out":
+                    out[p + xb + "attn.proj." + leaf] = value
+                    continue
+                if name == "to_add_out":
+                    out[p + cb + "attn.proj." + leaf] = value
+                    continue
+            if rest[0] in ("norm1", "norm1_context"):
+                blk = cb if rest[0] == "norm1_context" else xb
+                if rest[0] == "norm1_context":
+                    # final block's 2·dim AdaLayerNormContinuous head swaps;
+                    # detect via the sibling weight so the bias follows
+                    w = torch_sd[".".join(parts[:-1] + ["weight"])]
+                    if w.shape[0] == 2 * w.shape[1]:
+                        value = _swap_scale_shift(value)
+                out[p + blk + "adaLN_modulation.1." + rest[2]] = value
+                continue
+            if rest[0] in ("ff", "ff_context"):
+                blk = cb if rest[0] == "ff_context" else xb
+                fc = "fc1" if rest[1] == "net" and rest[2] == "0" else "fc2"
+                out[p + blk + "mlp." + fc + "." + rest[-1]] = value
+                continue
+        raise ValueError(f"Cannot export SD3 MMDiT key: {key}")
+    for key, chunks in qkv_parts.items():
+        out[key] = np.concatenate([chunks["0"], chunks["1"], chunks["2"]], axis=0)
+    return out
+
+
+def export_sd3_checkpoint(
+    mmdit_params: Dict,
+    te1_params: Dict = None,
+    te2_params: Dict = None,
+    vae_params: Dict = None,
+) -> Dict[str, np.ndarray]:
+    sd = export_sd3_mmdit(mmdit_params)
+    if te1_params is not None:
+        sd.update(export_clip_text(te1_params, prefix="text_encoders.clip_l.transformer."))
+    if te2_params is not None:
+        sd.update(export_clip_text(te2_params, prefix="text_encoders.clip_g.transformer."))
+    if vae_params is not None:
+        sd.update(export_vae(vae_params))
+    return sd
+
+
 def _vae_resnet_inv(rest):
     return {
         "norm1": ["norm1"],

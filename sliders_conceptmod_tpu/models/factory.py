@@ -376,11 +376,47 @@ def load_models_sd3(
 ):
     """SD3 — reference model_util.py:217-236: StableDiffusion3Pipeline with
     the T5 encoder dropped (text_encoder_3=None); returns
-    (tokenizers, text_encoders, transformer, flow scheduler)."""
+    (tokenizers, text_encoders, transformer, flow scheduler). Single-file
+    ``sd3_medium.safetensors``-style checkpoints (SGM MMDiT layout +
+    text_encoders.clip_l/clip_g towers) load via io/ldm_convert."""
     from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
     from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
 
     is_tiny = "tiny" in str(name_or_path).lower()
+    if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
+        from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
+
+        trees = load_ldm_checkpoint(str(name_or_path))
+        if is_tiny:
+            te1_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+            te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+            mm_cfg = MMDiTConfig.tiny()
+        else:
+            te1_cfg = CLIPTextConfig(projection_dim=768)
+            te2_cfg = CLIPTextConfig.sdxl_te2()
+            mm_cfg = MMDiTConfig.sd3_medium()
+        tok1 = load_tokenizer("", component="tokenizer")
+        tok2 = load_tokenizer("", component="tokenizer_2", pad_token_id=0)
+        te1 = TextEncoderBundle(
+            CLIPTextEncoder(te1_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees.get("text_encoder", {}), dtype=weight_dtype),
+            tok1,
+        )
+        te2 = TextEncoderBundle(
+            CLIPTextEncoder(te2_cfg, dtype=weight_dtype),
+            tc.tree_to_jax(trees.get("text_encoder_2", {}), dtype=weight_dtype),
+            tok2,
+        )
+        model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
+        transformer = TransformerBundle(
+            model, tc.tree_to_jax(trees["transformer"], dtype=weight_dtype), mm_cfg
+        )
+        return (
+            [te1.tokenizer, te2.tokenizer],
+            [te1, te2],
+            transformer,
+            FlowMatchScheduler(shift=3.0),
+        )
     if is_tiny:
         te1_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
         te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)

@@ -279,3 +279,40 @@ def test_sdxl_single_file_roundtrip():
         assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
         for k in exp:
             np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
+
+
+def test_sd3_single_file_roundtrip():
+    """SD3 SGM layout (joint_blocks, fused qkv, adaLN swaps) round-trips
+    bit-exactly through export_sd3_checkpoint -> convert."""
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.io import ldm_export as le
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+
+    cfg = MMDiTConfig.tiny()
+    model = SD3Transformer2DModel(cfg)
+    mp = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.in_channels, 8, 8)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 2, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)),
+    )["params"]
+    te1 = CLIPTextEncoder(CLIPTextConfig.tiny(hidden_size=16, projection_dim=16))
+    tp1 = te1.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
+
+    sd = le.export_sd3_checkpoint(mp, tp1)
+    assert any(k.startswith("model.diffusion_model.joint_blocks.0.x_block.attn.qkv") for k in sd)
+    trees = lc.convert_ldm_checkpoint(sd)
+
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    for name, original in (("transformer", mp), ("text_encoder", tp1)):
+        exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(original)[0]}
+        got = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(trees[name])[0]}
+        missing, extra = set(exp) - set(got), set(got) - set(exp)
+        assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
+        for k in exp:
+            np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
