@@ -558,9 +558,11 @@ def load_models_flux(
 
     gh = gw = 4
     if is_local:
+        from sliders_conceptmod_tpu.models.flux import convert_flux_state_dict
+
         sub = os.path.join(str(name_or_path), "transformer")
         sd = tc._load_safetensors_dir(sub)
-        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+        params = tc.tree_to_jax(convert_flux_state_dict(sd), dtype=weight_dtype)
         transformer = TransformerBundle(model, params, flux_cfg)
         scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
         return [tok], encode_fn, transformer, scheduler

@@ -327,3 +327,41 @@ class FluxTransformer2DModel(nn.Module):
 
         x = AdaLayerNormContinuous(d, name="norm_out", dtype=self.dtype)(x, temb)
         return nn.Dense(cfg.in_channels, name="proj_out", dtype=self.dtype)(x)
+
+
+# flattened flax module names <- diffusers FluxTransformer2DModel key pieces.
+# The single-stream block and the ff stacks use flat Dense names here (one
+# module, not a submodule tree), so the generic numeric-merge conversion in
+# io/torch_convert.py is not enough.
+_FLUX_KEY_RENAMES = (
+    ("ff.net.0.proj", "ff_net_0_proj"),
+    ("ff.net.2", "ff_net_2"),
+    ("ff_context.net.0.proj", "ff_context_net_0_proj"),
+    ("ff_context.net.2", "ff_context_net_2"),
+)
+_FLUX_SINGLE_RENAMES = (
+    ("attn.to_q", "attn_to_q"),
+    ("attn.to_k", "attn_to_k"),
+    ("attn.to_v", "attn_to_v"),
+    ("attn.norm_q", "attn_norm_q"),
+    ("attn.norm_k", "attn_norm_k"),
+    ("norm.linear", "norm_linear"),
+)
+
+
+def convert_flux_state_dict(sd):
+    """diffusers FluxTransformer2DModel state dict → this module's flax tree
+    (reference loads via FluxPipeline.from_pretrained, model_util.py:238-268)."""
+    from sliders_conceptmod_tpu.io import torch_convert as tc
+
+    tree = {}
+    for key, value in sd.items():
+        renames = _FLUX_KEY_RENAMES
+        if key.startswith("single_transformer_blocks."):
+            renames = _FLUX_KEY_RENAMES + _FLUX_SINGLE_RENAMES
+        for old, new in renames:
+            key = key.replace(old, new)
+        entry = tc.torch_entry_to_flax(key, np.asarray(value))
+        if entry:
+            tc._assign(tree, entry[0], entry[1])
+    return tree

@@ -160,3 +160,55 @@ def test_flow_flip_step():
     assert ts[flip] <= 750.0 and ts[flip - 1] > 750.0
     assert flip_step_for_start_noise(sched, 2000.0) == 0
     assert flip_step_for_start_noise(sched, -1.0) == 8
+
+
+def test_convert_flux_state_dict_covers_every_param():
+    """Diffusers-layout Flux keys land on this module's flattened flax names
+    (single-block attn_to_q / norm_linear, double-block ff_net_0_proj) —
+    the generic numeric-merge conversion cannot place these."""
+    import numpy as np
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    from sliders_conceptmod_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig.tiny()
+    model = flux_mod.FluxTransformer2DModel(cfg)
+    img_ids = jnp.asarray(flux_mod.prepare_latent_image_ids(4, 4))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, cfg.in_channels)),
+        jnp.asarray([0.5]),
+        jnp.zeros((1, 2, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)),
+        jnp.zeros((2, 3)),
+        img_ids,
+    )["params"]
+
+    # synthesize the diffusers key set by inverse-renaming the flax tree
+    from sliders_conceptmod_tpu.io.ldm_export import _flax_to_torch_entries
+
+    torch_sd = {}
+    for key, value in _flax_to_torch_entries(params).items():
+        inv = (
+            ("attn_to_q", "attn.to_q"),
+            ("attn_to_k", "attn.to_k"),
+            ("attn_to_v", "attn.to_v"),
+            ("attn_norm_q", "attn.norm_q"),
+            ("attn_norm_k", "attn.norm_k"),
+            ("norm_linear", "norm.linear"),
+            ("ff_net_0_proj", "ff.net.0.proj"),
+            ("ff_net_2", "ff.net.2"),
+            ("ff_context_net_0_proj", "ff_context.net.0.proj"),
+            ("ff_context_net_2", "ff_context.net.2"),
+        )
+        for old, new in inv:
+            key = key.replace(old, new)
+        torch_sd[key] = value
+
+    got = flux_mod.convert_flux_state_dict(torch_sd)
+    exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(params)[0]}
+    g = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(got)[0]}
+    missing, extra = set(exp) - set(g), set(g) - set(exp)
+    assert not missing and not extra, (sorted(missing)[:4], sorted(extra)[:4])
+    for k in exp:
+        np.testing.assert_array_equal(exp[k], g[k], err_msg=k)
