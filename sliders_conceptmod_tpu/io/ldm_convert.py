@@ -254,6 +254,89 @@ def convert_sd3_mmdit_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+def convert_flux_bfl_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """BFL single-file Flux transformer (``flux1-dev.safetensors``:
+    double_blocks/single_blocks at the top level, fused qkv and qkv+mlp
+    linears) → models/flux.py flax tree. Text encoders/VAE ship separately
+    in the BFL distribution, so this handles the transformer only."""
+    from sliders_conceptmod_tpu.models.flux import convert_flux_state_dict
+
+    hf_sd: Dict[str, np.ndarray] = {}
+
+    def put(key, value):
+        hf_sd[key] = value
+
+    for key, value in sd.items():
+        value = np.asarray(value)
+        parts = key.split(".")
+        if parts[0] == "img_in":
+            put("x_embedder." + parts[1], value)
+        elif parts[0] == "txt_in":
+            put("context_embedder." + parts[1], value)
+        elif parts[0] in ("time_in", "vector_in", "guidance_in"):
+            sub = {
+                "time_in": "timestep_embedder",
+                "vector_in": "text_embedder",
+                "guidance_in": "guidance_embedder",
+            }[parts[0]]
+            lin = {"in_layer": "linear_1", "out_layer": "linear_2"}[parts[1]]
+            put(f"time_text_embed.{sub}.{lin}.{parts[2]}", value)
+        elif parts[0] == "final_layer":
+            if parts[1] == "adaLN_modulation":
+                put("norm_out.linear." + parts[3], _swap_scale_shift(value))
+            else:
+                put("proj_out." + parts[2], value)
+        elif parts[0] == "double_blocks":
+            n, mod, rest = parts[1], parts[2], parts[3:]
+            base = f"transformer_blocks.{n}."
+            txt = mod.startswith("txt_")
+            kind = mod.split("_", 1)[1]  # mod | attn | mlp
+            if kind == "mod":
+                put(base + ("norm1_context.linear." if txt else "norm1.linear.") + rest[1], value)
+            elif kind == "mlp":
+                fc = {"0": "ff_context.net.0.proj" if txt else "ff.net.0.proj",
+                      "2": "ff_context.net.2" if txt else "ff.net.2"}[rest[0]]
+                put(base + fc + "." + rest[1], value)
+            elif kind == "attn":
+                if rest[0] == "qkv":
+                    names = (
+                        ("add_q_proj", "add_k_proj", "add_v_proj")
+                        if txt
+                        else ("to_q", "to_k", "to_v")
+                    )
+                    for name, chunk in zip(names, np.split(value, 3, axis=0)):
+                        put(base + f"attn.{name}.{rest[1]}", chunk)
+                elif rest[0] == "norm":
+                    which = "q" if rest[1] == "query_norm" else "k"
+                    name = f"norm_added_{which}" if txt else f"norm_{which}"
+                    put(base + f"attn.{name}.weight", value)
+                else:  # proj
+                    put(base + ("attn.to_add_out." if txt else "attn.to_out.0.") + rest[1], value)
+        elif parts[0] == "single_blocks":
+            n, mod, rest = parts[1], parts[2], parts[3:]
+            base = f"single_transformer_blocks.{n}."
+            d = None
+            if mod == "linear1":
+                d = value.shape[0] // 7  # rows: 3d qkv + 4d mlp
+                q, k, v, mlp = np.split(value, [d, 2 * d, 3 * d], axis=0)
+                put(base + "attn.to_q." + rest[0], q)
+                put(base + "attn.to_k." + rest[0], k)
+                put(base + "attn.to_v." + rest[0], v)
+                put(base + "proj_mlp." + rest[0], mlp)
+            elif mod == "linear2":
+                put(base + "proj_out." + rest[0], value)
+            elif mod == "norm":
+                which = "q" if rest[0] == "query_norm" else "k"
+                put(base + f"attn.norm_{which}.weight", value)
+            elif mod == "modulation":
+                put(base + "norm.linear." + rest[1], value)
+            else:
+                raise ValueError(f"Unmapped BFL Flux key: {key}")
+        else:
+            raise ValueError(f"Unmapped BFL Flux key: {key}")
+    return convert_flux_state_dict(hf_sd)
+
+
 def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     """Split + convert a full LDM state dict → {"unet", "vae", "text_encoder"}
     flax trees. SD1.x text towers are transformers-layout under
@@ -266,6 +349,10 @@ def convert_ldm_checkpoint(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
     openclip_sd: Dict[str, np.ndarray] = {}
     xl_te1_sd: Dict[str, np.ndarray] = {}
     xl_te2_sd: Dict[str, np.ndarray] = {}
+
+    # BFL Flux single files keep the transformer at the TOP level
+    if any(k.startswith(("double_blocks.", "single_blocks.")) for k in sd):
+        return {"transformer": convert_flux_bfl_state_dict(sd)}
 
     # SD3: MMDiT shares the model.diffusion_model prefix but is a different
     # architecture (joint_blocks); split it out before the UNet renamer runs

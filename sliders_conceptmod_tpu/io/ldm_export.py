@@ -22,7 +22,18 @@ import numpy as np
 
 # flax module names where a trailing _<digit> is part of the torch name
 # itself, not a merged list index (io/torch_convert.py _merge_numeric)
-_KEEP_UNDERSCORE = {"linear_1", "linear_2", "mlp_fc1", "mlp_fc2", "block_1", "block_2", "attn_1"}
+_KEEP_UNDERSCORE = {
+    "linear_1",
+    "linear_2",
+    "mlp_fc1",
+    "mlp_fc2",
+    "block_1",
+    "block_2",
+    "attn_1",
+    # Flux flattened Dense names (models/flux.py)
+    "ff_net_2",
+    "ff_context_net_2",
+}
 
 _RESNET_INV = {
     "norm1": "in_layers.0",
@@ -303,6 +314,80 @@ def export_sd3_mmdit(params: Dict) -> Dict[str, np.ndarray]:
         raise ValueError(f"Cannot export SD3 MMDiT key: {key}")
     for key, chunks in qkv_parts.items():
         out[key] = np.concatenate([chunks["0"], chunks["1"], chunks["2"]], axis=0)
+    return out
+
+
+def export_flux_bfl(params: Dict) -> Dict[str, np.ndarray]:
+    """Flax Flux tree → BFL single-file layout (inverse of
+    ldm_convert.convert_flux_bfl_state_dict): re-fuses qkv (+mlp for the
+    single-stream linear1) and restores the img_/txt_ stream names."""
+    torch_sd = _flax_to_torch_entries(params)
+    out: Dict[str, np.ndarray] = {}
+    fused: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, value in torch_sd.items():
+        parts = key.split(".")
+        if parts[0] == "x_embedder":
+            out["img_in." + parts[1]] = value
+        elif parts[0] == "context_embedder":
+            out["txt_in." + parts[1]] = value
+        elif parts[0] == "time_text_embed":
+            emb = {
+                "timestep_embedder": "time_in",
+                "text_embedder": "vector_in",
+                "guidance_embedder": "guidance_in",
+            }[parts[1]]
+            lin = {"linear_1": "in_layer", "linear_2": "out_layer"}[parts[2]]
+            out[f"{emb}.{lin}.{parts[3]}"] = value
+        elif parts[0] == "norm_out":
+            out["final_layer.adaLN_modulation.1." + parts[2]] = _swap_scale_shift(value)
+        elif parts[0] == "proj_out":
+            out["final_layer.linear." + parts[1]] = value
+        elif parts[0] == "transformer_blocks":
+            n, rest = parts[1], parts[2:]
+            base = f"double_blocks.{n}."
+            if rest[0] == "norm1":
+                out[base + "img_mod.lin." + rest[2]] = value
+            elif rest[0] == "norm1_context":
+                out[base + "txt_mod.lin." + rest[2]] = value
+            elif rest[0] in ("ff_net_0_proj", "ff_net_2", "ff_context_net_0_proj", "ff_context_net_2"):
+                stream = "txt_mlp" if rest[0].startswith("ff_context") else "img_mlp"
+                idx = "0" if rest[0].endswith("proj") else "2"
+                out[base + f"{stream}.{idx}." + rest[-1]] = value
+            elif rest[0] == "attn":
+                name, leaf = rest[1], rest[-1]
+                if name in ("to_q", "to_k", "to_v"):
+                    fused.setdefault(base + "img_attn.qkv." + leaf, {})[name[3]] = value
+                elif name in ("add_q_proj", "add_k_proj", "add_v_proj"):
+                    fused.setdefault(base + "txt_attn.qkv." + leaf, {})[name[4]] = value
+                elif name in ("norm_q", "norm_k"):
+                    out[base + "img_attn.norm." + ("query_norm" if name[-1] == "q" else "key_norm") + ".scale"] = value
+                elif name in ("norm_added_q", "norm_added_k"):
+                    out[base + "txt_attn.norm." + ("query_norm" if name[-1] == "q" else "key_norm") + ".scale"] = value
+                elif name == "to_out":
+                    out[base + "img_attn.proj." + leaf] = value
+                elif name == "to_add_out":
+                    out[base + "txt_attn.proj." + leaf] = value
+                else:
+                    raise ValueError(f"Cannot export Flux key: {key}")
+            else:
+                raise ValueError(f"Cannot export Flux key: {key}")
+        elif parts[0] == "single_transformer_blocks":
+            n, rest = parts[1], parts[2:]
+            base = f"single_blocks.{n}."
+            if rest[0] == "norm_linear":
+                out[base + "modulation.lin." + rest[1]] = value
+            elif rest[0] in ("attn_to_q", "attn_to_k", "attn_to_v", "proj_mlp"):
+                slot = {"attn_to_q": "q", "attn_to_k": "k", "attn_to_v": "v", "proj_mlp": "m"}[rest[0]]
+                fused.setdefault(base + "linear1." + rest[1], {})[slot] = value
+            elif rest[0] in ("attn_norm_q", "attn_norm_k"):
+                out[base + "norm." + ("query_norm" if rest[0][-1] == "q" else "key_norm") + ".scale"] = value
+            elif rest[0] == "proj_out":
+                out[base + "linear2." + rest[1]] = value
+        else:
+            raise ValueError(f"Cannot export Flux key: {key}")
+    for key, chunks in fused.items():
+        order = ("q", "k", "v", "m") if "m" in chunks else ("q", "k", "v")
+        out[key] = np.concatenate([chunks[s] for s in order], axis=0)
     return out
 
 

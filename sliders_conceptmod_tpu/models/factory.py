@@ -493,7 +493,22 @@ def load_models_flux(
 
     is_tiny = "tiny" in str(name_or_path).lower()
     is_local = os.path.isdir(os.path.join(str(name_or_path), "transformer"))
+    is_single_file = os.path.isfile(str(name_or_path)) and str(name_or_path).endswith(
+        (".ckpt", ".safetensors")
+    )
     flux_cfg = FluxConfig.tiny() if is_tiny else FluxConfig.schnell()
+    if is_single_file:
+        # BFL single-file transformer (flux1-dev/schnell.safetensors layout).
+        # guidance_in keys => dev (guidance-distilled) variant
+        try:
+            import safetensors
+
+            with safetensors.safe_open(str(name_or_path), framework="np") as f:
+                has_guidance = any(k.startswith("guidance_in.") for k in f.keys())
+        except Exception:
+            has_guidance = False
+        if not is_tiny:
+            flux_cfg = FluxConfig.dev() if has_guidance else FluxConfig.schnell()
     model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
 
     seq_t5 = 8 if is_tiny else 512  # reference max_sequence_length (train_util.py:204)
@@ -557,6 +572,16 @@ def load_models_flux(
             return text.astype(weight_dtype), pooled.astype(weight_dtype)
 
     gh = gw = 4
+    if is_single_file:
+        from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler as _FMS
+        from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
+
+        trees = load_ldm_checkpoint(str(name_or_path))
+        params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
+        transformer = TransformerBundle(model, params, flux_cfg)
+        # BFL distributes the text stack separately; the stub encode_fn keeps
+        # the training graph identical until T5/CLIP dirs are supplied
+        return [tok], encode_fn, transformer, _FMS(use_dynamic_shifting=True)
     if is_local:
         from sliders_conceptmod_tpu.models.flux import convert_flux_state_dict
 

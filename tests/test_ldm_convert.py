@@ -316,3 +316,40 @@ def test_sd3_single_file_roundtrip():
         assert not missing and not extra, f"{name}: missing={sorted(missing)[:4]} extra={sorted(extra)[:4]}"
         for k in exp:
             np.testing.assert_array_equal(exp[k], got[k], err_msg=f"{name} {k}")
+
+
+def test_flux_bfl_single_file_roundtrip():
+    """BFL flux1-dev layout (double/single blocks, fused qkv(+mlp) linears,
+    img_/txt_ streams) round-trips bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.io import ldm_export as le
+    from sliders_conceptmod_tpu.models import flux as flux_mod
+
+    cfg = flux_mod.FluxConfig.tiny()
+    model = flux_mod.FluxTransformer2DModel(cfg)
+    img_ids = jnp.asarray(flux_mod.prepare_latent_image_ids(4, 4))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, cfg.in_channels)),
+        jnp.asarray([0.5]),
+        jnp.zeros((1, 2, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)),
+        jnp.zeros((2, 3)),
+        img_ids,
+    )["params"]
+
+    sd = le.export_flux_bfl(params)
+    assert any(k.startswith("double_blocks.0.img_attn.qkv") for k in sd)
+    assert any(k.startswith("single_blocks.0.linear1") for k in sd)
+    trees = lc.convert_ldm_checkpoint(sd)
+
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    exp = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(params)[0]}
+    got = {keystr(p): np.asarray(v) for p, v in tree_flatten_with_path(trees["transformer"])[0]}
+    missing, extra = set(exp) - set(got), set(got) - set(exp)
+    assert not missing and not extra, (sorted(missing)[:4], sorted(extra)[:4])
+    for k in exp:
+        np.testing.assert_array_equal(exp[k], got[k], err_msg=k)
