@@ -36,13 +36,18 @@ def main(argv=None):
     parser.add_argument("--output", required=True)
     parser.add_argument("--v2", action="store_true", help="SD2 (OpenCLIP text-tower layout)")
     parser.add_argument("--xl", action="store_true", help="SDXL (SGM conditioner layout)")
+    parser.add_argument("--sd3", action="store_true", help="SD3 (SGM MMDiT layout)")
+    parser.add_argument("--flux", action="store_true", help="Flux (BFL transformer-only layout)")
     parser.add_argument("--half", action="store_true", help="save float16 tensors")
     args = parser.parse_args(argv)
 
+    tes = vae = None
     if args.xl:
-        tokenizers, tes, unet, scheduler, vae = factory.load_models_xl(
-            args.base, with_vae=True
-        )
+        tokenizers, tes, unet, scheduler, vae = factory.load_models_xl(args.base, with_vae=True)
+    elif args.sd3:
+        tokenizers, tes, unet, scheduler = factory.load_models_sd3(args.base)
+    elif args.flux:
+        tokenizers, encode_fn, unet, scheduler = factory.load_models_flux(args.base)
     else:
         tokenizer, te, vae, unet, scheduler = factory.load_models(
             args.base, scheduler_name="ddim", v2=args.v2, with_vae=True
@@ -53,12 +58,21 @@ def main(argv=None):
         exact = settings_from_checkpoint(args.slider)
         if exact is not None:
             rank, alpha = exact
-        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
-        if network_type == "c3lier":
-            targets = targets + lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
-        sites = lora_lib.create_sites(
-            unet_params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
-        )
+        if args.sd3 or args.flux:
+            # SD3/Flux trainers target the transformer attention with "-"
+            # delimited keys (cli/train_lora_sd3.py, train_lora_flux.py)
+            sites = lora_lib.create_sites(
+                unet_params, rank=rank, alpha=alpha, target_replace=["Attention"],
+                train_method=train_method, delimiter="-",
+            )
+        else:
+            targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
+            if network_type == "c3lier":
+                targets = targets + lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
+            sites = lora_lib.create_sites(
+                unet_params, rank=rank, alpha=alpha, target_replace=targets,
+                train_method=train_method,
+            )
         sites = lora_lib.filter_sites_to_checkpoint(args.slider, sites)
         if not sites:
             raise ValueError(f"No matching LoRA keys between UNet and {args.slider}")
@@ -70,6 +84,10 @@ def main(argv=None):
         sd = ldm_export.export_sdxl_checkpoint(
             unet_params, tes[0].params, tes[1].params, vae.params
         )
+    elif args.sd3:
+        sd = ldm_export.export_sd3_checkpoint(unet_params, tes[0].params, tes[1].params)
+    elif args.flux:
+        sd = ldm_export.export_flux_bfl(unet_params)
     else:
         sd = ldm_export.export_ldm_checkpoint(unet_params, te.params, vae.params, v2=args.v2)
     if args.half:
