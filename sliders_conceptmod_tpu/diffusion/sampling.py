@@ -146,6 +146,9 @@ def predict_noise(
         scaled = scheduler.scale_model_input(schedule, model_in, step_index)
         timestep = schedule.timesteps[step_index]
     else:
+        if use_cfg and jnp.ndim(train_t) >= 1:
+            # per-row timesteps double with the CFG rows
+            train_t = jnp.tile(train_t, 2)
         scaled = scheduler.scale_model_input_train_t(schedule, model_in, train_t)
         timestep = train_t
     if not use_cfg:
@@ -194,6 +197,65 @@ def denoise_partial(
         return (lat, st, k)
 
     latents, _, _ = jax.lax.fori_loop(start_step, total_steps, body, (latents, state, key))
+    return latents
+
+
+def denoise_partial_per_row(
+    unet_apply: UNetApply,
+    unet_params,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,  # [B, C, H, W] — independent samples as ROWS
+    text_embeddings: jnp.ndarray,  # [B or 2B, S, D]
+    key: jax.Array,
+    *,
+    total_steps,  # [B] int vector — per-row trip counts
+    guidance_scale=1.0,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Like :func:`denoise_partial` but each row denoises its OWN number of
+    steps inside ONE shared loop to ``max(total_steps)``, with finished rows
+    masked out.
+
+    This is the fused-sample warm-up: independent per-step samples
+    (``ESDConfig.samples_per_step``) batch onto the row axis. Wasted-FLOP
+    bound: E[max of k trips]/E[single trip] ≈ 1.6 at k=4. Measured on v5e the
+    fused step is +5% over vmapping the divergent loops (the chip is already
+    compute-bound at batch 1 — BASELINE.md phase table); the structural win
+    is ONE row axis for the mesh to shard and no per-sample loop machinery.
+    """
+    state = scheduler.init_step_state(latents.shape)
+    row_mask_shape = (latents.shape[0],) + (1,) * (latents.ndim - 1)
+
+    def mask_state(active, new_st, old_st):
+        def pick(a, b):
+            if a.ndim == latents.ndim + 1:  # leading history axis (LMS)
+                return jnp.where(active[None], a, b)
+            return jnp.where(active, a, b)
+
+        return jax.tree.map(pick, new_st, old_st)
+
+    def body(i, carry):
+        lat, st, k = carry
+        k, sub = jax.random.split(k)
+        eps = predict_noise(
+            unet_apply,
+            unet_params,
+            scheduler,
+            schedule,
+            lat,
+            text_embeddings,
+            step_index=i,
+            guidance_scale=guidance_scale,
+            added_cond_kwargs=added_cond_kwargs,
+        )
+        new_lat, new_st = scheduler.step(schedule, eps, i, lat, st, key=sub)
+        active = (i < total_steps).reshape(row_mask_shape)
+        return (jnp.where(active, new_lat, lat), mask_state(active, new_st, st), k)
+
+    latents, _, _ = jax.lax.fori_loop(
+        0, jnp.max(total_steps), body, (latents, state, key)
+    )
     return latents
 
 

@@ -185,7 +185,9 @@ class NoiseScheduler:
         predicts at a raw timestep (reference train_lora_xl.py:233-238 with
         train_util.py:463 scale_model_input)."""
         if schedule.kind in ("lms", "euler_a"):
-            sigma = schedule.train_sigmas[train_t]
+            sigma = jnp.asarray(schedule.train_sigmas)[train_t]
+            if jnp.ndim(sigma) > 0:  # per-row timesteps (fused-sample batches)
+                sigma = sigma.reshape((-1,) + (1,) * (sample.ndim - 1))
             return sample / jnp.sqrt(sigma**2 + 1).astype(sample.dtype)
         return sample
 

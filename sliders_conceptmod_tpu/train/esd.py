@@ -51,6 +51,7 @@ from sliders_conceptmod_tpu.core.prompts import action_sign
 from sliders_conceptmod_tpu.diffusion.sampling import (
     current_train_timestep,
     denoise_partial,
+    denoise_partial_per_row,
     get_initial_latents,
     predict_noise,
 )
@@ -119,6 +120,13 @@ class ESDConfig:
     shard_samples: bool = False  # constrain the sample axis to the mesh 'data' axis
     num_train_timesteps: int = 1000
     remat_unet: bool = True  # jax.checkpoint the student UNet call
+    # samples_per_step > 1: fuse the independent samples onto the row axis
+    # (one masked warm-up loop to max trip, one teacher, one student) instead
+    # of vmapping divergent loops. Numerically identical draws/loss; measured
+    # +5% on v5e at 4 samples (BASELINE.md — the chip is compute-bound at
+    # batch 1, so the win is overhead removal, not batching). Also gives the
+    # mesh ONE row axis to shard. Falls back to vmap unless batch_size == 1.
+    fuse_samples: bool = True
 
 
 def make_esd_train_step(
@@ -260,6 +268,118 @@ def make_esd_train_step(
 
         return loss_fn
 
+    def fused_samples_loss(base_params, lora_params, keys, k_loop, bank: PromptBank):
+        """samples_per_step independent samples as ROWS of one batch: one
+        masked warm-up loop to max(timesteps_to), one teacher call, one
+        student call. Exactly the vmap path's per-sample draws (same key
+        splits), so the semantics match the reference's independent-sample
+        accumulation; only the stochastic scheduler noise comes from a
+        shared per-iteration key (rows still get iid noise)."""
+        S = cfg.samples_per_step
+
+        def draw(key):
+            k_pair, k_t, k_noise, _ = jax.random.split(key, 4)
+            pair = jax.random.randint(k_pair, (), 0, bank.text.shape[0])
+            timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+            lat0 = get_initial_latents(k_noise, schedule, 1, cfg.height, cfg.width)[0]
+            return pair, timesteps_to, lat0
+
+        pair, timesteps_to, latents0 = jax.vmap(draw)(keys)
+        if cfg.shard_samples:
+            from jax.sharding import PartitionSpec as P
+
+            latents0 = jax.lax.with_sharding_constraint(latents0, P("data"))
+
+        text = bank.text[pair]  # [S, 5, seq, D]
+        pooled = bank.pooled[pair] if bank.pooled is not None else None
+        g_pair = bank.guidance[pair].reshape(S, 1, 1, 1)
+        sign = bank.sign[pair].reshape(S, 1, 1, 1)
+
+        def cfg_rows(role):
+            if not use_cfg:
+                return text[:, role]
+            return jnp.concatenate([text[:, ROLE_UNCOND], text[:, role]], axis=0)
+
+        def xl_kwargs(role):
+            if not is_xl:
+                return None
+            if not use_cfg:
+                return {
+                    "text_embeds": pooled[:, role],
+                    "time_ids": jnp.tile(add_time_ids, (S, 1)),
+                }
+            return {
+                "text_embeds": jnp.concatenate([pooled[:, ROLE_UNCOND], pooled[:, role]], axis=0),
+                "time_ids": jnp.tile(add_time_ids, (2 * S, 1)),
+            }
+
+        student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        denoised = denoise_partial_per_row(
+            unet_apply,
+            student_params_sg,
+            scheduler,
+            schedule,
+            latents0,
+            cfg_rows(ROLE_TARGET),
+            k_loop,
+            total_steps=timesteps_to,
+            guidance_scale=cfg.train_cfg_scale,
+            added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+        )
+        denoised = jax.lax.stop_gradient(denoised)
+        current_t = current_train_timestep(
+            timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
+        )  # [S]
+
+        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+        if use_cfg:
+            roles = (ROLE_UNCOND,) + roles
+        n_rows = len(roles)
+        teacher_rows = jnp.concatenate([text[:, r] for r in roles], axis=0)
+        teacher_t = jnp.tile(current_t, n_rows)
+        scaled = scheduler.scale_model_input_train_t(
+            schedule, jnp.concatenate([denoised] * n_rows, axis=0), teacher_t
+        )
+        teacher_kwargs = None
+        if is_xl:
+            teacher_kwargs = {
+                "text_embeds": jnp.concatenate([pooled[:, r] for r in roles], axis=0),
+                "time_ids": jnp.tile(add_time_ids, (n_rows * S, 1)),
+            }
+        teacher_eps = unet_apply(
+            base_params, scaled, teacher_t, teacher_rows, added_cond_kwargs=teacher_kwargs
+        )
+        gs = cfg.train_cfg_scale
+        if use_cfg:
+            e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
+            pos_lat = e_u + gs * (e_pos - e_u)
+            neu_lat = e_u + gs * (e_neu - e_u)
+            neg_lat = e_u + gs * (e_neg - e_u)
+        else:
+            pos_lat, neu_lat, neg_lat = jnp.split(teacher_eps, 3, axis=0)
+
+        esd_target = jax.lax.stop_gradient(
+            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+        )
+
+        def loss_fn(lp):
+            sp = merge(base_params, sites, lp, 1.0)
+            student_eps = predict_noise(
+                student_apply,
+                sp,
+                scheduler,
+                schedule,
+                denoised,
+                cfg_rows(ROLE_TARGET),
+                train_t=current_t,
+                guidance_scale=cfg.train_cfg_scale,
+                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+            )
+            diff = student_eps.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        return loss_fn
+
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
         # base_params flow through the jit signature — closure capture would
@@ -268,6 +388,12 @@ def make_esd_train_step(
         # the SDXL step runs within ~13MB of v5e HBM.
         if cfg.samples_per_step == 1:
             loss_fn = one_sample(base_params, lora_params, key, bank)
+            loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        elif cfg.fuse_samples and cfg.batch_size == 1:
+            keys = jax.random.split(key, cfg.samples_per_step)
+            loss_fn = fused_samples_loss(
+                base_params, lora_params, keys, jax.random.fold_in(key, 1), bank
+            )
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         else:
             keys = jax.random.split(key, cfg.samples_per_step)
