@@ -65,3 +65,23 @@ def test_xl_single_file_reload_matches_family(tmp_path):
     out1 = unet.apply_fn()(unet.params, x, jnp.asarray([3.0]), ctx, added_cond_kwargs=added)
     out2 = unet2.apply_fn()(unet2.params, x, jnp.asarray([3.0]), ctx, added_cond_kwargs=added)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_sd3_single_file_reload_matches_family(tmp_path):
+    toks, tes, tr, sched = factory.load_models_sd3("tiny-sd3")
+    path = str(tmp_path / "tiny-sd3.safetensors")
+    le.save_ldm_checkpoint(
+        path, le.export_sd3_checkpoint(tr.params, tes[0].params, tes[1].params)
+    )
+    toks2, tes2, tr2, sched2 = factory.load_models_sd3(path)
+    _trees_equal(tr.params, tr2.params)
+    _trees_equal(tes[0].params, tes2[0].params)
+    _trees_equal(tes[1].params, tes2[1].params)
+
+
+def test_flux_single_file_reload_matches_family(tmp_path):
+    toks, enc, tr, sched = factory.load_models_flux("tiny-flux")
+    path = str(tmp_path / "tiny-flux.safetensors")
+    le.save_ldm_checkpoint(path, le.export_flux_bfl(tr.params))
+    toks2, enc2, tr2, sched2 = factory.load_models_flux(path)
+    _trees_equal(tr.params, tr2.params)
