@@ -43,8 +43,11 @@ def train(
 ):
     weight_dtype = config_util.parse_precision(config.train.precision)
     is_flux = model in ("FLUX.1", "tiny-flux")
-    if not is_flux and model not in ("SDXL", "PonyXL", "tiny"):
-        raise NotImplementedError(f"model={model} not supported (SDXL/PonyXL/FLUX.1)")
+    is_sd3 = model in ("SD3-Medium", "tiny-sd3")
+    if not is_flux and not is_sd3 and model not in ("SDXL", "PonyXL", "tiny"):
+        raise NotImplementedError(
+            f"model={model} not supported (SDXL/PonyXL/SD3-Medium/FLUX.1)"
+        )
 
     if is_flux and clip_index == 1:
         # FLUX te2 = T5 (reference train_notrigger.py:188-191 target
@@ -73,6 +76,18 @@ def train(
         def encode_hidden(p, ids):
             return t5_model.apply({"params": p}, ids)
 
+    elif is_sd3:
+        # reference train_notrigger.py:148-176: SD3-Medium trains the slider
+        # inside one of the pipeline's two CLIP towers (clip_l / clip_g)
+        name = "tiny-sd3" if "tiny" in model else config.pretrained_model.name_or_path
+        tokenizers, text_encoders, _tr, _sched = factory.load_models_sd3(
+            name, weight_dtype=weight_dtype
+        )
+        te = text_encoders[clip_index]
+        prefix = ["lora_te1", "lora_te2"][clip_index]
+        target_replace_override = None
+        name_path_prefix = CLIP_NAME_PATH_PREFIX
+        train_method_override = None
     else:
         name = "tiny-xl" if model in ("tiny", "tiny-flux") else config.pretrained_model.name_or_path
         tokenizers, text_encoders, _unet, _sched = factory.load_models_xl(
