@@ -284,7 +284,12 @@ def build_parser():
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="dora", help="dora (default) or lora")
     parser.add_argument("--positive", type=str, nargs="+", default=None)
-    parser.add_argument("--model", type=str, default="SDXL", help="SDXL (or tiny for smoke)")
+    parser.add_argument(
+        "--model",
+        type=str,
+        default="SDXL",
+        help="SDXL | PonyXL | SD3-Medium | FLUX.1 (tiny/tiny-sd3/tiny-flux for smoke)",
+    )
     parser.add_argument("--negative", type=str, default=None)
     parser.add_argument("--clip_index", type=int, required=True)
     return parser
