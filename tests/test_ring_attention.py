@@ -1,0 +1,47 @@
+"""Ring attention (sequence parallelism) vs dense attention — exact-softmax
+equivalence on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sliders_conceptmod_tpu.ops.attention import _xla_attention
+from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+from sliders_conceptmod_tpu.parallel.ring_attention import ring_attention
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_matches_dense():
+    m = mesh_lib.make_mesh(data=8, model=1)
+    B, S, H, D = 2, 8 * 16, 3, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, S, H, D)) * 0.3
+    k = jax.random.normal(kk, (B, S, H, D)) * 0.3
+    v = jax.random.normal(kv, (B, S, H, D))
+
+    expected = np.asarray(_xla_attention(q, k, v, D**-0.5))
+
+    spec = NamedSharding(m, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    with m:
+        out = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh=m))(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_uneven_heads_and_scale():
+    m = mesh_lib.make_mesh(data=8, model=1)
+    B, S, H, D = 1, 8 * 4, 5, 8
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (B, S, H, D))
+    k = jax.random.normal(kk, (B, S, H, D))
+    v = jax.random.normal(kv, (B, S, H, D))
+    expected = np.asarray(_xla_attention(q * 0.5 * jnp.sqrt(D), k, v, D**-0.5))
+    # explicit non-default scale
+    spec = NamedSharding(m, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    with m:
+        out = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh=m, scale=0.5))(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
