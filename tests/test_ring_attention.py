@@ -45,3 +45,31 @@ def test_ring_attention_uneven_heads_and_scale():
     with m:
         out = jax.jit(lambda a, b, c: ring_attention(a, b, c, mesh=m, scale=0.5))(qs, ks, vs)
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ring_attention_gradients_match_dense():
+    m = mesh_lib.make_mesh(data=8, model=1)
+    B, S, H, D = 1, 8 * 8, 2, 8
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(kq, (B, S, H, D)) * 0.3
+    k = jax.random.normal(kk, (B, S, H, D)) * 0.3
+    v = jax.random.normal(kv, (B, S, H, D))
+    ct = jax.random.normal(kg, (B, S, H, D))
+
+    def dense_loss(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, D**-0.5) * ct)
+
+    expected = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+
+    spec = NamedSharding(m, P(None, "data", None, None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    cts = jax.device_put(ct, spec)
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh=m) * cts)
+
+    with m:
+        got = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(qs, ks, vs)
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=3e-5, rtol=3e-5)
