@@ -53,27 +53,50 @@ def sample_loop(
     guidance_rescale: float = 0.0,
     added_cond_kwargs: Optional[dict] = None,
 ) -> jnp.ndarray:
-    """Full denoise with the one-time slider flip at ``flip_step``."""
+    """Full denoise with the one-time slider flip at ``flip_step``.
+
+    CFG follows diffusers semantics: ``guidance_scale <= 1`` disables
+    classifier-free guidance and runs the CONDITIONAL rows only (turbo
+    models are distilled without CFG — ``u + 0·(c−u) = u`` would wrongly
+    return the unconditional prediction, and g==1 reduces to the
+    conditional anyway). ``text_embeddings`` stays [2B] uncond++cond either
+    way; the fast path slices the cond half statically (half the UNet rows).
+    """
     n = schedule.num_inference_steps
     state = scheduler.init_step_state(latents.shape)
+    use_cfg = float(guidance_scale) > 1.0
+    B = latents.shape[0]
+    if not use_cfg:
+        cond_emb = text_embeddings[B:]
+        cond_added = (
+            {k_: v[v.shape[0] // 2:] for k_, v in added_cond_kwargs.items()}
+            if added_cond_kwargs is not None
+            else None
+        )
 
     def make_body(params):
         def body(i, carry):
             lat, st, k = carry
             k, sub = jax.random.split(k)
-            doubled = jnp.concatenate([lat] * 2, axis=0)
-            scaled = scheduler.scale_model_input(schedule, doubled, i)
-            eps = unet_apply(
-                params,
-                scaled,
-                schedule.timesteps[i],
-                text_embeddings,
-                added_cond_kwargs=added_cond_kwargs,
-            )
-            uncond, cond = jnp.split(eps, 2, axis=0)
-            guided = uncond + guidance_scale * (cond - uncond)
-            if guidance_rescale > 0:
-                guided = rescale_noise_cfg(guided, cond, guidance_rescale)
+            if not use_cfg:
+                scaled = scheduler.scale_model_input(schedule, lat, i)
+                guided = unet_apply(
+                    params, scaled, schedule.timesteps[i], cond_emb, added_cond_kwargs=cond_added
+                )
+            else:
+                doubled = jnp.concatenate([lat] * 2, axis=0)
+                scaled = scheduler.scale_model_input(schedule, doubled, i)
+                eps = unet_apply(
+                    params,
+                    scaled,
+                    schedule.timesteps[i],
+                    text_embeddings,
+                    added_cond_kwargs=added_cond_kwargs,
+                )
+                uncond, cond = jnp.split(eps, 2, axis=0)
+                guided = uncond + guidance_scale * (cond - uncond)
+                if guidance_rescale > 0:
+                    guided = rescale_noise_cfg(guided, cond, guidance_rescale)
             lat, st = scheduler.step(schedule, guided, i, lat, st, key=sub)
             return (lat, st, k)
 

@@ -1,5 +1,7 @@
 """combine_loras key-renaming parity + sampler start_noise gating math."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -44,3 +46,47 @@ def test_flip_step_for_start_noise():
     # degenerate ends
     assert flip_step_for_start_noise(schedule, 2000) == 0  # always on
     assert flip_step_for_start_noise(schedule, -1) == 50  # never on
+
+
+def test_sample_loop_g0_uses_conditional_rows():
+    """guidance_scale <= 1 disables CFG and must use the CONDITIONAL rows
+    (diffusers do_classifier_free_guidance semantics; turbo models).
+    u + 0*(c-u) = u would wrongly return the unconditional prediction."""
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.infer.generate import sample_loop
+    from sliders_conceptmod_tpu.models import factory
+
+    tok, te, unet, _ = factory.load_models("tiny")
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(2)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8)) * schedule.init_noise_sigma
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 32)) * 0.2
+    uncond = jnp.zeros((1, 5, 32))
+    emb = jnp.concatenate([uncond, cond], axis=0)
+
+    def run(g):
+        return np.asarray(
+            sample_loop(
+                unet.apply_fn(), unet.params, unet.params, 0, scheduler, schedule,
+                lat, emb, jax.random.PRNGKey(2), guidance_scale=g,
+            )
+        )
+
+    # g=0 must equal the pure-conditional trajectory, NOT the uncond one
+    cond_only = np.asarray(
+        sample_loop(
+            unet.apply_fn(), unet.params, unet.params, 0, scheduler, schedule,
+            lat, jnp.concatenate([cond, cond], axis=0), jax.random.PRNGKey(2),
+            guidance_scale=7.5,  # forced CFG with identical halves == conditional
+        )
+    )
+    np.testing.assert_allclose(run(0.0), cond_only, atol=1e-5)
+    # and differ from the unconditional trajectory
+    uncond_only = np.asarray(
+        sample_loop(
+            unet.apply_fn(), unet.params, unet.params, 0, scheduler, schedule,
+            lat, jnp.concatenate([uncond, uncond], axis=0), jax.random.PRNGKey(2),
+            guidance_scale=7.5,
+        )
+    )
+    assert np.abs(run(0.0) - uncond_only).max() > 1e-4
