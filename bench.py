@@ -100,7 +100,7 @@ def bench_sd3(n_steps, res, dtype):
     )
 
 
-def bench_infer(n_images, res, steps, dtype):
+def bench_infer(n_images, res, steps, dtype, guidance=7.5):
     """DDIM images/sec — the second north-star metric (BASELINE.md targets).
 
     Mirrors the reference inference sweep protocol
@@ -143,7 +143,7 @@ def bench_infer(n_images, res, steps, dtype):
     def run(latents, key):
         return sample_loop(
             unet_apply, params, params, flip, scheduler, schedule, latents, text_emb,
-            key, guidance_scale=7.5, added_cond_kwargs=added,
+            key, guidance_scale=guidance, added_cond_kwargs=added,
         )
 
     lat_shape = (1, 4, res // 8, res // 8)
@@ -157,10 +157,11 @@ def bench_infer(n_images, res, steps, dtype):
         )
     jax.block_until_ready(out)
     ips = n_images / (time.time() - t0)
+    tag = "" if guidance > 1 else "_noCFG"
     print(
         json.dumps(
             {
-                "metric": f"sdxl_ddim{steps}_images_per_sec_{res}px",
+                "metric": f"sdxl_ddim{steps}_images_per_sec_{res}px{tag}",
                 "value": round(ips, 4),
                 "unit": "images/s",
                 "vs_baseline": round(ips, 4),
@@ -197,6 +198,7 @@ def main():
             res=int(os.environ.get("BENCH_RES", "1024")),
             steps=int(os.environ.get("BENCH_DDIM_STEPS", "50")),
             dtype=dtype,
+            guidance=float(os.environ.get("BENCH_GUIDANCE", "7.5")),
         )
         return
     if model_kind == "tiny":
