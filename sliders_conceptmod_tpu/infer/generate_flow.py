@@ -41,10 +41,17 @@ def sample_flow_loop(
     guidance_scale: float = 7.0,
 ) -> jnp.ndarray:
     """Two-phase flow-Euler sampling with CFG (cond-only when the embedding
-    batch matches the latents batch)."""
+    batch matches the latents batch). ``guidance_scale <= 1`` statically
+    disables CFG and uses the conditional rows (diffusers semantics —
+    ``v_u + 0·(v_c − v_u)`` would return the unconditional velocity)."""
     n = schedule.num_inference_steps
     b = latents.shape[0]
     use_cfg = text_embeddings.shape[0] != b
+    if use_cfg and float(guidance_scale) <= 1.0:
+        text_embeddings = text_embeddings[b:]
+        if pooled is not None and pooled.shape[0] == 2 * b:
+            pooled = pooled[b:]
+        use_cfg = False
 
     def make_body(params):
         def body(i, lat):
