@@ -204,7 +204,7 @@ def convert_sd3_mmdit_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
         parts = key.split(".")
         if parts[0] == "pos_embed":
             continue  # deterministic 2D sin-cos table; recomputed at apply
-        mapped: str
+        mapped = None
         if parts[0] == "x_embedder":
             mapped = ".".join(["pos_embed"] + parts[1:])
         elif parts[0] in ("t_embedder", "y_embedder"):
@@ -315,7 +315,6 @@ def convert_flux_bfl_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
         elif parts[0] == "single_blocks":
             n, mod, rest = parts[1], parts[2], parts[3:]
             base = f"single_transformer_blocks.{n}."
-            d = None
             if mod == "linear1":
                 d = value.shape[0] // 7  # rows: 3d qkv + 4d mlp
                 q, k, v, mlp = np.split(value, [d, 2 * d, 3 * d], axis=0)
