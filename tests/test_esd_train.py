@@ -178,3 +178,58 @@ def test_fused_samples_matches_vmap_path():
 
     assert losses[True] > 0
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_fused_samples_matches_vmap_path_with_cfg():
+    """Same equivalence under active CFG (train_cfg_scale != 1): exercises
+    the fused path's doubled rows and per-row-timestep tiling."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+    from sliders_conceptmod_tpu.train import esd
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    cfg_u = UNetConfig.tiny()
+    model = UNet2DConditionModel(cfg_u)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8)), jnp.zeros((1,)), jnp.zeros((1, 5, 32))
+    )["params"]
+
+    def unet_apply(p, s, t, c, added_cond_kwargs=None):
+        return model.apply({"params": p}, s, t, c)
+
+    sites = lora_lib.create_sites(params, rank=2, train_method="full")
+    lora_params = jax.tree.map(
+        lambda a: a + 0.01, lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    )
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(4)
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
+        return jax.random.normal(k, (5, 32)) * 0.1, None
+
+    bank = esd.build_prompt_bank(
+        [PromptSettings(target="sky", positive="blue sky", resolution=64)], encode_fn
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+
+    losses = {}
+    for fuse in (True, False):
+        ecfg = esd.ESDConfig(
+            max_denoising_steps=4,
+            train_cfg_scale=3.0,
+            height=64,
+            width=64,
+            samples_per_step=2,
+            remat_unet=False,
+            fuse_samples=fuse,
+        )
+        step = esd.make_esd_train_step(unet_apply, sites, scheduler, schedule, opt, ecfg)
+        lp = jax.tree.map(np.asarray, lora_params)
+        _, _, metrics = step(params, lp, opt.init(lp), jax.random.PRNGKey(11), bank)
+        losses[fuse] = float(metrics["loss"])
+
+    assert losses[True] > 0
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
