@@ -248,7 +248,7 @@ def main():
 
     ecfg = esd.ESDConfig(
         max_denoising_steps=max_denoise,
-        train_cfg_scale=1.0,
+        train_cfg_scale=float(os.environ.get("BENCH_CFG", "1.0")),
         batch_size=batch,
         height=res,
         width=res,
