@@ -64,7 +64,13 @@ def sample_loop(
     """
     n = schedule.num_inference_steps
     state = scheduler.init_step_state(latents.shape)
-    use_cfg = float(guidance_scale) > 1.0
+    try:
+        use_cfg = float(guidance_scale) > 1.0
+    except jax.errors.ConcretizationTypeError:
+        # traced guidance (e.g. serve.py jits it as an argument): keep the
+        # dynamic CFG path — u + g·(c−u) is correct for any g > 1 and for
+        # g == 1; traced turbo-style g < 1 callers must pass a Python float
+        use_cfg = True
     B = latents.shape[0]
     if not use_cfg:
         cond_emb = text_embeddings[B:]

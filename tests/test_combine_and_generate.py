@@ -90,3 +90,27 @@ def test_sample_loop_g0_uses_conditional_rows():
         )
     )
     assert np.abs(run(0.0) - uncond_only).max() > 1e-4
+
+
+def test_sample_loop_accepts_traced_guidance():
+    """serve.py jits the sampler with guidance_scale as an ARGUMENT — the
+    g<=1 fast-path check must not concretize a tracer."""
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.infer.generate import sample_loop
+    from sliders_conceptmod_tpu.models import factory
+
+    tok, te, unet, _ = factory.load_models("tiny")
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(2)
+    lat = jnp.zeros((1, 4, 8, 8))
+    emb = jnp.zeros((2, 5, 32))
+
+    @jax.jit
+    def run(g):
+        return sample_loop(
+            unet.apply_fn(), unet.params, unet.params, 0, scheduler, schedule,
+            lat, emb, jax.random.PRNGKey(0), guidance_scale=g,
+        )
+
+    out = run(jnp.asarray(7.5))
+    assert np.isfinite(np.asarray(out)).all()
