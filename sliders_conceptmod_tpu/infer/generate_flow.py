@@ -47,7 +47,11 @@ def sample_flow_loop(
     n = schedule.num_inference_steps
     b = latents.shape[0]
     use_cfg = text_embeddings.shape[0] != b
-    if use_cfg and float(guidance_scale) <= 1.0:
+    try:
+        no_cfg = use_cfg and float(guidance_scale) <= 1.0
+    except jax.errors.ConcretizationTypeError:
+        no_cfg = False  # traced guidance keeps the dynamic CFG path
+    if no_cfg:
         text_embeddings = text_embeddings[b:]
         if pooled is not None and pooled.shape[0] == 2 * b:
             pooled = pooled[b:]
