@@ -122,12 +122,18 @@ def _init_unet(config: UNetConfig, dtype, seed: int = 0) -> UNetBundle:
     if config.addition_embed_type == "text_time":
         pooled_dim = config.projection_class_embeddings_input_dim - 6 * config.addition_time_embed_dim
         added = {"text_embeds": jnp.zeros((1, pooled_dim)), "time_ids": jnp.zeros((1, 6))}
-    params = model.init(jax.random.PRNGKey(seed), sample, jnp.zeros((1,)), ctx, added_cond_kwargs=added)[
-        "params"
-    ]
-    # store params at the configured precision (the reference casts the
-    # whole model: unet.to(device, dtype=weight_dtype), train_lora_xl.py:82)
-    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    # init + precision cast fused under ONE jit: materializing the full fp32
+    # SDXL param set (10.3GB) and then casting would peak at ~15.4GB — OOM on
+    # a 16GB v5e. Fused, XLA frees each fp32 leaf as its cast completes.
+    # (Storage at the configured precision mirrors the reference's
+    # unet.to(device, dtype=weight_dtype), train_lora_xl.py:82.)
+    def init_cast():
+        p = model.init(
+            jax.random.PRNGKey(seed), sample, jnp.zeros((1,)), ctx, added_cond_kwargs=added
+        )["params"]
+        return jax.tree.map(lambda a: a.astype(dtype), p)
+
+    params = jax.jit(init_cast)()
     return UNetBundle(model, params, config)
 
 
@@ -160,7 +166,13 @@ def _load_or_init_text_encoder(
     if os.path.isdir(sub):
         tree, cfg_json = tc.load_text_encoder_params(name_or_path, component)
         return TextEncoderBundle(model, tc.tree_to_jax(tree), tok)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    # init + precision cast fused under one jit (see _init_unet; an uncast
+    # weightless bigG alone is 2.8GB of fp32 HBM)
+    def init_cast():
+        p = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+        return jax.tree.map(lambda a: a.astype(dtype), p)
+
+    params = jax.jit(init_cast)()
     return TextEncoderBundle(model, params, tok)
 
 

@@ -149,6 +149,10 @@ def train(
 
     # --- prompt bank (then the encoders are garbage-collectable) ----------
     bank = esd.build_prompt_bank(prompts, encode_fn)
+    # encode_fn's closure is what actually keeps the towers alive — deleting
+    # only the local names leaves bigG+CLIP-L resident in HBM for the whole
+    # run (caught as a RESOURCE_EXHAUSTED on v5e at full SDXL scale)
+    del encode_fn
     if is_xl:
         del text_encoders
     else:
