@@ -114,10 +114,11 @@ def _classify_module(module_path: Tuple[str, ...]) -> Optional[Tuple[str, str, s
     child = module_path[-1]
     parent_seg = module_path[-2]
 
-    if parent_seg in ("attn1", "attn2", "attn") and child in _ATTENTION_CHILDREN:
+    if parent_seg in ("attn1", "attn2", "attn", "attention") and child in _ATTENTION_CHILDREN:
         # "attn" is the MMDiT joint-attention module name (SD3/Flux); its
         # context-stream children (add_q_proj/..., to_add_out) are excluded
-        # by the reference's 'add_' child skip (lora.py:227-228)
+        # by the reference's 'add_' child skip (lora.py:227-228).
+        # "attention" is the Stage-C AttnBlock's inner module (models/cascade.py)
         return "Attention", _dotted(module_path[:-1]), _dotted((child,))
     if parent_seg.startswith("resnets_") and child in _RESNET_CHILDREN:
         return "ResnetBlock2D", _dotted(module_path[:-1]), _dotted((child,))

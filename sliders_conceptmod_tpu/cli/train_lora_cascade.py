@@ -1,30 +1,220 @@
-"""Stable Cascade slider training — deliberately out of scope.
+"""CLI: Stable Cascade (Stage-C prior) textual slider training.
 
-The reference's Cascade trainer is broken upstream (SURVEY §2.4): it
-references a ``settings`` variable leaked from the prompt-caching loop and
-its ``DDPMWuerstchenScheduler`` import is commented out
-(reference ``conceptmod/textsliders/train_util.py:9,515``,
-``train_lora_cascade.py:213-266``), so the path only "runs" with builtin
-scheduler knowledge and cannot be executed as shipped. This stub exists so
-the CLI surface documents the decision instead of silently lacking it.
+Flag-surface parity: reference ``conceptmod/textsliders/train_lora_cascade.py``
+(argparse at :425-472: --config_file --alpha(required) --rank --device --name
+--attributes; save-name decoration at :370-376; ``train_lora`` programmatic
+API at :383-421) — with the upstream breakage repaired instead of replicated
+(SURVEY §2.4): the sampled prompt pair is used (not the ``settings`` variable
+leaked from the caching loop), and the ``wuerstchen`` scheduler name actually
+resolves (diffusion/wuerstchen.py) next to the shipped beta-scheduler path.
+
+Reference quirks kept: honors config optimizer/lr (lr_min = lr/100,
+:103-110), NO grad clipping (:312-314), saves torch-pickle ``.pt``
+(:329-346), prediction guidance hardcoded 4, ``timesteps_to`` fixed at
+``max_denoising_steps − 1``. ``c3lier`` network type degenerates to
+attention-only exactly as upstream: the conv class-name list
+(ResnetBlock2D/…) matches nothing inside a StableCascadeUNet.
 """
 
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
+
+import jax
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.core import config as config_util
+from sliders_conceptmod_tpu.core import prompts as prompt_util
+from sliders_conceptmod_tpu.models import factory
+from sliders_conceptmod_tpu.train import esd, esd_cascade
+from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--config_file", required=False)
-    parser.parse_known_args()
-    raise NotImplementedError(
-        "Stable Cascade slider training is out of scope: the reference "
-        "implementation is broken upstream (undefined scheduler import and a "
-        "leaked loop variable — see SURVEY.md §2.4). Use the SDXL/SD3/Flux "
-        "trainers instead."
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+    weight_dtype = config_util.parse_precision(config.train.precision)
+    tokenizer, te, prior, scheduler = factory.load_models_cascade(
+        config.pretrained_model.name_or_path,
+        scheduler_name=config.train.noise_scheduler,
+        weight_dtype=weight_dtype,
+    )
+    prior_cfg = prior.config
+    is_tiny = "tiny" in str(config.pretrained_model.name_or_path).lower()
+
+    def encode_fn(prompt: str):
+        text, pooled = factory.encode_prompts_cascade(te, [prompt])
+        if is_tiny:  # project the tiny tower into the tiny prior's cond dims
+            text = text[..., : prior_cfg.clip_text_in_channels]
+            pooled = pooled[..., : prior_cfg.clip_text_pooled_in_channels]
+        return text[0], pooled[0]
+
+    if peft_type == "dora":
+        from sliders_conceptmod_tpu.adapters import dora as peft_mod
+    else:
+        peft_mod = lora_lib
+
+    # reference: DEFAULT_TARGET_REPLACE (+ conv list under c3lier, which
+    # matches no Stage-C module class), train_lora_cascade.py:53-55,87-93
+    target_replace = list(lora_lib.DEFAULT_TARGET_REPLACE)
+    if config.network.type == "c3lier":
+        target_replace += lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
+    sites = peft_mod.create_sites(
+        prior.params,
+        rank=rank,
+        alpha=config.network.alpha,
+        target_replace=target_replace,
+        train_method=config.network.training_method,
+    )
+    key = jax.random.PRNGKey(config.tpu.seed)
+    key, k_init = jax.random.split(key)
+    init_extra = {"base_params": prior.params} if peft_type == "dora" else {}
+    lora_params = peft_mod.init_lora_params(k_init, sites, **init_extra)
+
+    # reference honors config here (unlike the XL trainer): optimizer from
+    # config.train.optimizer, lr_min = lr/100, no grad clip (:97-110,312-314)
+    sched_fn = get_lr_schedule(
+        config.train.lr_scheduler, config.train.lr, config.train.iterations, config.train.lr / 100
+    )
+    optimizer = get_optimizer(config.train.optimizer, sched_fn, config.train.optimizer_args)
+    opt_state = optimizer.init(lora_params)
+
+    bank = esd.build_prompt_bank(prompts, encode_fn)
+    empty_text, empty_pooled = encode_fn("")
+
+    schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
+    ccfg = esd_cascade.CascadeESDConfig(
+        max_denoising_steps=config.train.max_denoising_steps,
+        batch_size=prompts[0].batch_size,
+        height=prompts[0].resolution,
+        width=prompts[0].resolution,
+        latent_channels=prior_cfg.in_channels,
+        remat=not is_tiny,
+    )
+    step = esd_cascade.make_cascade_esd_train_step(
+        prior.apply_fn(),
+        sites,
+        scheduler,
+        schedule,
+        optimizer,
+        ccfg,
+        empty_text=empty_text,
+        empty_pooled=empty_pooled,
+        clip_image_dim=prior_cfg.clip_image_in_channels,
+        merge_fn=peft_mod.merge_lora_params,
+    )
+
+    save_path = Path(config.save.path)
+    from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
+
+    logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
+    for i in range(config.train.iterations):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(prior.params, lora_params, opt_state, k, bank)
+        logger.log(i, metrics)
+        if (
+            save_file
+            and config.save.per_steps
+            and i % config.save.per_steps == 0
+            and i != 0
+            and i != config.train.iterations - 1
+        ):
+            save_path.mkdir(parents=True, exist_ok=True)
+            # reference saves torch-pickle .pt for cascade (:329-338)
+            peft_mod.save_weights(save_path / f"{config.save.name}_{i}steps.pt", sites, lora_params)
+        if on_step_complete is not None:
+            on_step_complete(i)
+
+    logger.close()
+    if save_file:
+        save_path.mkdir(parents=True, exist_ok=True)
+        peft_mod.save_weights(save_path / f"{config.save.name}_last.pt", sites, lora_params)
+        return None
+    return peft_mod.state_dict_numpy(sites, lora_params)
+
+
+def main(args):
+    config = config_util.load_config_from_yaml(args.config_file)
+    if args.name is not None:
+        config.save.name = args.name
+    attributes = []
+    if args.attributes is not None:
+        attributes = [a.strip() for a in args.attributes.split(",")]
+    config.network.alpha = args.alpha
+    config.network.rank = args.rank
+    config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
+    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+
+
+def train_lora(
+    target,
+    positive,
+    negative,
+    unconditional,
+    alpha=1.0,
+    rank=4,
+    device=0,
+    name=None,
+    attributes=None,
+    batch_size=1,
+    config_file="data/config-cascade.yaml",
+    resolution=1024,
+    steps=None,
+    on_step_complete=None,
+    peft_type="lora",
+):
+    """Programmatic API — reference train_lora_cascade.py:383-421 (writes a
+    prompts yaml with neutral=target / enhance / g=4, trains, returns the
+    state dict)."""
+    import os
+
+    import yaml
+
+    spec = {
+        "target": target,
+        "positive": positive,
+        "negative": negative,
+        "unconditional": unconditional,
+        "neutral": target,
+        "action": "enhance",
+        "guidance_scale": 4,
+        "resolution": resolution,
+        "dynamic_resolution": False,
+        "batch_size": batch_size,
+    }
+    prompts_path = os.path.join(os.path.dirname(config_file) or ".", "prompts-api.yaml")
+    with open(prompts_path, "w") as f:
+        yaml.dump([spec], f)
+    config = config_util.load_config_from_yaml(config_file)
+    config.prompts_file = prompts_path
+    if name is not None:
+        config.save.name = name
+    if steps is not None:
+        config.train.iterations = steps
+    attr_list = [a.strip() for a in attributes.split(",")] if attributes else []
+    config.network.alpha = alpha
+    config.network.rank = rank
+    config.save.name += f"_alpha{alpha}_rank{rank}_{config.network.training_method}"
+    config.save.path += f"/{config.save.name}"
+    prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attr_list)
+    return train(
+        config, prompts, rank=rank, peft_type=peft_type, save_file=False,
+        on_step_complete=on_step_complete,
     )
 
 
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", required=True)
+    parser.add_argument("--alpha", type=float, required=True)
+    parser.add_argument("--rank", type=int, default=4)
+    parser.add_argument("--device", type=int, default=0, help="Ignored on TPU.")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--attributes", type=str, default=None)
+    parser.add_argument("--peft_type", type=str, default="lora")
+    return parser
+
+
 if __name__ == "__main__":
-    main()
+    main(build_parser().parse_args())

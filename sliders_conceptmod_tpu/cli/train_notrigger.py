@@ -175,9 +175,10 @@ def train(
     last_loss = None
     for i in range(config.train.iterations):
         lora_params, opt_state, metrics = step(te.params, lora_params, opt_state)
-        cur = logger.log(i, metrics)
+        logger.log(i, metrics)
         # stalled-loss early exit (reference :389-393)
         if i % 800 == 0 and i > 1000:
+            cur = logger.current_loss()
             if last_loss is not None and last_loss == cur:
                 print("loss stopped moving. exiting early.")
                 break

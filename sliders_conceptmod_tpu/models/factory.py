@@ -486,6 +486,75 @@ def encode_prompts_sd3(
     return jnp.concatenate([clip_embeds, t5_zeros], axis=1), jnp.concatenate(pooled, axis=-1)
 
 
+def load_models_cascade(
+    name_or_path: str,
+    scheduler_name: str = "euler_a",
+    weight_dtype=jnp.float32,
+):
+    """Stable Cascade prior — reference model_util.py:290-308 (tokenizer,
+    CLIP-G text encoder, Stage-C prior, scheduler from the config's
+    ``create_noise_scheduler`` name). ``scheduler_name="wuerstchen"`` selects
+    the functional ratio-space DDPMWuerstchenScheduler the reference's import
+    dance never reaches (SURVEY §2.4; diffusion/wuerstchen.py).
+
+    Zero-egress modes: a local diffusers dir with ``prior/`` safetensors
+    loads real weights (conversion untested — no cascade checkpoint on this
+    machine); anything else random-inits the true architecture, "tiny" in
+    the path selects the smoke-test config.
+    """
+    from sliders_conceptmod_tpu.diffusion.wuerstchen import WuerstchenScheduler
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+
+    is_tiny = "tiny" in str(name_or_path).lower()
+    if is_tiny:
+        te_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+        prior_cfg = CascadeConfig.tiny()
+    else:
+        te_cfg = CLIPTextConfig.sdxl_te2()  # CLIP-G/bigG, 1280-d projection
+        prior_cfg = CascadeConfig.prior()
+
+    te = _load_or_init_text_encoder(name_or_path, "text_encoder", te_cfg, weight_dtype, "tokenizer")
+
+    model = StableCascadeUNet(prior_cfg, dtype=weight_dtype)
+    sub = os.path.join(str(name_or_path), "prior")
+    if os.path.isdir(sub):
+        sd = tc._load_safetensors_dir(sub)
+        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+    else:
+        gh = gw = 4
+        def init_cast():
+            p = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, prior_cfg.in_channels, gh, gw)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 2, prior_cfg.clip_text_in_channels)),
+                jnp.zeros((1, 1, prior_cfg.clip_text_pooled_in_channels)),
+                jnp.zeros((1, 1, prior_cfg.clip_image_in_channels)),
+            )["params"]
+            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+
+        params = jax.jit(init_cast)()
+    prior = TransformerBundle(model, params, prior_cfg)
+
+    if scheduler_name == "wuerstchen":
+        scheduler = WuerstchenScheduler()
+    else:
+        scheduler = create_noise_scheduler(scheduler_name)
+    return te.tokenizer, te, prior, scheduler
+
+
+def encode_prompts_cascade(
+    te: TextEncoderBundle, prompts: Sequence[str]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cascade prompt encoding (reference ``encode_prompt_cascade``,
+    train_util.py:721-770): text = hidden_states[-1] (final layer, pre-LN),
+    pooled = projected text embedding with a singleton sequence axis."""
+    ids = jnp.asarray(te.tokenizer(list(prompts)))
+    out = te.apply(ids)
+    pooled = out.projected if out.projected is not None else out.pooled_output
+    return out.hidden_states[-1], pooled[:, None, :]
+
+
 def load_models_flux(
     name_or_path: str,
     weight_dtype=jnp.float32,

@@ -1,0 +1,205 @@
+"""ESD slider step for Stable Cascade (Stage-C prior).
+
+Semantics-parity target: reference ``train_lora_cascade.py:163-305`` with
+``diffusion_cascade`` / ``predict_noise_cascade``
+(``train_util.py:492-576,844-972``), minus the upstream breakage the build
+must not replicate (SURVEY §2.4):
+
+* the reference trains on ``settings`` — a variable LEAKED from the
+  prompt-caching loop (always the last YAML pair) — instead of the sampled
+  ``prompt_pair``. This build uses the sampled pair (documented fix).
+* ``DDPMWuerstchenScheduler`` is referenced but never imported; the shipped
+  path runs a beta scheduler (config: euler_a) stepped at integer timesteps
+  with the Stage-C *ratio* derived via ``get_t_conditioning``
+  (train_util.py:710-718,927-945). Both that path and the proper
+  ratio-space ``wuerstchen`` scheduler are supported here.
+
+Faithful quirks kept:
+
+* ``timesteps_to`` is FIXED at ``max_denoising_steps − 1`` (the random draw
+  is commented out upstream, train_lora_cascade.py:233-238) — so the
+  warm-up trip count is static,
+* prediction guidance is hardcoded 4 (``guidance_scale=4  # TODO``,
+  :262,276,289,303,... ) independent of the pair's loss guidance,
+* the CFG unconditional row is the EMPTY prompt (``negative_prompt=''`` in
+  ``encode_prompt_cascade``), not the pair's ``unconditional``,
+* branch predictions are RAW guided image-embedding predictions (never
+  scheduler-stepped, unlike SD3) — the loss compares predictions directly,
+* warm-up runs with the slider ON (multiplier 1), gradient-stopped, on the
+  pair's ``unconditional`` prompt,
+* ``current_timestep = timesteps₁₀₀₀[int(t_to·1000/T)]`` re-indexing
+  (train_lora_cascade.py:269-273).
+
+TPU restructurings (house style, train/esd.py): static-trip warm-up
+``fori_loop``, one 4-row batched teacher call, adapter-merge slider,
+metrics as device scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import math
+import optax
+
+from sliders_conceptmod_tpu.adapters import lora as lora_lib
+from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler
+from sliders_conceptmod_tpu.diffusion.wuerstchen import (
+    WuerstchenScheduler,
+    get_t_conditioning,
+)
+from sliders_conceptmod_tpu.train.esd import (
+    ROLE_NEGATIVE,
+    ROLE_NEUTRAL,
+    ROLE_POSITIVE,
+    ROLE_TARGET,
+    ROLE_UNCOND,
+    PromptBank,
+)
+
+
+@dataclass(frozen=True)
+class CascadeESDConfig:
+    max_denoising_steps: int = 20
+    predict_guidance: float = 4.0  # reference hardcodes 4 (TODO upstream)
+    batch_size: int = 1
+    height: int = 1024
+    width: int = 1024
+    latent_channels: int = 16
+    resolution_multiple: float = 42.67  # train_util.py:899
+    remat: bool = True
+
+    @property
+    def latent_hw(self):
+        return (
+            math.ceil(self.height / self.resolution_multiple),
+            math.ceil(self.width / self.resolution_multiple),
+        )
+
+
+def make_cascade_esd_train_step(
+    prior_apply: Callable,  # (params, x, r, clip_text, clip_text_pooled, clip_img)
+    sites,
+    scheduler,  # NoiseScheduler (beta path) or WuerstchenScheduler
+    schedule,  # matching T-step schedule
+    optimizer: optax.GradientTransformation,
+    cfg: CascadeESDConfig,
+    empty_text: jnp.ndarray,  # [S, D] embedding of ""
+    empty_pooled: jnp.ndarray,  # [1, Dp]
+    clip_image_dim: int,
+    merge_fn=None,
+):
+    merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    student_apply = jax.checkpoint(prior_apply) if cfg.remat else prior_apply
+    b = cfg.batch_size
+    g = cfg.predict_guidance
+    T = cfg.max_denoising_steps
+    t_to = T - 1  # fixed, reference train_lora_cascade.py:238
+    lh, lw = cfg.latent_hw
+    is_wuerstchen = isinstance(scheduler, WuerstchenScheduler)
+
+    if is_wuerstchen:
+        # conditioning ratio IS the schedule ratio; "1000-step" re-index is
+        # linspace(1,0,1001)[int(t_to·1000/T)]
+        warm_ratios = schedule.timesteps[:T]
+        current_ratio = jnp.float32(1.0 - (t_to * 1000 // T) / 1000.0)
+        init_sigma = 1.0
+    else:
+        if schedule.kind == "lms":
+            raise NotImplementedError("cascade trainer: lms needs state threading; use euler_a/ddim/ddpm/wuerstchen")
+        acp = schedule.alphas_cumprod
+        warm_ratios = get_t_conditioning(schedule.timesteps, acp)
+        # reference: scheduler.set_timesteps(1000); timesteps[int(t_to·1000/T)]
+        # (leading spacing over 1000 train steps ⇒ timesteps[i] = 999 − i)
+        current_train_t = 999 - (t_to * 1000 // T)
+        current_ratio = get_t_conditioning(jnp.int32(current_train_t), acp)
+        current_sigma = ((1.0 - acp[current_train_t]) / acp[current_train_t]) ** 0.5
+        init_sigma = schedule.init_noise_sigma
+
+    def tile(row):
+        return jnp.tile(row[None], (b,) + (1,) * row.ndim)
+
+    def sched_step(model_output, i, sample, key):
+        if is_wuerstchen:
+            return scheduler.step(schedule, model_output, i, sample, key)
+        prev, _ = scheduler.step(schedule, model_output, i, sample, key=key)
+        return prev
+
+    def scale_in(sample, i):
+        if is_wuerstchen:
+            return sample
+        return NoiseScheduler.scale_model_input(schedule, sample, i)
+
+    def predict_guided(apply_fn, params, x_in, ratio, text_c, pooled_c):
+        """CFG rows [cond, uncond('')] → u + g·(c − u) (reference
+        predict_noise_cascade: torch.lerp(uncond, text, g), :570-575)."""
+        doubled = jnp.concatenate([x_in, x_in], axis=0)
+        rr = jnp.broadcast_to(ratio, (2 * b,))
+        text = jnp.concatenate([text_c, tile(empty_text)], axis=0)
+        pooled = jnp.concatenate([pooled_c, tile(empty_pooled)], axis=0)
+        img = jnp.zeros((2 * b, 1, clip_image_dim), x_in.dtype)
+        pred = apply_fn(params, doubled, rr, text, pooled, img)
+        pred_c, pred_u = jnp.split(pred, 2, axis=0)
+        return pred_u + g * (pred_c - pred_u)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+        k_pair, k_noise, k_warm = jax.random.split(key, 3)
+        n_pairs = bank.text.shape[0]
+        pair = jax.random.randint(k_pair, (), 0, n_pairs)
+        text = bank.text[pair]
+        pooled = bank.pooled[pair]
+        g_pair = bank.guidance[pair]
+        sign = bank.sign[pair]
+
+        latents0 = (
+            jax.random.normal(k_noise, (b, cfg.latent_channels, lh, lw), jnp.float32)
+            * init_sigma
+        )
+
+        # warm-up: slider ON, pair's unconditional prompt, grad-stopped
+        student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        warm_text, warm_pooled = tile(text[ROLE_UNCOND]), tile(pooled[ROLE_UNCOND])
+
+        def body(i, lat):
+            guided = predict_guided(
+                prior_apply, student_params, scale_in(lat, i), warm_ratios[i], warm_text, warm_pooled
+            )
+            return sched_step(guided, i, lat, jax.random.fold_in(k_warm, i))
+
+        denoised = jax.lax.stop_gradient(jax.lax.fori_loop(0, t_to, body, latents0))
+        x_in = denoised if is_wuerstchen else (denoised / jnp.sqrt(current_sigma**2 + 1)).astype(denoised.dtype)
+
+        # teacher: pos/neu/neg cond rows + one shared '' row, one batched call
+        troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+        teacher_text = jnp.concatenate([tile(text[r]) for r in troles] + [tile(empty_text)], axis=0)
+        teacher_pooled = jnp.concatenate([tile(pooled[r]) for r in troles] + [tile(empty_pooled)], axis=0)
+        rr = jnp.broadcast_to(current_ratio, (4 * b,))
+        img = jnp.zeros((4 * b, 1, clip_image_dim), x_in.dtype)
+        preds = prior_apply(
+            base_params, jnp.concatenate([x_in] * 4, axis=0), rr, teacher_text, teacher_pooled, img
+        )
+        p_pos, p_neu, p_neg, p_unc = jnp.split(preds, 4, axis=0)
+        guided = lambda p: p_unc + g * (p - p_unc)
+        esd_target = jax.lax.stop_gradient(
+            (guided(p_neu) + sign * g_pair * (guided(p_pos) - guided(p_neg))).astype(jnp.float32)
+        )
+
+        def loss_fn(lp):
+            sp = merge(base_params, sites, lp, 1.0)
+            tgt = predict_guided(
+                student_apply, sp, x_in, current_ratio, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET])
+            )
+            diff = tgt.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+        lora_params = optax.apply_updates(lora_params, updates)
+        return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return train_step

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, List, Optional
@@ -39,6 +38,7 @@ from sliders_conceptmod_tpu.core.prompts import PromptSettings
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 from sliders_conceptmod_tpu.models import factory
 from sliders_conceptmod_tpu.train import esd
+from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
@@ -215,24 +215,22 @@ def train(
         except Exception as e:  # wandb not installed / offline
             print(f"wandb disabled: {e}")
     save_path.mkdir(parents=True, exist_ok=True)
-    metrics_file = open(save_path / f"{config.save.name}_metrics.jsonl", "a")
+    logger = MetricsLogger(
+        save_path,
+        config.save.name,
+        # wandb wants a value per step; verbose prints per step — both force
+        # the per-step host sync the buffered logger otherwise avoids
+        verbose=config.logging.verbose,
+        flush_every=1 if wandb_run is not None else 64,
+    )
 
     # --- loop -------------------------------------------------------------
-    losses: List[float] = []
-    t_start = None
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
         lora_params, opt_state, metrics = step_fn(unet.params, lora_params, opt_state, k_step, bank)
-        if i == start_step:
-            jax.block_until_ready(metrics["loss"])  # exclude compile from steps/sec
-            t_start = time.time()
-        loss = float(metrics["loss"])
-        losses.append(loss)
-        if config.logging.verbose:
-            print(f"step {i} loss*1k {loss*1000:.4f}")
-        metrics_file.write(json.dumps({"step": i, "loss": loss, "grad_norm": float(metrics["grad_norm"])}) + "\n")
+        logger.log(i, metrics)
         if wandb_run is not None:
-            wandb_run.log({"loss": loss, "iteration": i})
+            wandb_run.log({"loss": logger.current_loss(), "iteration": i})
         if (
             save_file
             and config.save.per_steps
@@ -257,14 +255,11 @@ def train(
             on_step_complete(i)
 
     jax.block_until_ready(jax.tree.leaves(lora_params)[0])
-    elapsed = time.time() - (t_start or time.time())
-    n_timed = max(iterations - start_step - 1, 1)
-    sps = n_timed / elapsed if elapsed > 0 else float("nan")
+    sps = logger.close()
+    losses = logger.losses
 
     if config.tpu.profile_dir:
         jax.profiler.stop_trace()
-    metrics_file.write(json.dumps({"steps_per_sec": sps}) + "\n")
-    metrics_file.close()
     if wandb_run is not None:
         wandb_run.finish()
 

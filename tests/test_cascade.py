@@ -1,0 +1,213 @@
+"""Stable Cascade path: Würstchen scheduler math, Stage-C model shape/sites,
+tiny end-to-end trainer (reference train_lora_cascade.py semantics)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sliders_conceptmod_tpu.diffusion.wuerstchen import (
+    WuerstchenScheduler,
+    get_t_conditioning,
+)
+
+
+def _torch_get_t_conditioning(t, alphas_cumprod):
+    # reference conceptmod/textsliders/train_util.py:710-718, verbatim math
+    s = torch.tensor([0.003])
+    min_var = torch.cos(s / (1 + s) * torch.pi * 0.5) ** 2
+    var = alphas_cumprod[t].clamp(0, 1)
+    return (((var * min_var) ** 0.5).acos() / (torch.pi * 0.5)) * (1 + s) - s
+
+
+class TestWuerstchenScheduler:
+    def test_alpha_cumprod_endpoints(self):
+        s = WuerstchenScheduler()
+        # ratio 0 = clean (ᾱ→0.9999 clip), ratio 1 = pure noise (ᾱ→1e-4 clip)
+        assert float(s.alpha_cumprod(jnp.float32(0.0))) == pytest.approx(0.9999)
+        assert float(s.alpha_cumprod(jnp.float32(1.0))) == pytest.approx(1e-4)
+
+    def test_alpha_cumprod_matches_torch_formula(self):
+        s = WuerstchenScheduler()
+        t = np.linspace(0.0, 1.0, 17)
+        ours = np.asarray(s.alpha_cumprod(jnp.asarray(t, jnp.float32)))
+        st = torch.tensor([0.008])
+        init = torch.cos(st / (1 + st) * torch.pi * 0.5) ** 2
+        theirs = (torch.cos((torch.tensor(t) + st) / (1 + st) * torch.pi * 0.5) ** 2 / init).clamp(
+            1e-4, 0.9999
+        )
+        np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-5)
+
+    def test_schedule_ratios(self):
+        sched = WuerstchenScheduler().set_timesteps(20)
+        ts = np.asarray(sched.timesteps)
+        assert ts.shape == (21,)
+        assert ts[0] == 1.0 and ts[-1] == 0.0
+
+    def test_step_formula(self):
+        s = WuerstchenScheduler()
+        sched = s.set_timesteps(4)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 2, 2))
+        eps = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 2, 2))
+        out = np.asarray(s.step(sched, eps, 0, x, key))
+        # hand-derive mu + std·noise with the diffusers formula
+        t, t_prev = 1.0, 0.75
+        a = float(s.alpha_cumprod(jnp.float32(t)))
+        a_prev = float(s.alpha_cumprod(jnp.float32(t_prev)))
+        alpha = a / a_prev
+        mu = (1 / alpha) ** 0.5 * (np.asarray(x) - (1 - alpha) * np.asarray(eps) / (1 - a) ** 0.5)
+        noise = np.asarray(jax.random.normal(key, x.shape, jnp.float32))
+        std = ((1 - alpha) * (1 - a_prev) / (1 - a)) ** 0.5 * noise
+        np.testing.assert_allclose(out, mu + std, rtol=1e-4, atol=1e-5)
+
+    def test_final_step_deterministic(self):
+        """prev ratio 0 ⇒ no ancestral noise (diffusers (prev_t != 0) mask)."""
+        s = WuerstchenScheduler()
+        sched = s.set_timesteps(4)
+        x = jnp.ones((1, 4, 2, 2))
+        eps = jnp.zeros_like(x)
+        a = s.step(sched, eps, 3, x, jax.random.PRNGKey(0))
+        b = s.step(sched, eps, 3, x, jax.random.PRNGKey(99))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_add_noise_roundtrip(self):
+        s = WuerstchenScheduler()
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 3, 3))
+        noise = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 3, 3))
+        xt = s.add_noise(None, x0, noise, jnp.float32(0.5))
+        a = float(s.alpha_cumprod(jnp.float32(0.5)))
+        expected = a**0.5 * np.asarray(x0) + (1 - a) ** 0.5 * np.asarray(noise)
+        np.testing.assert_allclose(np.asarray(xt), expected, rtol=1e-5)
+
+
+class TestTConditioning:
+    def test_matches_reference_torch_formula(self):
+        from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler
+
+        sched = NoiseScheduler("euler_a").set_timesteps(20)
+        acp = np.asarray(sched.alphas_cumprod)
+        for t in [0, 49, 499, 950, 999]:
+            ours = float(get_t_conditioning(jnp.int32(t), jnp.asarray(acp)))
+            theirs = float(_torch_get_t_conditioning(torch.tensor([t]), torch.tensor(acp)))
+            assert ours == pytest.approx(theirs, rel=1e-4), t
+
+    def test_monotone_in_noise(self):
+        from sliders_conceptmod_tpu.diffusion.schedulers import NoiseScheduler
+
+        acp = jnp.asarray(np.asarray(NoiseScheduler("ddim").set_timesteps(10).alphas_cumprod))
+        ratios = [float(get_t_conditioning(jnp.int32(t), acp)) for t in [0, 250, 500, 750, 999]]
+        assert all(b > a for a, b in zip(ratios, ratios[1:]))
+
+
+class TestCascadeModel:
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+
+        cfg = CascadeConfig.tiny()
+        model = StableCascadeUNet(cfg)
+        x = jnp.zeros((2, cfg.in_channels, 4, 4))
+        params = model.init(
+            jax.random.PRNGKey(0),
+            x,
+            jnp.zeros((2,)),
+            jnp.zeros((2, 3, cfg.clip_text_in_channels)),
+            jnp.zeros((2, 1, cfg.clip_text_pooled_in_channels)),
+            jnp.zeros((2, 1, cfg.clip_image_in_channels)),
+        )["params"]
+        return cfg, model, params
+
+    def test_forward_shape(self, tiny):
+        cfg, model, params = tiny
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.in_channels, 4, 4))
+        out = model.apply(
+            {"params": params},
+            x,
+            jnp.full((2,), 0.7),
+            jax.random.normal(jax.random.PRNGKey(2), (2, 3, cfg.clip_text_in_channels)),
+            jax.random.normal(jax.random.PRNGKey(3), (2, 1, cfg.clip_text_pooled_in_channels)),
+            jnp.zeros((2, 1, cfg.clip_image_in_channels)),
+        )
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_param_paths_mirror_diffusers(self, tiny):
+        cfg, model, params = tiny
+        # diffusers StableCascadeUNet state-dict structure
+        assert "embedding_1" in params and "clf_1" in params
+        assert "clip_txt_mapper" in params and "clip_txt_pooled_mapper" in params
+        assert "down_downscalers_1_1" in params and "up_upscalers_0_1" in params
+        res = params["down_blocks_0_0"]
+        assert set(res) >= {"depthwise", "channelwise_0", "channelwise_2", "channelwise_4"}
+        ts = params["down_blocks_0_1"]
+        assert set(ts) == {"mapper", "mapper_sca", "mapper_crp"}
+        attn = params["down_blocks_0_2"]
+        assert set(attn["attention"]) == {"to_q", "to_k", "to_v", "to_out_0"}
+        assert "kv_mapper_1" in attn
+
+    def test_lora_sites_target_attention(self, tiny):
+        from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+        cfg, model, params = tiny
+        sites = lora_lib.create_sites(params, rank=2, target_replace=["Attention"])
+        # tiny: 2 down + 2 up attention blocks × 4 linears
+        assert len(sites) == 16
+        names = {s.lora_name for s in sites}
+        assert "lora_unet_down_blocks_0_2_attention_to_q" in names
+        assert "lora_unet_up_blocks_1_2_attention_to_out_0" in names
+
+    def test_skip_concat_on_shallow_up_level(self, tiny):
+        """The first ResBlock of the shallow up group consumes a 2·c-wide
+        channelwise input (level-transition skip concat)."""
+        cfg, model, params = tiny
+        c = cfg.block_out_channels[0]
+        assert params["up_blocks_1_0"]["channelwise_0"]["kernel"].shape[0] == 2 * c
+        assert params["up_blocks_0_0"]["channelwise_0"]["kernel"].shape[0] == c
+
+
+class TestCascadeTrainer:
+    @pytest.mark.parametrize("scheduler_name", ["euler_a", "wuerstchen"])
+    def test_tiny_end_to_end(self, tmp_path, scheduler_name):
+        from sliders_conceptmod_tpu.cli import train_lora_cascade
+        from sliders_conceptmod_tpu.core import config as config_util
+        from sliders_conceptmod_tpu.core import prompts as prompt_util
+
+        config = config_util.load_config_from_yaml("data/config-tiny-cascade.yaml")
+        config.train.noise_scheduler = scheduler_name
+        config.train.iterations = 3
+        config.save.path = str(tmp_path)
+        config.logging.verbose = False
+        prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, [])
+        sd = train_lora_cascade.train(config, prompts, rank=2, save_file=False)
+        assert sd, "empty state dict"
+        assert all(np.isfinite(v).all() for v in sd.values())
+        # reference key schema
+        assert any(k.endswith("_attention_to_q.lora_down.weight") for k in sd)
+
+    def test_programmatic_api(self, tmp_path, monkeypatch):
+        import shutil
+
+        from sliders_conceptmod_tpu.cli import train_lora_cascade
+
+        cfgdir = tmp_path / "data"
+        cfgdir.mkdir()
+        shutil.copy("data/config-tiny-cascade.yaml", cfgdir / "config-tiny-cascade.yaml")
+        shutil.copy("data/prompts-tiny.yaml", cfgdir / "prompts-tiny.yaml")
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "data" / "config-tiny-cascade.yaml").write_text(
+            open(cfgdir / "config-tiny-cascade.yaml").read().replace('path: "/tmp/slider_smoke"', f'path: "{tmp_path}"')
+        )
+        sd = train_lora_cascade.train_lora(
+            target="",
+            positive="pixel art",
+            negative="sketch",
+            unconditional="",
+            rank=2,
+            steps=2,
+            resolution=64,
+            config_file="data/config-tiny-cascade.yaml",
+        )
+        assert sd and any(k.startswith("lora_unet_") for k in sd)
