@@ -99,12 +99,17 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     total_micro = config.train.iterations * accumulation_steps + 1  # reference :227
-    for i in range(total_micro):
-        key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
-        logger.log(i, metrics)
-        if on_step_complete is not None:
-            on_step_complete(i)
+    from sliders_conceptmod_tpu.ops.attention import sequence_parallel_from_config
+
+    # tpu.sequence_parallel: joint self-attention (4096+512 tokens at 1024px)
+    # rings K/V over the mesh data axis — the long-sequence family
+    with sequence_parallel_from_config(config.tpu):
+        for i in range(total_micro):
+            key, k = jax.random.split(key)
+            lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+            logger.log(i, metrics)
+            if on_step_complete is not None:
+                on_step_complete(i)
 
     logger.close()
     if save_file:

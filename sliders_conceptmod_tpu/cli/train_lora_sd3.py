@@ -85,23 +85,28 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
-    for i in range(config.train.iterations):
-        key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
-        logger.log(i, metrics)
-        if (
-            save_file
-            and config.save.per_steps
-            and i % config.save.per_steps == 0
-            and i != 0
-            and i != config.train.iterations - 1
-        ):
-            save_path.mkdir(parents=True, exist_ok=True)
-            peft_mod.save_weights(
-                save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
-            )
-        if on_step_complete is not None:
-            on_step_complete(i)
+    from sliders_conceptmod_tpu.ops.attention import sequence_parallel_from_config
+
+    # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at
+    # 1024px) rings K/V over the mesh data axis when it divides evenly
+    with sequence_parallel_from_config(config.tpu):
+        for i in range(config.train.iterations):
+            key, k = jax.random.split(key)
+            lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+            logger.log(i, metrics)
+            if (
+                save_file
+                and config.save.per_steps
+                and i % config.save.per_steps == 0
+                and i != 0
+                and i != config.train.iterations - 1
+            ):
+                save_path.mkdir(parents=True, exist_ok=True)
+                peft_mod.save_weights(
+                    save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
+                )
+            if on_step_complete is not None:
+                on_step_complete(i)
 
     logger.close()
     if save_file:

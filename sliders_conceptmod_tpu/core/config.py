@@ -96,6 +96,11 @@ class TPUConfig(BaseModel):
     # honor config.network.rank/alpha (the reference XL trainer ignores them
     # in favor of CLI/hardcoded values, reference train_lora_xl.py:94-105)
     honor_network_config: bool = True
+    # sequence parallelism: route self-attention >= sp_min_seq tokens through
+    # ring attention over the mesh data axis (ops/attention.sequence_parallel;
+    # pays off multi-chip when one chip can't hold the O(S) activations)
+    sequence_parallel: bool = False
+    sp_min_seq: int = 4096
 
 
 class RootConfig(BaseModel):

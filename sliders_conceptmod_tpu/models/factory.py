@@ -619,7 +619,9 @@ def load_models_flux(
         te1 = _load_or_init_text_encoder(
             name_or_path, "text_encoder", CLIPTextConfig.sd15_te(), weight_dtype, "tokenizer"
         )
-        tok_json = os.path.join(t5_dir, "..", "tokenizer_2", "tokenizer.json")
+        tok_dir = os.path.join(t5_dir, "..", "tokenizer_2")
+        tok_json = os.path.join(tok_dir, "tokenizer.json")
+        spm_file = os.path.join(tok_dir, "spiece.model")
         if os.path.isfile(tok_json):
             try:
                 from transformers import T5TokenizerFast
@@ -631,6 +633,16 @@ def load_models_flux(
                     return np.asarray(enc["input_ids"], np.int32)
 
                 tok = t5_tokenize
+            except Exception:
+                pass
+        elif os.path.isfile(spm_file):
+            # sentencepiece-only checkpoint dirs (no tokenizer.json):
+            # models/tokenizer.T5SpmTokenizer rebuilds the unigram model from
+            # the spm protobuf (no sentencepiece package in this image)
+            try:
+                from sliders_conceptmod_tpu.models.tokenizer import T5SpmTokenizer
+
+                tok = T5SpmTokenizer(spm_file, max_length=seq_t5)
             except Exception:
                 pass
 

@@ -70,6 +70,46 @@ class HashTokenizer:
         return out
 
 
+class T5SpmTokenizer:
+    """T5 unigram tokenizer built directly from a ``spiece.model`` protobuf —
+    no ``sentencepiece`` package (absent in this image): the ModelProto is
+    parsed with transformers' bundled pb2 and rebuilt as a ``tokenizers``
+    Unigram model, following the standard T5 fast-tokenizer conversion
+    (Precompiled charsmap normalizer + Metaspace pre-tokenizer + eos append;
+    pad id 0). Covers Flux checkpoint dirs that ship only spiece.model
+    (reference loads T5 via the HF pipeline, model_util.py:238-268)."""
+
+    def __init__(self, spm_file: str, max_length: int = 512):
+        from tokenizers import Regex, Tokenizer, models, normalizers, pre_tokenizers
+
+        try:
+            from transformers.utils import sentencepiece_model_pb2_new as pb2
+        except ImportError:  # older transformers layout
+            from transformers.utils import sentencepiece_model_pb2 as pb2
+
+        m = pb2.ModelProto()
+        with open(spm_file, "rb") as f:
+            m.ParseFromString(f.read())
+        vocab = [(p.piece, p.score) for p in m.pieces]
+        self._tok = Tokenizer(models.Unigram(vocab, m.trainer_spec.unk_id))
+        norms = []
+        if m.normalizer_spec.precompiled_charsmap:
+            norms.append(normalizers.Precompiled(m.normalizer_spec.precompiled_charsmap))
+        norms.append(normalizers.Replace(Regex(" {2,}"), " "))
+        self._tok.normalizer = normalizers.Sequence(norms)
+        self._tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁", prepend_scheme="always")
+        self.eos = m.trainer_spec.eos_id if m.trainer_spec.eos_id >= 0 else 1
+        self.pad = m.trainer_spec.pad_id if m.trainer_spec.pad_id >= 0 else 0
+        self.max_length = max_length
+
+    def __call__(self, prompts: Sequence[str]) -> np.ndarray:
+        out = np.full((len(prompts), self.max_length), self.pad, dtype=np.int32)
+        for i, p in enumerate(prompts):
+            ids = self._tok.encode(p).ids[: self.max_length - 1] + [self.eos]
+            out[i, : len(ids)] = ids
+        return out
+
+
 def load_tokenizer(model_dir: str, component: str = "tokenizer", max_length: int = 77, pad_token_id=None):
     """CLIP tokenizer from <model_dir>/<component>; HashTokenizer fallback."""
     tdir = os.path.join(model_dir, component) if model_dir else ""

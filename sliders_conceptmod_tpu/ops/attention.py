@@ -13,6 +13,7 @@ flattened-spatial sequences.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Optional
 
 import jax
@@ -27,6 +28,47 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 2048
 # benchmark/A-B switch: SLIDERS_DISABLE_FLASH=1 forces the XLA path
 _FLASH_DISABLED = os.environ.get("SLIDERS_DISABLE_FLASH") == "1"
+
+# --- sequence parallelism (ring attention over the mesh) --------------------
+# Active (mesh, axis_name, min_seq) context, or None. Set at TRACE time by
+# `sequence_parallel(...)` around the jit'd forward — model code stays
+# unchanged; self-attention calls long enough to shard route to
+# parallel/ring_attention.py (K/V rotating over ICI via ppermute).
+_SP_CTX = None
+
+
+@contextmanager
+def sequence_parallel(mesh, axis_name: str = "data", min_seq: int = 4096):
+    """Route self-attention through ring attention, sequence-sharded over
+    ``mesh[axis_name]``.
+
+    Must wrap the *trace* of the jitted forward (the dispatch decision is
+    made while tracing). Only self-attention (q_seq == kv_seq) at
+    ``min_seq``+ tokens with a sequence divisible by the axis size reroutes;
+    cross-attention against short replicated contexts (77-token CLIP) stays
+    local. The reference has no SP at all (SURVEY §2.2) — this is the
+    TPU-native extension for Flux/MMDiT-scale token streams.
+    """
+    global _SP_CTX
+    old = _SP_CTX
+    _SP_CTX = (mesh, axis_name, int(min_seq))
+    try:
+        yield
+    finally:
+        _SP_CTX = old
+
+
+def sequence_parallel_from_config(tpu_cfg):
+    """`tpu.sequence_parallel: true` → the context above on the config's
+    mesh; otherwise a no-op context (trainer loops wrap themselves in this)."""
+    from contextlib import nullcontext
+
+    if not getattr(tpu_cfg, "sequence_parallel", False):
+        return nullcontext()
+    from sliders_conceptmod_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(tpu_cfg.mesh_data, tpu_cfg.mesh_model)
+    return sequence_parallel(mesh, min_seq=tpu_cfg.sp_min_seq)
 
 
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -54,6 +96,13 @@ def dot_product_attention(
     q_seq = q.shape[1]
     kv_seq = k.shape[1]
     d = q.shape[-1]
+    if _SP_CTX is not None:
+        mesh, axis_name, min_seq = _SP_CTX
+        n = int(mesh.shape[axis_name])
+        if n > 1 and q_seq == kv_seq and q_seq >= min_seq and q_seq % n == 0:
+            from sliders_conceptmod_tpu.parallel.ring_attention import ring_attention
+
+            return ring_attention(q, k, v, mesh=mesh, scale=scale, axis_name=axis_name)
     # head dims that aren't lane-aligned (SD1.5: 40/80) zero-pad to the next
     # multiple of 64 for the kernel — scores are unchanged (padded q·k dims
     # contribute 0) and padded V columns slice off

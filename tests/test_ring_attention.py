@@ -73,3 +73,31 @@ def test_ring_attention_gradients_match_dense():
         got = jax.jit(jax.grad(ring_loss, argnums=(0, 1, 2)))(qs, ks, vs)
     for e, g in zip(expected, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sequence_parallel_context_routes_model_attention():
+    """ops.attention.sequence_parallel reroutes the MMDiT joint self-attention
+    (16 image + 16 context tokens = 32, divisible by 8) through ring attention
+    and reproduces the dense forward exactly; cross-attention-shaped calls and
+    indivisible sequences stay local (the fallback below still matches)."""
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+    from sliders_conceptmod_tpu.ops import attention as attn_lib
+
+    cfg = MMDiTConfig.tiny()
+    model = SD3Transformer2DModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.in_channels, 8, 8)) * 0.2
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.joint_attention_dim)) * 0.2
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.pooled_projection_dim)) * 0.2
+    t = jnp.full((2,), 500.0)
+    params = model.init(jax.random.PRNGKey(3), x, t, ctx, pooled)["params"]
+
+    dense = np.asarray(model.apply({"params": params}, x, t, ctx, pooled))
+
+    m = mesh_lib.make_mesh(data=8, model=1)
+    with attn_lib.sequence_parallel(m, min_seq=8):
+        ringed = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(params, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(ringed), dense, atol=3e-5, rtol=3e-5)
+
+    # context inactive after exit: plain dispatch again
+    assert attn_lib._SP_CTX is None
