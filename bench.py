@@ -1,6 +1,6 @@
 """Benchmark: textual-slider ESD training steps/sec on one chip.
 
-BENCH_MODEL=sdxl (default) | sd3 (SD3-Medium MMDiT) | tiny.
+BENCH_MODEL=sdxl (default) | sd3 (SD3-Medium MMDiT) | cascade (Stage-C prior) | tiny.
 
 Prints ONE JSON line:
   {"metric": "sdxl_esd_train_steps_per_sec", "value": N, "unit": "steps/s",
@@ -100,7 +100,81 @@ def bench_sd3(n_steps, res, dtype):
     )
 
 
-def bench_infer(n_images, res, steps, dtype, guidance=7.5):
+def bench_cascade(n_steps, res, dtype):
+    """Stable Cascade Stage-C prior (3.6B) ESD step — reference budget
+    (data/config-cascade.yaml: euler_a, 20 denoising steps; prompts at
+    512px → 12×12 effnet latents)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+    from sliders_conceptmod_tpu.train import esd, esd_cascade
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    cfg = CascadeConfig.prior()
+    model = StableCascadeUNet(cfg, dtype=dtype)
+    lat = max(1, round(res / cfg.resolution_multiple))
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.in_channels, lat, lat), dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 77, cfg.clip_text_in_channels), dtype),
+            jnp.zeros((1, 1, cfg.clip_text_pooled_in_channels), dtype),
+            jnp.zeros((1, 1, cfg.clip_image_in_channels), dtype),
+        )
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+    def apply(p, *a, **kw):
+        return model.apply({"params": p}, *a, **kw)
+
+    sites = lora_lib.create_sites(params, rank=4, train_method="full")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    scheduler = create_noise_scheduler("euler_a")
+    schedule = scheduler.set_timesteps(20)
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
+        return (
+            jax.random.normal(k, (77, cfg.clip_text_in_channels), dtype) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 1), (1, cfg.clip_text_pooled_in_channels), dtype) * 0.1,
+        )
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
+    empty_text, empty_pooled = encode_fn("")
+    ccfg = esd_cascade.CascadeESDConfig(max_denoising_steps=20, height=res, width=res)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 2e-4, 2000, 2e-6))
+    step = esd_cascade.make_cascade_esd_train_step(
+        apply, sites, scheduler, schedule, opt, ccfg,
+        empty_text=empty_text, empty_pooled=empty_pooled,
+        clip_image_dim=cfg.clip_image_in_channels,
+    )
+    opt_state = opt.init(lora_params)
+
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    sps = n_steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_esd_train_steps_per_sec",
+                "value": round(sps, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
     """DDIM images/sec — the second north-star metric (BASELINE.md targets).
 
     Mirrors the reference inference sweep protocol
@@ -117,15 +191,15 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5):
     cfg = UNetConfig.sdxl()
     model = UNet2DConditionModel(cfg, dtype=dtype)
     added = {
-        "text_embeds": jnp.zeros((2, 1280), dtype),
-        "time_ids": jnp.tile(jnp.asarray(get_add_time_ids(res, res)), (2, 1)),
+        "text_embeds": jnp.zeros((2 * batch, 1280), dtype),
+        "time_ids": jnp.tile(jnp.asarray(get_add_time_ids(res, res)), (2 * batch, 1)),
     }
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
-            jnp.zeros((2, 4, res // 8, res // 8), dtype),
+            jnp.zeros((2 * batch, 4, res // 8, res // 8), dtype),
             jnp.zeros(()),
-            jnp.zeros((2, 77, 2048), dtype),
+            jnp.zeros((2 * batch, 77, 2048), dtype),
             added_cond_kwargs=added,
         )
     )
@@ -137,7 +211,7 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5):
     scheduler = create_noise_scheduler("ddim")
     schedule = scheduler.set_timesteps(steps)
     flip = flip_step_for_start_noise(schedule, 750.0)
-    text_emb = jnp.full((2, 77, 2048), 0.01, dtype)
+    text_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
 
     @jax.jit
     def run(latents, key):
@@ -146,18 +220,21 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5):
             key, guidance_scale=guidance, added_cond_kwargs=added,
         )
 
-    lat_shape = (1, 4, res // 8, res // 8)
+    lat_shape = (batch, 4, res // 8, res // 8)
     out = run(jnp.zeros(lat_shape, dtype), jax.random.PRNGKey(0))
     jax.block_until_ready(out)
+    n_calls = max(n_images // batch, 1)
     t0 = time.time()
-    for i in range(n_images):
+    for i in range(n_calls):
         out = run(
             jax.random.normal(jax.random.PRNGKey(i), lat_shape, dtype) * schedule.init_noise_sigma,
             jax.random.PRNGKey(i),
         )
     jax.block_until_ready(out)
-    ips = n_images / (time.time() - t0)
+    ips = n_calls * batch / (time.time() - t0)
     tag = "" if guidance > 1 else "_noCFG"
+    if batch > 1:
+        tag += f"_b{batch}"
     print(
         json.dumps(
             {
@@ -180,7 +257,9 @@ def main():
     from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
     model_kind = os.environ.get("BENCH_MODEL", "sdxl")
-    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    # 32 default: at 8 steps the first-dispatch bubble after the warmup block
+    # under-measures pipelined throughput (5.58 vs the trainer loop's 5.94)
+    n_steps = int(os.environ.get("BENCH_STEPS", "32"))
     samples = int(os.environ.get("BENCH_SAMPLES", "1"))  # DP samples per step
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # per-pair batch size
     res = int(os.environ.get("BENCH_RES", "512"))
@@ -192,6 +271,9 @@ def main():
 
         bench_sd3(n_steps, res, _jnp.bfloat16)
         return
+    if model_kind == "cascade":
+        bench_cascade(n_steps, res, jnp.bfloat16)
+        return
     if os.environ.get("BENCH_MODE") == "infer":
         bench_infer(
             n_images=int(os.environ.get("BENCH_IMAGES", "4")),
@@ -199,6 +281,7 @@ def main():
             steps=int(os.environ.get("BENCH_DDIM_STEPS", "50")),
             dtype=dtype,
             guidance=float(os.environ.get("BENCH_GUIDANCE", "7.5")),
+            batch=int(os.environ.get("BENCH_IMG_BATCH", "1")),
         )
         return
     if model_kind == "tiny":

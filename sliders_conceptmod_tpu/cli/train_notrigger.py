@@ -7,8 +7,9 @@ programmatic API (:507-545). ``--clip_index`` selects te1/te2 (prefix
 ``lora_te1``/``lora_te2``, reference :184-196); saves are per-index
 ``{name}_{index}_{i}steps.safetensors`` (:452-473).
 
-Model switch: SDXL supported; FLUX.1/SD3-Medium te2 (T5) needs the T5
-encoder — tracked as a known gap (reference :96-176 loads those via HF).
+Model switch (reference :96-176): SDXL/PonyXL (CLIP towers), SD3-Medium
+(clip_l/clip_g towers), FLUX.1 (CLIP te1; T5 te2 via models/t5.py with the
+``t5attn`` train method and ``lora_te2_encoder_…`` keys).
 """
 
 from __future__ import annotations

@@ -301,6 +301,12 @@ class StableCascadeUNet(nn.Module):
             j = 0
             for layer in range(cfg.up_num_layers_per_block[gi]):
                 skip = level_outputs[gi] if layer == 0 and gi > 0 else None
+                if skip is not None and h.shape[1:3] != skip.shape[1:3]:
+                    # odd latent sizes: stride-2 down + transpose-up lands one
+                    # off — bilinear-resize to the skip (as the original does)
+                    h = jax.image.resize(
+                        h, (h.shape[0],) + skip.shape[1:3] + (h.shape[3],), "bilinear"
+                    ).astype(h.dtype)
                 h = CascadeResBlock(
                     c,
                     c_skip=c if skip is not None else 0,

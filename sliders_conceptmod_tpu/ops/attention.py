@@ -48,6 +48,10 @@ def sequence_parallel(mesh, axis_name: str = "data", min_seq: int = 4096):
     cross-attention against short replicated contexts (77-token CLIP) stays
     local. The reference has no SP at all (SURVEY §2.2) — this is the
     TPU-native extension for Flux/MMDiT-scale token streams.
+
+    Not composable with ``ESDConfig.shard_samples`` over the same axis: the
+    ring is itself a shard_map over ``axis_name``, and nesting inside another
+    shard_map on that axis is invalid — use one or the other per axis.
     """
     global _SP_CTX
     old = _SP_CTX

@@ -211,3 +211,22 @@ class TestCascadeTrainer:
             config_file="data/config-tiny-cascade.yaml",
         )
         assert sd and any(k.startswith("lora_unet_") for k in sd)
+
+
+def test_cascade_odd_latent_size():
+    """Odd effnet grids (e.g. 448px → 11×11): the up path bilinear-resizes to
+    the skip like the original, instead of shape-erroring."""
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+
+    cfg = CascadeConfig.tiny()
+    model = StableCascadeUNet(cfg)
+    x = jnp.zeros((1, cfg.in_channels, 5, 5))
+    args = (
+        jnp.zeros((1,)),
+        jnp.zeros((1, 3, cfg.clip_text_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_text_pooled_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_image_in_channels)),
+    )
+    params = model.init(jax.random.PRNGKey(0), x, *args)["params"]
+    out = model.apply({"params": params}, x, *args)
+    assert out.shape == x.shape
