@@ -143,7 +143,10 @@ def bench_cascade(n_steps, res, dtype):
 
     bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
     empty_text, empty_pooled = encode_fn("")
-    ccfg = esd_cascade.CascadeESDConfig(max_denoising_steps=20, height=res, width=res)
+    ccfg = esd_cascade.CascadeESDConfig(
+        max_denoising_steps=20, height=res, width=res,
+        resolution_multiple=cfg.resolution_multiple,
+    )
     opt = get_optimizer("adamw", get_lr_schedule("constant", 2e-4, 2000, 2e-6))
     step = esd_cascade.make_cascade_esd_train_step(
         apply, sites, scheduler, schedule, opt, ccfg,

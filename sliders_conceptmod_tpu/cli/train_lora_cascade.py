@@ -88,6 +88,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         height=prompts[0].resolution,
         width=prompts[0].resolution,
         latent_channels=prior_cfg.in_channels,
+        resolution_multiple=prior_cfg.resolution_multiple,
         remat=not is_tiny,
     )
     step = esd_cascade.make_cascade_esd_train_step(

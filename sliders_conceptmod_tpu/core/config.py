@@ -51,7 +51,10 @@ class NetworkConfig(BaseModel):
 
 class TrainConfig(BaseModel):
     precision: PRECISION_TYPES = "bfloat16"
-    noise_scheduler: Literal["ddim", "ddpm", "lms", "euler_a", "builtin"] = "ddim"
+    # "wuerstchen" (cascade ratio-space DDPM) extends the reference's set
+    # (config_util.py:30); the reference's cascade path never reaches its own
+    # scheduler (SURVEY §2.4)
+    noise_scheduler: Literal["ddim", "ddpm", "lms", "euler_a", "builtin", "wuerstchen"] = "ddim"
 
     iterations: int = 500
     lr: float = 1e-3

@@ -275,8 +275,11 @@ class StableCascadeUNet(nn.Module):
         for i, c in enumerate(cfg.block_out_channels):
             if i > 0:
                 h = _channel_layer_norm(h)
+                # unpadded kernel-2/stride-2 (torch Conv2d padding=0): odd
+                # grids floor, matching the original decomposition
                 h = nn.Conv(
-                    c, (2, 2), strides=(2, 2), name=f"down_downscalers_{i}_1", dtype=self.dtype
+                    c, (2, 2), strides=(2, 2), padding="VALID",
+                    name=f"down_downscalers_{i}_1", dtype=self.dtype,
                 )(h)
             j = 0
             for _ in range(cfg.down_num_layers_per_block[i]):
@@ -303,7 +306,11 @@ class StableCascadeUNet(nn.Module):
                 skip = level_outputs[gi] if layer == 0 and gi > 0 else None
                 if skip is not None and h.shape[1:3] != skip.shape[1:3]:
                     # odd latent sizes: stride-2 down + transpose-up lands one
-                    # off — bilinear-resize to the skip (as the original does)
+                    # off — bilinear-resize to the skip as the original does.
+                    # Deliberate deviation: half-pixel sampling (jax.image)
+                    # vs torch's align_corners=True; only reachable on odd
+                    # grids (non-multiple-of-~85px inputs), where the
+                    # original interpolates too
                     h = jax.image.resize(
                         h, (h.shape[0],) + skip.shape[1:3] + (h.shape[3],), "bilinear"
                     ).astype(h.dtype)
@@ -323,10 +330,13 @@ class StableCascadeUNet(nn.Module):
                 j += 3
             if level > 0:  # transition up to the shallower level
                 h = _channel_layer_norm(h)
+                # torch ConvTranspose2d(k=2, s=2) parity: kernels convert via
+                # (2,3,0,1)-transpose + spatial flip (convert_cascade_state_dict)
                 h = nn.ConvTranspose(
                     cfg.block_out_channels[level - 1],
                     (2, 2),
                     strides=(2, 2),
+                    padding="VALID",
                     name=f"up_upscalers_{gi}_1",
                     dtype=self.dtype,
                 )(h)
@@ -335,3 +345,40 @@ class StableCascadeUNet(nn.Module):
         h = _channel_layer_norm(h)
         out = nn.Conv(cfg.out_channels * cfg.patch_size**2, (1, 1), name="clf_1", dtype=self.dtype)(h)
         return jnp.transpose(out, (0, 3, 1, 2)).astype(x.dtype)
+
+
+def convert_cascade_state_dict(sd):
+    """diffusers StableCascadeUNet state dict → this module's flax params.
+
+    Extends io/torch_convert.torch_entry_to_flax with the two Stage-C
+    specifics it cannot know about:
+    * GlobalResponseNorm ``gamma``/``beta`` leaves — (1,1,1,C) channels-last
+      in torch too (the channelwise MLP runs permuted), copied through,
+    * ``up_upscalers.*.1`` ConvTranspose kernels — torch (in,out,kh,kw) →
+      flax (kh,kw,in,out) with a spatial flip (verified exact against
+      torch.nn.functional.conv_transpose2d in tests/test_cascade.py).
+    """
+    import re
+
+    from sliders_conceptmod_tpu.io.torch_convert import (
+        _assign,
+        _merge_numeric,
+        torch_entry_to_flax,
+    )
+
+    _upscaler = re.compile(r"^up_upscalers\.\d+\.1\.weight$")
+    tree = {}
+    for key, value in sd.items():
+        value = np.asarray(value)
+        parts = key.split(".")
+        if parts[-1] in ("gamma", "beta"):
+            _assign(tree, tuple(_merge_numeric(parts[:-1])) + (parts[-1],), value)
+            continue
+        if _upscaler.match(key):
+            kernel = np.transpose(value, (2, 3, 0, 1))[::-1, ::-1].copy()
+            _assign(tree, (f"up_upscalers_{parts[1]}_1", "kernel"), kernel)
+            continue
+        entry = torch_entry_to_flax(key, value)
+        if entry is not None:
+            _assign(tree, entry[0], entry[1])
+    return tree

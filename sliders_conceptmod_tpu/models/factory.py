@@ -518,8 +518,10 @@ def load_models_cascade(
     model = StableCascadeUNet(prior_cfg, dtype=weight_dtype)
     sub = os.path.join(str(name_or_path), "prior")
     if os.path.isdir(sub):
+        from sliders_conceptmod_tpu.models.cascade import convert_cascade_state_dict
+
         sd = tc._load_safetensors_dir(sub)
-        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+        params = tc.tree_to_jax(convert_cascade_state_dict(sd), dtype=weight_dtype)
     else:
         gh = gw = 4
         def init_cast():
@@ -622,6 +624,7 @@ def load_models_flux(
         tok_dir = os.path.join(t5_dir, "..", "tokenizer_2")
         tok_json = os.path.join(tok_dir, "tokenizer.json")
         spm_file = os.path.join(tok_dir, "spiece.model")
+        loaded_real_tok = False
         if os.path.isfile(tok_json):
             try:
                 from transformers import T5TokenizerFast
@@ -633,12 +636,14 @@ def load_models_flux(
                     return np.asarray(enc["input_ids"], np.int32)
 
                 tok = t5_tokenize
+                loaded_real_tok = True
             except Exception:
                 pass
-        elif os.path.isfile(spm_file):
-            # sentencepiece-only checkpoint dirs (no tokenizer.json):
-            # models/tokenizer.T5SpmTokenizer rebuilds the unigram model from
-            # the spm protobuf (no sentencepiece package in this image)
+        if not loaded_real_tok and os.path.isfile(spm_file):
+            # sentencepiece fallback — also when tokenizer.json exists but
+            # fails to load: models/tokenizer.T5SpmTokenizer rebuilds the
+            # unigram model from the spm protobuf (no sentencepiece package
+            # in this image)
             try:
                 from sliders_conceptmod_tpu.models.tokenizer import T5SpmTokenizer
 

@@ -31,7 +31,12 @@ class MetricsLogger:
     def __init__(self, save_path, name: str, verbose: bool = False, flush_every: int = 64):
         self.path = Path(save_path)
         self.path.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path / f"{name}_metrics.jsonl", "a")
+        # line-buffered + an atexit hook: a crash mid-run (OOM, tunnel drop)
+        # must not lose the buffered rows — the jsonl is the post-mortem
+        self._f = open(self.path / f"{name}_metrics.jsonl", "a", buffering=1)
+        import atexit
+
+        atexit.register(self._flush_safe)
         self.verbose = verbose
         self.flush_every = max(int(flush_every), 1)
         self._t_start: Optional[float] = None
@@ -70,12 +75,23 @@ class MetricsLogger:
             if self.verbose:
                 print(f"step {step} loss*1k {loss*1000:.4f}")
 
+    def _flush_safe(self) -> None:
+        """atexit hook: best-effort flush (the device may be gone)."""
+        try:
+            if not self._f.closed:
+                self.flush()
+        except Exception:
+            pass
+
     def current_loss(self) -> Optional[float]:
         """Latest loss as a float — forces a flush (host sync); use sparingly."""
         self.flush()
         return self._last_loss
 
     def close(self) -> float:
+        import atexit
+
+        atexit.unregister(self._flush_safe)
         self.flush()
         sps = self._n / (time.time() - self._t_start) if self._t_start and self._n else float("nan")
         self._f.write(json.dumps({"steps_per_sec": sps}) + "\n")
