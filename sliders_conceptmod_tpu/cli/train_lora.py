@@ -35,7 +35,10 @@ def main(args):
     config.save.path += f"/{config.save.name}"
 
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
-    trainer.train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+    trainer.train(
+        config, prompts, rank=args.rank, peft_type=args.peft_type,
+        resume_from=getattr(args, "resume_from", None),
+    )
 
 
 def build_parser():
@@ -47,6 +50,11 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="lora")
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume: adapter, "
+        "optimizer state, step, PRNG key — TPU-native extension, SURVEY §5)",
+    )
     return parser
 
 

@@ -31,7 +31,7 @@ from sliders_conceptmod_tpu.train import esd, esd_cascade
 from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
-def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
     weight_dtype = config_util.parse_precision(config.train.precision)
     tokenizer, te, prior, scheduler = factory.load_models_cascade(
         config.pretrained_model.name_or_path,
@@ -108,7 +108,14 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
-    for i in range(config.train.iterations):
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
+
+    start_step = 0
+    if resume_from:
+        lora_params, opt_state, start_step, key = ckpt.restore(
+            resume_from, lora_params, opt_state, key
+        )
+    for i in range(start_step, config.train.iterations):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(prior.params, lora_params, opt_state, k, bank)
         logger.log(i, metrics)
@@ -122,6 +129,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             save_path.mkdir(parents=True, exist_ok=True)
             # reference saves torch-pickle .pt for cascade (:329-338)
             peft_mod.save_weights(save_path / f"{config.save.name}_{i}steps.pt", sites, lora_params)
+            ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
         if on_step_complete is not None:
             on_step_complete(i)
 
@@ -145,7 +153,10 @@ def main(args):
     config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
     config.save.path += f"/{config.save.name}"
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
-    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+    train(
+        config, prompts, rank=args.rank, peft_type=args.peft_type,
+        resume_from=getattr(args, "resume_from", None),
+    )
 
 
 def train_lora(
@@ -214,6 +225,10 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="lora")
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume — SURVEY §5)",
+    )
     return parser
 
 

@@ -27,7 +27,7 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 import optax
 
 
-def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
     weight_dtype = config_util.parse_precision(config.train.precision)
     tokenizers, encode_raw, transformer, scheduler = factory.load_models_flux(
         config.pretrained_model.name_or_path, weight_dtype=weight_dtype
@@ -100,16 +100,37 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     total_micro = config.train.iterations * accumulation_steps + 1  # reference :227
     from sliders_conceptmod_tpu.ops.attention import sequence_parallel_from_config
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
+
+    start_micro = 0
+    if resume_from:
+        lora_params, opt_state, start_micro, key = ckpt.restore(
+            resume_from, lora_params, opt_state, key
+        )
 
     # tpu.sequence_parallel: joint self-attention (4096+512 tokens at 1024px)
     # rings K/V over the mesh data axis — the long-sequence family
     with sequence_parallel_from_config(config.tpu):
-        for i in range(total_micro):
+        for i in range(start_micro, total_micro):
             key, k = jax.random.split(key)
             lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
             logger.log(i, metrics)
-            if on_step_complete is not None:
-                on_step_complete(i)
+            # periodic save at micro-step granularity (reference :414-426)
+            if (
+                save_file
+                and config.save.per_steps
+                and i % config.save.per_steps == 0
+                and i != 0
+                and i != config.train.iterations - 1
+            ):
+                save_path.mkdir(parents=True, exist_ok=True)
+                peft_mod.save_weights(
+                    save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
+                )
+                ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
+            # reference fires per OPTIMIZER step, with the macro counter (:427-429)
+            if (i + 1) % accumulation_steps == 0 and on_step_complete is not None:
+                on_step_complete((i + 1) // accumulation_steps)
 
     logger.close()
     if save_file:
@@ -131,7 +152,10 @@ def main(args):
     config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
     config.save.path += f"/{config.save.name}"
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
-    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+    train(
+        config, prompts, rank=args.rank, peft_type=args.peft_type,
+        resume_from=getattr(args, "resume_from", None),
+    )
 
 
 def train_lora(
@@ -199,6 +223,10 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="lora")
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume — SURVEY §5)",
+    )
     return parser
 
 

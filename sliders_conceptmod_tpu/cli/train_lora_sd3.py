@@ -22,7 +22,7 @@ from sliders_conceptmod_tpu.train import esd, esd_sd3
 from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
-def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None):
+def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
     weight_dtype = config_util.parse_precision(config.train.precision)
     tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
         config.pretrained_model.name_or_path, weight_dtype=weight_dtype
@@ -87,10 +87,18 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     from sliders_conceptmod_tpu.ops.attention import sequence_parallel_from_config
 
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
+
+    start_step = 0
+    if resume_from:
+        lora_params, opt_state, start_step, key = ckpt.restore(
+            resume_from, lora_params, opt_state, key
+        )
+
     # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at
     # 1024px) rings K/V over the mesh data axis when it divides evenly
     with sequence_parallel_from_config(config.tpu):
-        for i in range(config.train.iterations):
+        for i in range(start_step, config.train.iterations):
             key, k = jax.random.split(key)
             lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
             logger.log(i, metrics)
@@ -105,6 +113,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 peft_mod.save_weights(
                     save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
                 )
+                ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
             if on_step_complete is not None:
                 on_step_complete(i)
 
@@ -128,7 +137,10 @@ def main(args):
     config.save.name += f"_alpha{args.alpha}_rank{args.rank}_{config.network.training_method}"
     config.save.path += f"/{config.save.name}"
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
-    train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+    train(
+        config, prompts, rank=args.rank, peft_type=args.peft_type,
+        resume_from=getattr(args, "resume_from", None),
+    )
 
 
 def train_lora(
@@ -196,6 +208,10 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="lora")
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume — SURVEY §5)",
+    )
     return parser
 
 

@@ -43,7 +43,10 @@ def main(args):
     prompts = prompt_util.load_prompts_from_yaml(config.prompts_file, attributes)
     if config.logging.verbose:
         print(prompts)
-    trainer.train(config, prompts, rank=args.rank, peft_type=args.peft_type)
+    trainer.train(
+        config, prompts, rank=args.rank, peft_type=args.peft_type,
+        resume_from=getattr(args, "resume_from", None),
+    )
 
 
 def train_lora(
@@ -124,6 +127,15 @@ def build_parser():
     )
     parser.add_argument(
         "--peft_type", type=str, required=False, default="lora", help="dora or lora (default)"
+    )
+    parser.add_argument(
+        "--resume_from",
+        type=str,
+        required=False,
+        default=None,
+        help="orbax resume checkpoint dir ({name}_resume next to the saves): "
+        "restores adapter params, optimizer state, step counter, and PRNG key "
+        "(deterministic resume — TPU-native extension, SURVEY §5)",
     )
     return parser
 
