@@ -1,6 +1,6 @@
 """Benchmark: textual-slider ESD training steps/sec on one chip.
 
-BENCH_MODEL=sdxl (default) | sd3 (SD3-Medium MMDiT) | cascade (Stage-C prior) | tiny.
+BENCH_MODEL=sdxl (default) | sd15 (DDIM-50 budget) | sd3 (SD3-Medium MMDiT) | cascade (Stage-C prior) | tiny.
 
 Prints ONE JSON line:
   {"metric": "sdxl_esd_train_steps_per_sec", "value": N, "unit": "steps/s",
@@ -290,15 +290,24 @@ def main():
     if model_kind == "tiny":
         cfg = UNetConfig.tiny_xl()
         res, seq, ctx_dim, pooled_dim, max_denoise = 64, 7, 32, 32, 3
+    elif model_kind == "sd15":
+        # reference SD1.x budget: DDIM-50, 512px (data/config.yaml:11-19)
+        cfg = UNetConfig.sd15()
+        seq, ctx_dim, pooled_dim = 77, 768, None
+        max_denoise = int(os.environ.get("BENCH_DENOISE_STEPS", "50"))
     else:
         cfg = UNetConfig.sdxl()
         seq, ctx_dim, pooled_dim = 77, 2048, 1280
 
     model = UNet2DConditionModel(cfg, dtype=dtype)
-    added = {
-        "text_embeds": jnp.zeros((1, pooled_dim), dtype),
-        "time_ids": jnp.zeros((1, 6), jnp.float32),
-    }
+    added = (
+        None
+        if pooled_dim is None
+        else {
+            "text_embeds": jnp.zeros((1, pooled_dim), dtype),
+            "time_ids": jnp.zeros((1, 6), jnp.float32),
+        }
+    )
     shapes = jax.eval_shape(
         lambda: model.init(
             jax.random.PRNGKey(0),
@@ -319,15 +328,18 @@ def main():
     sites = lora_lib.create_sites(params, rank=4, alpha=1.0, train_method="full")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites, dtype=jnp.float32)
 
-    scheduler = create_noise_scheduler("euler_a")
+    # reference budgets: SDXL euler_a/12 (config-xl.yaml), SD1.x DDIM-50 (config.yaml)
+    scheduler = create_noise_scheduler("ddim" if model_kind == "sd15" else "euler_a")
     schedule = scheduler.set_timesteps(max_denoise)
 
     def encode_fn(prompt):
         k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
-        return (
-            jax.random.normal(k, (seq, ctx_dim), dtype) * 0.1,
-            jax.random.normal(jax.random.fold_in(k, 1), (pooled_dim,), dtype) * 0.1,
+        pooled = (
+            None
+            if pooled_dim is None
+            else jax.random.normal(jax.random.fold_in(k, 1), (pooled_dim,), dtype) * 0.1
         )
+        return jax.random.normal(k, (seq, ctx_dim), dtype) * 0.1, pooled
 
     settings = [PromptSettings(target="person", positive="old person", resolution=res, batch_size=batch)]
     bank = esd.build_prompt_bank(settings, encode_fn)
@@ -351,7 +363,7 @@ def main():
         schedule,
         opt,
         ecfg,
-        add_time_ids=jnp.asarray(get_add_time_ids(res, res)),
+        add_time_ids=None if pooled_dim is None else jnp.asarray(get_add_time_ids(res, res)),
     )
     opt_state = opt.init(lora_params)
 
@@ -370,7 +382,7 @@ def main():
     elapsed = time.time() - t0
 
     sps = n_steps / elapsed
-    metric = "sdxl_esd_train_steps_per_sec"
+    metric = f"{'sd15' if model_kind == 'sd15' else 'sdxl'}_esd_train_steps_per_sec"
     if samples > 1:
         metric = f"sdxl_esd_train_steps_per_sec_x{samples}samples"
     if batch > 1:
