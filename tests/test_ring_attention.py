@@ -101,3 +101,18 @@ def test_sequence_parallel_context_routes_model_attention():
 
     # context inactive after exit: plain dispatch again
     assert attn_lib._SP_CTX is None
+
+
+def test_sequence_parallel_from_config():
+    from sliders_conceptmod_tpu.core.config import TPUConfig
+    from sliders_conceptmod_tpu.ops import attention as attn_lib
+
+    off = attn_lib.sequence_parallel_from_config(TPUConfig())
+    with off:
+        assert attn_lib._SP_CTX is None  # nullcontext — no routing
+
+    on_cfg = TPUConfig(sequence_parallel=True, sp_min_seq=16, mesh_data=8, mesh_model=1)
+    with attn_lib.sequence_parallel_from_config(on_cfg):
+        mesh, axis, min_seq = attn_lib._SP_CTX
+        assert axis == "data" and min_seq == 16 and mesh.shape["data"] == 8
+    assert attn_lib._SP_CTX is None
