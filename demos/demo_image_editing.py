@@ -36,10 +36,17 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=50)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--out", default="/tmp/edit_demo")
+    ap.add_argument(
+        "--precision", default="float32", choices=["float32", "bfloat16"],
+        help="float32 = notebook parity; bfloat16 = TPU speed mode (the "
+        "null-embedding Adam math stays fp32 inside null_optimization)",
+    )
     args = ap.parse_args()
 
+    from sliders_conceptmod_tpu.core.config import parse_precision
+
     tokenizer, te, vae, unet, scheduler = factory.load_models(
-        args.base, scheduler_name="ddim", weight_dtype=jnp.float32, with_vae=True
+        args.base, scheduler_name="ddim", weight_dtype=parse_precision(args.precision), with_vae=True
     )
     schedule = scheduler.set_timesteps(args.ddim_steps)
     unet_apply = unet.apply_fn()
@@ -50,7 +57,9 @@ def main():
     latent0 = mean * vae.config.scaling_factor
 
     cond = factory.encode_prompts(te, [args.prompt])
-    uncond0 = factory.encode_prompts(te, [""])
+    # the optimized variable stays fp32 regardless of model precision —
+    # Adam on a bf16 leaf loses the small late-step updates
+    uncond0 = factory.encode_prompts(te, [""]).astype(jnp.float32)
 
     print("inverting...")
     traj = ni.ddim_invert(unet_apply, unet.params, schedule, latent0, cond)

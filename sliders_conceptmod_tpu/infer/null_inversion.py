@@ -67,6 +67,9 @@ def ddim_invert(
     """Forward inversion trajectory [T+1, 1, 4, h, w] (x_0 … x_T), CFG=1."""
     ts = schedule.timesteps[::-1]  # ascending
     step_ratio = 1000 // schedule.num_inference_steps
+    # latent math stays fp32 even under a bf16 model: ddim steps mix fp32
+    # ᾱ tables in, and the scan carry dtype must be stable
+    latent0 = latent0.astype(jnp.float32)
 
     def body(carry, t):
         lat = carry
@@ -163,6 +166,7 @@ def edit_with_slider(
     T = schedule.num_inference_steps
     ts = schedule.timesteps
     step_ratio = 1000 // T
+    x_t = x_t.astype(jnp.float32)  # stable loop-carry dtype under bf16 models
 
     def make_body(params):
         def body(i, lat):
