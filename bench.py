@@ -382,9 +382,10 @@ def main():
     elapsed = time.time() - t0
 
     sps = n_steps / elapsed
-    metric = f"{'sd15' if model_kind == 'sd15' else 'sdxl'}_esd_train_steps_per_sec"
+    family = "sd15" if model_kind == "sd15" else "sdxl"
+    metric = f"{family}_esd_train_steps_per_sec"
     if samples > 1:
-        metric = f"sdxl_esd_train_steps_per_sec_x{samples}samples"
+        metric += f"_x{samples}samples"
     if batch > 1:
         metric += f"_b{batch}"
     print(

@@ -57,9 +57,7 @@ def main():
     latent0 = mean * vae.config.scaling_factor
 
     cond = factory.encode_prompts(te, [args.prompt])
-    # the optimized variable stays fp32 regardless of model precision —
-    # Adam on a bf16 leaf loses the small late-step updates
-    uncond0 = factory.encode_prompts(te, [""]).astype(jnp.float32)
+    uncond0 = factory.encode_prompts(te, [""])  # null_optimization pins it fp32
 
     print("inverting...")
     traj = ni.ddim_invert(unet_apply, unet.params, schedule, latent0, cond)

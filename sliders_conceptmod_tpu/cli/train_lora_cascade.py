@@ -110,11 +110,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
     from sliders_conceptmod_tpu.train import checkpoint as ckpt
 
-    start_step = 0
-    if resume_from:
-        lora_params, opt_state, start_step, key = ckpt.restore(
-            resume_from, lora_params, opt_state, key
-        )
+    lora_params, opt_state, start_step, key = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, key
+    )
     for i in range(start_step, config.train.iterations):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(prior.params, lora_params, opt_state, k, bank)
@@ -129,7 +127,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             save_path.mkdir(parents=True, exist_ok=True)
             # reference saves torch-pickle .pt for cascade (:329-338)
             peft_mod.save_weights(save_path / f"{config.save.name}_{i}steps.pt", sites, lora_params)
-            ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
+            ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
         if on_step_complete is not None:
             on_step_complete(i)
 

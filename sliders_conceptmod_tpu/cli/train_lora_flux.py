@@ -102,11 +102,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     from sliders_conceptmod_tpu.ops.attention import sequence_parallel_from_config
     from sliders_conceptmod_tpu.train import checkpoint as ckpt
 
-    start_micro = 0
-    if resume_from:
-        lora_params, opt_state, start_micro, key = ckpt.restore(
-            resume_from, lora_params, opt_state, key
-        )
+    lora_params, opt_state, start_micro, key = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, key
+    )
 
     # tpu.sequence_parallel: joint self-attention (4096+512 tokens at 1024px)
     # rings K/V over the mesh data axis — the long-sequence family
@@ -127,7 +125,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 peft_mod.save_weights(
                     save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
                 )
-                ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
+                ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
             # reference fires per OPTIMIZER step, with the macro counter (:427-429)
             if (i + 1) % accumulation_steps == 0 and on_step_complete is not None:
                 on_step_complete((i + 1) // accumulation_steps)

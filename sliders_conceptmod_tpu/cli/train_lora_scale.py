@@ -26,7 +26,7 @@ from sliders_conceptmod_tpu.train import imageslider
 from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
-def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True):
+def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True, resume_from=None):
     scales = np.asarray(scales)
     folders = np.asarray(folders)
     if folders.shape != scales.shape:
@@ -117,7 +117,12 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
-    for i in range(config.train.iterations):
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
+
+    lora_params, opt_state, start_step, key = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, key
+    )
+    for i in range(start_step, config.train.iterations):
         key, k = jax.random.split(key)
         lora_params, opt_state, metrics = step(unet.params, lora_params, opt_state, k, bank)
         logger.log(i, metrics)
@@ -132,6 +137,7 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
             lora_lib.save_weights(
                 save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
             )
+            ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
 
     logger.close()
     if save_file:
@@ -169,7 +175,10 @@ def main(args):
             train(config, prompts, folder_main, folders, scales, rank=args.rank)
         config.save.name = base_name
     else:
-        train(config, prompts, args.folder_main, folders, scales, rank=args.rank)
+        train(
+            config, prompts, args.folder_main, folders, scales, rank=args.rank,
+            resume_from=getattr(args, "resume_from", None),
+        )
 
 
 def build_parser():
@@ -184,6 +193,10 @@ def build_parser():
     parser.add_argument("--stylecheck", type=str, default=None, help='"a-b" batch range')
     parser.add_argument("--folders", type=str, required=True)
     parser.add_argument("--scales", type=str, required=True)
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume — SURVEY §5)",
+    )
     return parser
 
 

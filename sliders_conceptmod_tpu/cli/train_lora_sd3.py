@@ -89,11 +89,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     from sliders_conceptmod_tpu.train import checkpoint as ckpt
 
-    start_step = 0
-    if resume_from:
-        lora_params, opt_state, start_step, key = ckpt.restore(
-            resume_from, lora_params, opt_state, key
-        )
+    lora_params, opt_state, start_step, key = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, key
+    )
 
     # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at
     # 1024px) rings K/V over the mesh data axis when it divides evenly
@@ -113,7 +111,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 peft_mod.save_weights(
                     save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
                 )
-                ckpt.save(str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key)
+                ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
             if on_step_complete is not None:
                 on_step_complete(i)
 

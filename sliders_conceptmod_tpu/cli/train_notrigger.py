@@ -41,6 +41,7 @@ def train(
     model: str = "SDXL",
     save_file: bool = True,
     on_step_complete=None,
+    resume_from=None,
 ):
     weight_dtype = config_util.parse_precision(config.train.precision)
     is_flux = model in ("FLUX.1", "tiny-flux")
@@ -173,8 +174,15 @@ def train(
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
+
+    # the notrigger step is deterministic (no per-step RNG) — the checkpoint
+    # key slot carries a placeholder
+    lora_params, opt_state, start_step, _ = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, jax.random.PRNGKey(0)
+    )
     last_loss = None
-    for i in range(config.train.iterations):
+    for i in range(start_step, config.train.iterations):
         lora_params, opt_state, metrics = step(te.params, lora_params, opt_state)
         logger.log(i, metrics)
         # stalled-loss early exit (reference :389-393)
@@ -196,6 +204,10 @@ def train(
                 save_path / f"{config.save.name}_{clip_index}_{i}steps.safetensors",
                 sites,
                 lora_params,
+            )
+            ckpt.save_resume(
+                save_path, f"{config.save.name}_{clip_index}", lora_params, opt_state, i + 1,
+                jax.random.PRNGKey(0),
             )
         if on_step_complete is not None:
             on_step_complete(i)
@@ -229,6 +241,7 @@ def main(args):
         peft_type=args.peft_type,
         rank=args.rank,
         model=args.model,
+        resume_from=getattr(args, "resume_from", None),
     )
 
 
@@ -285,6 +298,10 @@ def build_parser():
     parser.add_argument("--name", type=str, default=None)
     parser.add_argument("--attributes", type=str, default=None)
     parser.add_argument("--peft_type", type=str, default="dora", help="dora (default) or lora")
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="orbax resume checkpoint dir (deterministic resume — SURVEY §5)",
+    )
     parser.add_argument("--positive", type=str, nargs="+", default=None)
     parser.add_argument(
         "--model",

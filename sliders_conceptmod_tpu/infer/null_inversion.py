@@ -106,6 +106,10 @@ def null_optimization(
     T = schedule.num_inference_steps
     ts = schedule.timesteps  # descending
     step_ratio = 1000 // T
+    # the optimized variable is fp32 regardless of model precision — Adam on
+    # a bf16 leaf rounds away the small late-step updates (lr decays to ~0)
+    uncond_emb0 = uncond_emb0.astype(jnp.float32)
+    trajectory = trajectory.astype(jnp.float32)
 
     def outer(carry, i):
         lat, uncond = carry

@@ -29,6 +29,19 @@ def save(path: str, lora_params, opt_state, step: int, key) -> None:
     ckptr.wait_until_finished()
 
 
+def maybe_restore(resume_from, lora_params, opt_state, key):
+    """``(lora_params, opt_state, start_step, key)`` — identity (step 0) when
+    ``resume_from`` is falsy. The single resume entry point for trainer CLIs."""
+    if not resume_from:
+        return lora_params, opt_state, 0, key
+    return restore(resume_from, lora_params, opt_state, key)
+
+
+def save_resume(save_dir, name: str, lora_params, opt_state, next_step: int, key) -> None:
+    """Write the ``{name}_resume`` checkpoint next to the weight saves."""
+    save(os.path.join(str(save_dir), f"{name}_resume"), lora_params, opt_state, next_step, key)
+
+
 def restore(path: str, lora_params_like, opt_state_like, key_like):
     ckptr = ocp.StandardCheckpointer()
     target = {

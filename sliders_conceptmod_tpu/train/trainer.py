@@ -190,14 +190,11 @@ def train(
         merge_fn=merge_fn,
     )
     opt_state = optimizer.init(lora_params)
-    start_step = 0
+    from sliders_conceptmod_tpu.train import checkpoint as ckpt
 
-    if resume_from:
-        from sliders_conceptmod_tpu.train import checkpoint as ckpt
-
-        lora_params, opt_state, start_step, key = ckpt.restore(
-            resume_from, lora_params, opt_state, key
-        )
+    lora_params, opt_state, start_step, key = ckpt.maybe_restore(
+        resume_from, lora_params, opt_state, key
+    )
 
     if config.tpu.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -246,11 +243,7 @@ def train(
                 dtype=save_dtype,
                 metadata=metadata,
             )
-            from sliders_conceptmod_tpu.train import checkpoint as ckpt
-
-            ckpt.save(
-                str(save_path / f"{config.save.name}_resume"), lora_params, opt_state, i + 1, key
-            )
+            ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
         if on_step_complete is not None:
             on_step_complete(i)
 

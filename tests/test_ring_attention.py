@@ -103,6 +103,7 @@ def test_sequence_parallel_context_routes_model_attention():
     assert attn_lib._SP_CTX is None
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sequence_parallel_from_config():
     from sliders_conceptmod_tpu.core.config import TPUConfig
     from sliders_conceptmod_tpu.ops import attention as attn_lib
