@@ -59,12 +59,18 @@ def main():
     cond = factory.encode_prompts(te, [args.prompt])
     uncond0 = factory.encode_prompts(te, [""])  # null_optimization pins it fp32
 
-    print("inverting...")
-    traj = ni.ddim_invert(unet_apply, unet.params, schedule, latent0, cond)
-    print("optimizing null text...")
-    uncond_per_step, _ = ni.null_optimization(
-        unet_apply, unet.params, schedule, traj, cond, uncond0
+    # jit each phase ONCE with params as arguments: lax.scan outside jit
+    # re-traces (and recompiles) on every call, and closure-captured params
+    # would bake GBs of constants into the executable (repo convention)
+    invert_fn = jax.jit(lambda p, lat, c: ni.ddim_invert(unet_apply, p, schedule, lat, c))
+    nullopt_fn = jax.jit(
+        lambda p, traj, c, u0: ni.null_optimization(unet_apply, p, schedule, traj, c, u0)
     )
+
+    print("inverting...")
+    traj = invert_fn(unet.params, latent0, cond)
+    print("optimizing null text...")
+    uncond_per_step, _ = nullopt_fn(unet.params, traj, cond, uncond0)
 
     # slider network
     train_method, network_type, rank, alpha = (
@@ -80,11 +86,16 @@ def main():
 
     flip = flip_step_for_start_noise(schedule, args.start_noise)
     os.makedirs(args.out, exist_ok=True)
+    # one compiled edit loop for the WHOLE scale sweep: the merged params are
+    # an argument, so each scale reuses the executable
+    edit_fn = jax.jit(
+        lambda pb, ps, xt, c, un: ni.edit_with_slider(
+            unet_apply, pb, ps, flip, schedule, xt, c, un
+        )
+    )
     for scale in [float(s) for s in args.scales.split(",")]:
         merged = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
-        final = ni.edit_with_slider(
-            unet_apply, unet.params, merged, flip, schedule, traj[-1], cond, uncond_per_step
-        )
+        final = edit_fn(unet.params, merged, traj[-1], cond, uncond_per_step)
         img = latents_to_images(vae.decode, final, vae.config.scaling_factor)[0]
         from PIL import Image
 

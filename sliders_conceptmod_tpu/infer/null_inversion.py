@@ -19,6 +19,10 @@ TPU-first: inversion is a ``lax.scan`` over steps; the per-step null
 optimization is a fixed-length inner ``fori_loop`` with an early-stop mask
 (one compiled graph); the edit loop reuses the two-phase sampler pattern
 from infer/generate.py with per-step uncond embeddings.
+
+Callers MUST wrap each phase in ``jax.jit`` with params as ARGUMENTS (see
+demos/demo_image_editing.py): a bare ``lax.scan`` re-traces per call, and
+closure-captured params would bake GBs of constants into the executable.
 """
 
 from __future__ import annotations
