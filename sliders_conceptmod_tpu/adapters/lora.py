@@ -79,11 +79,8 @@ def _dotted(segments: Sequence[str]) -> str:
     out = []
     for seg in segments:
         m = _TRAILING_INT.match(seg)
-        while m:
-            seg = m.group(1)
-            out_suffix = m.group(2)
-            seg = seg + "." + out_suffix
-            m = None  # only the trailing index is dotted (matches torch naming)
+        if m:  # only the trailing index is dotted (matches torch naming)
+            seg = m.group(1) + "." + m.group(2)
         out.append(seg)
     return ".".join(out)
 
@@ -395,8 +392,14 @@ def filter_sites_to_checkpoint(path: str, sites: Sequence[LoRASite]) -> List[LoR
 
 def sites_alpha_from_checkpoint(path: str) -> Dict[str, float]:
     """Read per-site alpha values from a checkpoint (for rank/alpha inference
-    at inference time, reference generate_images_xl.py:459-484)."""
-    from safetensors.numpy import load_file
+    at inference time, reference generate_images_xl.py:459-484). Accepts both
+    checkpoint formats save_weights emits (.safetensors / torch-pickle)."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
 
-    sd = load_file(str(path))
+        sd = load_file(str(path))
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(str(path), weights_only=True).items()}
     return {k[: -len(".alpha")]: float(v) for k, v in sd.items() if k.endswith(".alpha")}

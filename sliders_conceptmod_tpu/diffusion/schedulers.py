@@ -59,7 +59,8 @@ class Schedule:
     kind: str = field(metadata=dict(static=True))
     prediction_type: str = field(metadata=dict(static=True))
     num_inference_steps: int = field(metadata=dict(static=True))
-    timesteps: jnp.ndarray  # int32[n] descending train timesteps
+    timesteps: jnp.ndarray  # descending train timesteps: int32[n] ("leading",
+    # ddim/ddpm) or float32[n] (linspace, lms/euler_a — diffusers spacing)
     init_noise_sigma: float = field(metadata=dict(static=True))
 
     # common diffusion tables (always present; identity values where unused)
@@ -117,12 +118,22 @@ class NoiseScheduler:
 
     def set_timesteps(self, num_inference_steps: int) -> Schedule:
         n = num_inference_steps
-        timesteps = _leading_timesteps(self.num_train_timesteps, n)
         acp = self._alphas_cumprod
+        if self.kind in ("lms", "euler_a"):
+            # diffusers σ-space schedulers default timestep_spacing="linspace":
+            # FLOAT timesteps over [0, T-1], σ interpolated at them (vs the
+            # integer "leading" grid of DDIM/DDPM)
+            timesteps = np.linspace(0, self.num_train_timesteps - 1, n, dtype=np.float64)[
+                ::-1
+            ].copy()
+            int_t = timesteps.astype(np.int64)  # for the (unused-here) ᾱ tables
+        else:
+            timesteps = _leading_timesteps(self.num_train_timesteps, n)
+            int_t = timesteps
 
-        alpha_prod = acp[timesteps]
+        alpha_prod = acp[int_t]
         # previous (less-noisy) timestep per step; beyond the end -> final
-        prev_t = timesteps - self.num_train_timesteps // n
+        prev_t = int_t - self.num_train_timesteps // n
         final_alpha = 1.0  # DDIM set_alpha_to_one=True default; DDPM `one`
         alpha_prod_prev = np.where(prev_t >= 0, acp[np.clip(prev_t, 0, None)], final_alpha)
 
@@ -143,8 +154,9 @@ class NoiseScheduler:
             lms_coeffs = _lms_coefficient_table(sigmas[:-1], n)
 
         if self.kind in ("lms", "euler_a"):
-            # "leading" spacing -> sqrt(σ_max² + 1)
-            init_noise_sigma = float((sigmas.max() ** 2 + 1) ** 0.5)
+            # "linspace"/"trailing" spacing -> σ_max (diffusers; "leading"
+            # would be sqrt(σ_max²+1))
+            init_noise_sigma = float(sigmas.max())
         else:
             init_noise_sigma = 1.0
 
@@ -153,7 +165,9 @@ class NoiseScheduler:
             kind=self.kind,
             prediction_type=self.prediction_type,
             num_inference_steps=n,
-            timesteps=jnp.asarray(timesteps, dtype=jnp.int32),
+            timesteps=jnp.asarray(
+                timesteps, dtype=jnp.float32 if self.kind in ("lms", "euler_a") else jnp.int32
+            ),
             init_noise_sigma=init_noise_sigma,
             alphas_cumprod=f32(acp),
             train_sigmas=f32(self._train_sigmas),
@@ -289,9 +303,15 @@ class NoiseScheduler:
         Euler-A ``add_noise``); α-space kinds use √ᾱ x₀ + √(1-ᾱ) ε."""
         t = jnp.asarray(timestep)
         if self.kind in ("lms", "euler_a"):
-            # match timestep -> schedule sigma (exact match on table entries)
-            idx = jnp.argmax((schedule.timesteps == t).astype(jnp.int32))
-            sigma = schedule.sigmas[idx]
+            # σ at ANY train timestep via interpolation over the full table —
+            # schedule entries resolve exactly (they were interpolated from
+            # the same table) and raw integer t no longer silently matches
+            # index 0 / σ_max as the old exact-match lookup did
+            sigma = jnp.interp(
+                t.astype(jnp.float32),
+                jnp.arange(schedule.train_sigmas.shape[0], dtype=jnp.float32),
+                schedule.train_sigmas,
+            )
             return (original.astype(jnp.float32) + sigma * noise.astype(jnp.float32)).astype(original.dtype)
         acp = schedule.alphas_cumprod[t]
         return (

@@ -107,5 +107,7 @@ def get_t_conditioning(t, alphas_cumprod) -> jnp.ndarray:
     acos(√(ᾱ·min_var))/(π/2)·(1+s) − s)."""
     s = 0.003
     min_var = np.cos(s / (1 + s) * np.pi / 2) ** 2
+    # float (linspace) timesteps truncate like the reference's t.long()
+    t = jnp.asarray(t).astype(jnp.int32)
     var = jnp.clip(jnp.asarray(alphas_cumprod)[t], 0.0, 1.0)
     return (jnp.arccos(jnp.sqrt(var * min_var)) / (np.pi / 2)) * (1 + s) - s

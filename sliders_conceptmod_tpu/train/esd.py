@@ -43,6 +43,7 @@ from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
+from jax.sharding import PartitionSpec as P
 import jax.numpy as jnp
 import optax
 
@@ -163,6 +164,65 @@ def make_esd_train_step(
         else unet_apply
     )
 
+    def teacher_and_loss(
+        base_params, denoised, current_t, role_text, role_pooled, cfg_rows, xl_kwargs, g_pair, sign
+    ):
+        """Shared tail of both sample paths: batched teacher call → CFG
+        combine → ESD target → student loss_fn. ``role_text(r)``/
+        ``role_pooled(r)`` yield the per-role row batches; ``current_t`` is a
+        scalar (per-sample path) or [S] (fused path — teacher rows tile it).
+        The per-sample and fused paths are equivalence-tested
+        (tests/test_esd_train.py) — keeping the math in ONE place is what
+        preserves that."""
+        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+        if use_cfg:
+            roles = (ROLE_UNCOND,) + roles
+        n_rows = len(roles)
+        teacher_t = current_t if jnp.ndim(current_t) == 0 else jnp.tile(current_t, n_rows)
+        teacher_rows = jnp.concatenate([role_text(r) for r in roles], axis=0)
+        scaled = scheduler.scale_model_input_train_t(
+            schedule, jnp.concatenate([denoised] * n_rows, axis=0), teacher_t
+        )
+        teacher_kwargs = None
+        if is_xl:
+            teacher_kwargs = {
+                "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
+                "time_ids": jnp.tile(add_time_ids, (n_rows * denoised.shape[0], 1)),
+            }
+        teacher_eps = unet_apply(
+            base_params, scaled, teacher_t, teacher_rows, added_cond_kwargs=teacher_kwargs
+        )
+        gs = cfg.train_cfg_scale
+        if use_cfg:
+            e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
+            guided = lambda e: e_u + gs * (e - e_u)
+            pos_lat, neu_lat, neg_lat = guided(e_pos), guided(e_neu), guided(e_neg)
+        else:
+            pos_lat, neu_lat, neg_lat = jnp.split(teacher_eps, 3, axis=0)
+
+        # ESD target: neutral ∓ g·(positive − negative) (prompt_util.py:134-161)
+        esd_target = jax.lax.stop_gradient(
+            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+        )
+
+        def loss_fn(lp):
+            sp = merge(base_params, sites, lp, 1.0)
+            student_eps = predict_noise(
+                student_apply,
+                sp,
+                scheduler,
+                schedule,
+                denoised,
+                cfg_rows(ROLE_TARGET),
+                train_t=current_t,
+                guidance_scale=gs,
+                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+            )
+            diff = student_eps.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        return loss_fn
+
     def one_sample(base_params, lora_params, key, bank: PromptBank):
         k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)
         n_pairs = bank.text.shape[0]
@@ -217,56 +277,18 @@ def make_esd_train_step(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
         )
 
-        # --- (3) teacher branches, slider OFF, one batched call ------------
-        # rows: [pos, neu, neg] (+ a shared uncond row when CFG is active)
-        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
-        if use_cfg:
-            roles = (ROLE_UNCOND,) + roles
-        n_rows = len(roles)
-        teacher_rows = jnp.concatenate([tile(text[r]) for r in roles], axis=0)
-        teacher_latents = jnp.concatenate([denoised] * n_rows, axis=0)
-        scaled = scheduler.scale_model_input_train_t(schedule, teacher_latents, current_t)
-        teacher_kwargs = None
-        if is_xl:
-            teacher_kwargs = {
-                "text_embeds": jnp.concatenate([tile(pooled[r]) for r in roles], axis=0),
-                "time_ids": jnp.tile(add_time_ids, (n_rows * b, 1)),
-            }
-        teacher_eps = unet_apply(
-            base_params, scaled, current_t, teacher_rows, added_cond_kwargs=teacher_kwargs
+        # --- (3)-(5) teacher branches + student loss (shared tail) ----------
+        return teacher_and_loss(
+            base_params,
+            denoised,
+            current_t,
+            lambda r: tile(text[r]),
+            (lambda r: tile(pooled[r])) if is_xl else None,
+            cfg_rows,
+            xl_kwargs,
+            g_pair,
+            sign,
         )
-        gs = cfg.train_cfg_scale
-        if use_cfg:
-            e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
-            pos_lat = e_u + gs * (e_pos - e_u)
-            neu_lat = e_u + gs * (e_neu - e_u)
-            neg_lat = e_u + gs * (e_neg - e_u)
-        else:
-            pos_lat, neu_lat, neg_lat = jnp.split(teacher_eps, 3, axis=0)
-
-        # --- (4)+(5) student + loss ----------------------------------------
-        # ESD target: neutral ∓ g·(positive − negative) (prompt_util.py:134-161)
-        esd_target = jax.lax.stop_gradient(
-            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
-        )
-
-        def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
-            student_eps = predict_noise(
-                student_apply,
-                sp,
-                scheduler,
-                schedule,
-                denoised,
-                cfg_rows(ROLE_TARGET),
-                train_t=current_t,
-                guidance_scale=cfg.train_cfg_scale,
-                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
-            )
-            diff = student_eps.astype(jnp.float32) - esd_target
-            return jnp.mean(diff * diff)
-
-        return loss_fn
 
     def fused_samples_loss(base_params, lora_params, keys, k_loop, bank: PromptBank):
         """samples_per_step independent samples as ROWS of one batch: one
@@ -286,7 +308,6 @@ def make_esd_train_step(
 
         pair, timesteps_to, latents0 = jax.vmap(draw)(keys)
         if cfg.shard_samples:
-            from jax.sharding import PartitionSpec as P
 
             latents0 = jax.lax.with_sharding_constraint(latents0, P("data"))
 
@@ -331,54 +352,17 @@ def make_esd_train_step(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
         )  # [S]
 
-        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
-        if use_cfg:
-            roles = (ROLE_UNCOND,) + roles
-        n_rows = len(roles)
-        teacher_rows = jnp.concatenate([text[:, r] for r in roles], axis=0)
-        teacher_t = jnp.tile(current_t, n_rows)
-        scaled = scheduler.scale_model_input_train_t(
-            schedule, jnp.concatenate([denoised] * n_rows, axis=0), teacher_t
+        return teacher_and_loss(
+            base_params,
+            denoised,
+            current_t,
+            lambda r: text[:, r],
+            (lambda r: pooled[:, r]) if is_xl else None,
+            cfg_rows,
+            xl_kwargs,
+            g_pair,
+            sign,
         )
-        teacher_kwargs = None
-        if is_xl:
-            teacher_kwargs = {
-                "text_embeds": jnp.concatenate([pooled[:, r] for r in roles], axis=0),
-                "time_ids": jnp.tile(add_time_ids, (n_rows * S, 1)),
-            }
-        teacher_eps = unet_apply(
-            base_params, scaled, teacher_t, teacher_rows, added_cond_kwargs=teacher_kwargs
-        )
-        gs = cfg.train_cfg_scale
-        if use_cfg:
-            e_u, e_pos, e_neu, e_neg = jnp.split(teacher_eps, 4, axis=0)
-            pos_lat = e_u + gs * (e_pos - e_u)
-            neu_lat = e_u + gs * (e_neu - e_u)
-            neg_lat = e_u + gs * (e_neg - e_u)
-        else:
-            pos_lat, neu_lat, neg_lat = jnp.split(teacher_eps, 3, axis=0)
-
-        esd_target = jax.lax.stop_gradient(
-            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
-        )
-
-        def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
-            student_eps = predict_noise(
-                student_apply,
-                sp,
-                scheduler,
-                schedule,
-                denoised,
-                cfg_rows(ROLE_TARGET),
-                train_t=current_t,
-                guidance_scale=cfg.train_cfg_scale,
-                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
-            )
-            diff = student_eps.astype(jnp.float32) - esd_target
-            return jnp.mean(diff * diff)
-
-        return loss_fn
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
@@ -401,7 +385,6 @@ def make_esd_train_step(
                 # pin the independent samples to the mesh data axis so XLA
                 # partitions the vmapped UNet work per chip and inserts the
                 # gradient all-reduce (SURVEY §2.2 DP plan)
-                from jax.sharding import PartitionSpec as P
 
                 keys = jax.lax.with_sharding_constraint(keys, P("data"))
 
@@ -411,7 +394,6 @@ def make_esd_train_step(
             def mean_loss(lp):
                 losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)
                 if cfg.shard_samples:
-                    from jax.sharding import PartitionSpec as P
 
                     losses = jax.lax.with_sharding_constraint(losses, P("data"))
                 return jnp.mean(losses)

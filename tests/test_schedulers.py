@@ -1,6 +1,6 @@
 """Scheduler math: invariants + known Stable-Diffusion schedule constants.
 
-Golden values (σ_max ≈ 14.6146, ᾱ₀ = 1-0.00085, leading-spaced timesteps)
+Golden values (σ_max ≈ 14.6146, ᾱ₀ = 1-0.00085; ddim/ddpm leading grid, lms/euler_a linspace)
 are the well-known SD β-schedule constants matching the diffusers schedulers
 the reference constructs (model_util.py:388-436).
 """
@@ -28,20 +28,49 @@ def test_beta_schedule_constants():
     assert sigma_max == pytest.approx(14.6146, abs=1e-3)
 
 
-def test_leading_timesteps():
+def test_timestep_spacing_per_kind():
+    """DDIM/DDPM: integer "leading" grid; LMS/Euler-A: float "linspace" over
+    [0, 999] with σ interpolated — the diffusers per-scheduler defaults."""
     sch = create_noise_scheduler("ddim").set_timesteps(50)
     expected = (np.arange(50) * 20)[::-1]
     np.testing.assert_array_equal(np.asarray(sch.timesteps), expected)
     assert sch.init_noise_sigma == 1.0
 
-    # leading spacing tops out at t=980, so init σ = sqrt(σ(980)²+1)
     sch_e = create_noise_scheduler("euler_a").set_timesteps(50)
+    ts = np.asarray(sch_e.timesteps)
+    assert ts.dtype == np.float32
+    np.testing.assert_allclose(ts, np.linspace(0, 999, 50)[::-1], rtol=1e-6)
+    # linspace tops out at t=999 exactly: σ_max = σ(999), init σ = σ_max
     sigma_max = float(np.asarray(sch_e.sigmas).max())
     betas = make_betas()
     acp = np.cumprod(1 - betas)
-    expected_sigma_980 = ((1 - acp[980]) / acp[980]) ** 0.5
-    assert sigma_max == pytest.approx(expected_sigma_980, rel=1e-6)
-    assert sch_e.init_noise_sigma == pytest.approx((sigma_max**2 + 1) ** 0.5, rel=1e-6)
+    expected_sigma_999 = ((1 - acp[999]) / acp[999]) ** 0.5
+    assert sigma_max == pytest.approx(expected_sigma_999, rel=1e-6)
+    assert sch_e.init_noise_sigma == pytest.approx(sigma_max, rel=1e-6)
+    # interior entries interpolate the σ table at the float timesteps
+    sigmas_full = ((1 - acp) / acp) ** 0.5
+    np.testing.assert_allclose(
+        np.asarray(sch_e.sigmas)[:-1],
+        np.interp(ts, np.arange(1000), sigmas_full),
+        rtol=1e-5,
+    )
+
+
+def test_sigma_add_noise_accepts_raw_train_timesteps():
+    """add_noise for σ-space kinds interpolates σ at ANY train timestep —
+    the old exact-match lookup silently noised at σ_max for off-schedule t."""
+    ns = NoiseScheduler("euler_a")
+    sch = ns.set_timesteps(50)
+    x0 = jnp.ones((1, 4, 2, 2))
+    eps = jnp.ones((1, 4, 2, 2))
+    betas = make_betas()
+    acp = np.cumprod(1 - betas)
+    sigma_500 = ((1 - acp[500]) / acp[500]) ** 0.5
+    got = np.asarray(ns.add_noise(sch, x0, eps, 500))
+    np.testing.assert_allclose(got, 1.0 + sigma_500, rtol=1e-5)
+    # schedule entries still resolve to their own σ
+    got0 = np.asarray(ns.add_noise(sch, x0, eps, sch.timesteps[0]))
+    np.testing.assert_allclose(got0, 1.0 + np.asarray(sch.sigmas)[0], rtol=1e-5)
 
 
 @pytest.mark.parametrize("pred", ["epsilon", "v_prediction"])
