@@ -247,9 +247,9 @@ def export_sdxl_checkpoint(
     return sd
 
 
-def _swap_scale_shift(value: np.ndarray) -> np.ndarray:
-    half = value.shape[0] // 2
-    return np.concatenate([value[half:], value[:half]], axis=0)
+# the (shift,scale)<->(scale,shift) swap is its own inverse — share ONE
+# implementation with the importer so the roundtrip pair can't desynchronize
+from sliders_conceptmod_tpu.io.ldm_convert import _swap_scale_shift  # noqa: E402
 
 
 def export_sd3_mmdit(params: Dict) -> Dict[str, np.ndarray]:

@@ -23,11 +23,15 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
+import ml_dtypes  # ships with jax; gives numpy a true bfloat16 dtype
+
 _DTYPES = {
     "F64": np.float64,
     "F32": np.float32,
     "F16": np.float16,
-    "BF16": None,  # no numpy bf16; exposed as uint16 raw
+    # a bare uint16 view here would VALUE-cast downstream (1.0 → 16256.0);
+    # ml_dtypes reinterprets the same bits as real bf16
+    "BF16": ml_dtypes.bfloat16,
     "I64": np.int64,
     "I32": np.int32,
     "I16": np.int16,
@@ -102,10 +106,9 @@ class NativeSafetensors:
             ptr = lib.stw_tensor_data(h, i)
             buf = (ctypes.c_char * nbytes).from_address(ptr)
             np_dt = _DTYPES.get(dt)
-            if np_dt is None:  # bf16 -> raw uint16 view (caller converts)
-                arr = np.frombuffer(buf, dtype=np.uint16).reshape(shp)
-            else:
-                arr = np.frombuffer(buf, dtype=np_dt).reshape(shp)
+            if np_dt is None:
+                raise RuntimeError(f"unsupported safetensors dtype {dt}")
+            arr = np.frombuffer(buf, dtype=np_dt).reshape(shp)
             out[name] = arr
         return out
 

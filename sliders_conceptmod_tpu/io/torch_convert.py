@@ -154,11 +154,15 @@ def convert_openclip_text_state_dict(
     hf_sd: Dict[str, np.ndarray] = {}
     for key, value in sd.items():
         value = np.asarray(value)
-        if key in ("logit_scale", "text_projection"):
+        if key in ("logit_scale", "text_projection", "text_projection.weight"):
             if key == "text_projection":
                 # openclip applies x @ W [width, proj]; transformers stores
                 # the [proj, width] Linear weight
                 hf_sd["text_projection.weight"] = value.T
+            elif key == "text_projection.weight":
+                # some exporters (ComfyUI et al.) store the projection as an
+                # nn.Linear — already [proj, width], pass through
+                hf_sd["text_projection.weight"] = value
             continue
         if key == "token_embedding.weight":
             hf_sd["text_model.embeddings.token_embedding.weight"] = value
@@ -218,7 +222,9 @@ def _load_safetensors_dir(subdir: str, dtype=None) -> Dict[str, np.ndarray]:
 
             tensors = dict(load_file(path))
         for key, arr in tensors.items():
-            if dtype is not None and arr.dtype != np.uint16:  # uint16 = raw bf16
+            # bf16 arrives as a true ml_dtypes.bfloat16 view (io/native.py),
+            # so a plain value-cast is correct for every dtype
+            if dtype is not None:
                 arr = arr.astype(dtype)
             sd[key] = arr
     return sd
@@ -229,7 +235,7 @@ def _read_json(path: str) -> Dict:
         return json.load(f)
 
 
-def load_unet_params(model_dir: str, dtype=np.float32) -> Tuple[Dict, Dict]:
+def load_unet_params(model_dir: str, dtype=None) -> Tuple[Dict, Dict]:
     """Load <model_dir>/unet → (flax params, unet config dict)."""
     sub = os.path.join(model_dir, "unet")
     cfg = _read_json(os.path.join(sub, "config.json"))
@@ -237,14 +243,14 @@ def load_unet_params(model_dir: str, dtype=np.float32) -> Tuple[Dict, Dict]:
     return convert_diffusers_state_dict(sd), cfg
 
 
-def load_vae_params(model_dir: str, dtype=np.float32) -> Tuple[Dict, Dict]:
+def load_vae_params(model_dir: str, dtype=None) -> Tuple[Dict, Dict]:
     sub = os.path.join(model_dir, "vae")
     cfg = _read_json(os.path.join(sub, "config.json"))
     sd = _load_safetensors_dir(sub, dtype)
     return convert_diffusers_state_dict(sd), cfg
 
 
-def load_text_encoder_params(model_dir: str, component: str = "text_encoder", dtype=np.float32) -> Tuple[Dict, Dict]:
+def load_text_encoder_params(model_dir: str, component: str = "text_encoder", dtype=None) -> Tuple[Dict, Dict]:
     sub = os.path.join(model_dir, component)
     cfg = _read_json(os.path.join(sub, "config.json"))
     sd = _load_safetensors_dir(sub, dtype)

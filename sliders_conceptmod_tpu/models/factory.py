@@ -165,7 +165,27 @@ def _load_or_init_text_encoder(
     sub = os.path.join(str(name_or_path), component)
     if os.path.isdir(sub):
         tree, cfg_json = tc.load_text_encoder_params(name_or_path, component)
-        return TextEncoderBundle(model, tc.tree_to_jax(tree), tok)
+        # the checkpoint's own config wins over the caller's family heuristic
+        # (an SD2 dir without "sd2" in its path would otherwise get a 12-layer
+        # config against a 23-layer tree — failing only at first apply);
+        # projection_dim only when the tree actually carries the head (HF
+        # configs declare a default projection_dim even for plain models)
+        clip_config = dataclasses.replace(
+            clip_config,
+            vocab_size=cfg_json.get("vocab_size", clip_config.vocab_size),
+            hidden_size=cfg_json.get("hidden_size", clip_config.hidden_size),
+            intermediate_size=cfg_json.get("intermediate_size", clip_config.intermediate_size),
+            num_hidden_layers=cfg_json.get("num_hidden_layers", clip_config.num_hidden_layers),
+            num_attention_heads=cfg_json.get("num_attention_heads", clip_config.num_attention_heads),
+            max_position_embeddings=cfg_json.get(
+                "max_position_embeddings", clip_config.max_position_embeddings
+            ),
+            hidden_act=cfg_json.get("hidden_act", clip_config.hidden_act),
+            projection_dim=cfg_json.get("projection_dim") if "text_projection" in tree else None,
+        )
+        model = CLIPTextEncoder(clip_config, dtype=dtype)
+        # storage at train precision (CLAUDE.md: fp32 storage OOMs v5e)
+        return TextEncoderBundle(model, tc.tree_to_jax(tree, dtype=dtype), tok)
     # init + precision cast fused under one jit (see _init_unet; an uncast
     # weightless bigG alone is 2.8GB of fp32 HBM)
     def init_cast():
@@ -188,7 +208,7 @@ def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
             scaling_factor=cfg_json.get("scaling_factor", 0.18215),
         )
         model = AutoencoderKL(config, dtype=dtype)
-        return VAEBundle(model, tc.tree_to_jax(tree), config)
+        return VAEBundle(model, tc.tree_to_jax(tree, dtype=dtype), config)
     if family == "sdxl":
         config = VAEConfig.sdxl()
     elif family in ("sd3", "flux"):
@@ -258,6 +278,11 @@ def load_models(
             scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
         )
         if with_vae:
+            if not trees.get("vae"):
+                raise ValueError(
+                    f"{name_or_path} carries no VAE (first_stage_model.*) but "
+                    "with_vae=True was requested"
+                )
             # width off the checkpoint itself: the tiny escape can carry
             # either the tiny VAE or the full SD VAE (weightless family)
             dec_in = trees["vae"]["decoder"]["conv_in"]["kernel"].shape[-1]
@@ -335,6 +360,11 @@ def load_models_xl(
         scheduler = create_noise_scheduler(scheduler_name)
         out = ([tok1, tok2], [te1, te2], unet, scheduler)
         if with_vae:
+            if not trees.get("vae"):
+                raise ValueError(
+                    f"{name_or_path} carries no VAE (first_stage_model.*) but "
+                    "with_vae=True was requested"
+                )
             dec_in = trees["vae"]["decoder"]["conv_in"]["kernel"].shape[-1]
             vae_cfg = VAEConfig.tiny() if dec_in <= 32 else VAEConfig.sdxl()
             vae = VAEBundle(
@@ -351,6 +381,10 @@ def load_models_xl(
         # the 32-dim pooled embed the tiny_xl UNet expects
         te1_cfg = CLIPTextConfig.tiny(hidden_size=16)
         te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=32)
+    elif family == "tiny":
+        # fail fast: silently promoting to full-scale SDXL turns an intended
+        # smoke run into a multi-GB weightless build + fresh-HLO compile
+        raise ValueError("load_models_xl: use a 'tiny-xl' path for the weightless XL smoke family")
     else:
         family = "sdxl"
         te1_cfg = CLIPTextConfig.sdxl_te1()
@@ -399,6 +433,15 @@ def load_models_sd3(
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
         trees = load_ldm_checkpoint(str(name_or_path))
+        if not trees.get("text_encoder") or not trees.get("text_encoder_2"):
+            # the base sd3_medium.safetensors release ships WITHOUT CLIP
+            # towers; only the *_incl_clips variants bundle them — an empty
+            # bundle would fail opaquely at first encode
+            raise ValueError(
+                f"{name_or_path} carries no bundled text encoders "
+                "(text_encoders.clip_l/clip_g towers). Use an *_incl_clips "
+                "single file or a diffusers checkpoint directory."
+            )
         if is_tiny:
             te1_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
             te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
@@ -447,7 +490,7 @@ def load_models_sd3(
     model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
     if os.path.isdir(sub):
         sd = tc._load_safetensors_dir(sub)
-        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd))
+        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
     else:
         params = model.init(
             jax.random.PRNGKey(0),
@@ -675,6 +718,20 @@ def load_models_flux(
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
         trees = load_ldm_checkpoint(str(name_or_path))
+
+        def _tree_has(t, name):
+            return any(
+                k == name or (isinstance(v, dict) and _tree_has(v, name)) for k, v in t.items()
+            )
+
+        # the converted tree is authoritative for dev-vs-schnell — the
+        # safe_open header sniff above fails on .ckpt files and would
+        # silently drop a dev model's guidance conditioning
+        if not is_tiny:
+            tree_guidance = _tree_has(trees["transformer"], "guidance_embedder")
+            if tree_guidance != flux_cfg.guidance_embeds:
+                flux_cfg = FluxConfig.dev() if tree_guidance else FluxConfig.schnell()
+                model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
         params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
         transformer = TransformerBundle(model, params, flux_cfg)
         # BFL distributes the text stack separately; the stub encode_fn keeps

@@ -91,3 +91,19 @@ def test_native_image_loader(tmp_path):
     ref = load_image_array(paths[0], 32)[0]
     corr = np.corrcoef(out[0].ravel(), ref.ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_native_reader_bf16_bit_reinterpretation(tmp_path):
+    """BF16 tensors must come back as true bfloat16 values, not value-cast
+    uint16 bit patterns (1.0 stored as 0x3F80 must NOT read as 16256.0)."""
+    import ml_dtypes
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from sliders_conceptmod_tpu.io.native import load_safetensors_native
+
+    vals = np.asarray([1.0, -2.5, 0.375], dtype=ml_dtypes.bfloat16)
+    save_file({"w": vals}, str(tmp_path / "bf16.safetensors"))
+    got = load_safetensors_native(str(tmp_path / "bf16.safetensors"))["w"]
+    assert got.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(got.astype(np.float32), [1.0, -2.5, 0.375])
