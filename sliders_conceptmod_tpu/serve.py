@@ -62,9 +62,12 @@ class SliderService:
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
 
         @jax.jit
-        def _sample(params_slider, latents, text_emb, added, key, guidance):
+        def _sample(params_base, params_slider, latents, text_emb, added, key, guidance):
+            # base params through the SIGNATURE: closure capture baked the
+            # 5.13GB frozen UNet into the executable as constants (repo
+            # convention — see CLAUDE.md)
             return sample_loop(
-                unet_apply, self.unet.params, params_slider, flip, scheduler, schedule,
+                unet_apply, params_base, params_slider, flip, scheduler, schedule,
                 latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
             )
 
@@ -93,7 +96,9 @@ class SliderService:
             * self.schedule.init_noise_sigma
         ).astype(jnp.bfloat16)
         merged = lora_lib.merge_lora_params(self.unet.params, self.sites, self.lora_params, scale)
-        final = self._sample(merged, latents, emb, added, jax.random.PRNGKey(seed), guidance)
+        final = self._sample(
+            self.unet.params, merged, latents, emb, added, jax.random.PRNGKey(seed), guidance
+        )
         img = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)[0]
         from PIL import Image
 
