@@ -72,12 +72,36 @@ class SliderService:
             )
 
         self._sample = _sample
+
+        te1_model, te2_model = (te.model for te in self.text_encoders)
+
+        @jax.jit
+        def _encode_jit(p1, p2, ids1, ids2):
+            # eager per-op dispatch made every NEW prompt cost ~9s on TPU;
+            # jitted (params as args) it's one executable reused per prompt
+            from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
+
+            o1 = te1_model.apply({"params": p1}, ids1)
+            o2 = te2_model.apply({"params": p2}, ids2)
+            text = jnp.concatenate(
+                [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
+            )
+            pooled = o2.projected if o2.projected is not None else o2.pooled_output
+            return text, pooled
+
+        self._encode_jit = _encode_jit
         self._embed_cache = {}
         self.load_seconds = time.time() - t0
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
-        text, pooled = factory.encode_prompts_xl(self.text_encoders, [prompt])
+        te1, te2 = self.text_encoders
+        text, pooled = self._encode_jit(
+            te1.params,
+            te2.params,
+            jnp.asarray(te1.tokenizer([prompt])),
+            jnp.asarray(te2.tokenizer([prompt])),
+        )
         return text, pooled
 
     def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
