@@ -79,13 +79,20 @@ def main():
     }
     os.makedirs(args.out, exist_ok=True)
     latent_res = args.resolution // 8
+    # jit once with the merged params as an ARGUMENT: every scale reuses the
+    # executable instead of re-tracing the whole sampler
+    sample_fn = jax.jit(
+        lambda pb, ps, lat, e, a, k: sample_loop(
+            unet.apply_fn(), pb, ps, flip, scheduler, schedule, lat, e, k,
+            guidance_scale=7.5, added_cond_kwargs=a,
+        )
+    )
     for scale in [float(s) for s in args.scales.split(",")]:
         latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, latent_res, latent_res))
         merged = lora_lib.merge_lora_params(unet.params, result.sites, result.lora_params, scale)
-        final = sample_loop(
-            unet.apply_fn(), unet.params, merged, flip, scheduler, schedule,
-            latents * schedule.init_noise_sigma, emb, jax.random.PRNGKey(0),
-            guidance_scale=7.5, added_cond_kwargs=added,
+        final = sample_fn(
+            unet.params, merged, latents * schedule.init_noise_sigma, emb, added,
+            jax.random.PRNGKey(0),
         )
         img = latents_to_images(vae.decode, final, vae.config.scaling_factor)[0]
         from PIL import Image

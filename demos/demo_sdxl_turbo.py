@@ -65,16 +65,24 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     latent_res = args.resolution // 8
+    # jit once; merged params as an argument so the scale sweep shares one
+    # executable (guidance stays a Python float — the <=1 turbo fast path is
+    # a trace-time decision, see sample_loop)
+    sample_fn = jax.jit(
+        lambda pb, ps, lat, e, a, k: sample_loop(
+            unet.apply_fn(), pb, ps, flip, scheduler, schedule, lat, e, k,
+            guidance_scale=args.guidance_scale, added_cond_kwargs=a,
+        )
+    )
     for scale in [float(s) for s in args.scales.split(",")]:
         latents = (
             jax.random.normal(jax.random.PRNGKey(args.seed), (1, 4, latent_res, latent_res))
             * schedule.init_noise_sigma
         )
         merged = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
-        final = sample_loop(
-            unet.apply_fn(), unet.params, merged, flip, scheduler, schedule,
-            latents.astype(jnp.bfloat16), emb, jax.random.PRNGKey(args.seed),
-            guidance_scale=args.guidance_scale, added_cond_kwargs=added,
+        final = sample_fn(
+            unet.params, merged, latents.astype(jnp.bfloat16), emb, added,
+            jax.random.PRNGKey(args.seed),
         )
         img = latents_to_images(vae.decode, final, vae.config.scaling_factor)[0]
         from PIL import Image

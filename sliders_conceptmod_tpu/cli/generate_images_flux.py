@@ -59,6 +59,7 @@ def run(args):
     apply_fn = transformer.apply_fn()
     img_ids = jnp.asarray(prepare_latent_image_ids(gh, gw))
 
+    @jax.jit  # one executable for the whole (case × scale) sweep
     def sample(params_a, params_b, tokens, text, pooled):
         txt_ids = jnp.zeros((text.shape[1], 3))
 

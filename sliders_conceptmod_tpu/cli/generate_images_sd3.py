@@ -59,6 +59,14 @@ def run(args):
     if os.path.isdir(os.path.join(str(args.base), "vae")):
         vae = factory._load_or_init_vae(args.base, "sd3", jnp.float32)
 
+    # one executable for the whole (case × scale) sweep — merged params are
+    # an argument, so scale changes never re-trace the sampler
+    sample_fn = jax.jit(
+        lambda pb, ps, lat, e, p: sample_flow_loop(
+            apply_fn, pb, ps, flip, schedule, lat, e, p, guidance_scale=args.guidance_scale
+        )
+    )
+
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
@@ -78,10 +86,7 @@ def run(args):
                 key, (1, mm_cfg.in_channels, latent_res, latent_res), jnp.float32
             )
             merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
-            final = sample_flow_loop(
-                apply_fn, transformer.params, merged, flip, schedule,
-                latents.astype(jnp.bfloat16), emb, pool, guidance_scale=args.guidance_scale,
-            )
+            final = sample_fn(transformer.params, merged, latents.astype(jnp.bfloat16), emb, pool)
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
             if vae is not None:
                 from PIL import Image
