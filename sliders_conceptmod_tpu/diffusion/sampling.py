@@ -76,9 +76,12 @@ def get_add_time_ids(
         rng = rng or np.random.default_rng()
         random_scale = rng.random() * 2 + 1
         original_size = (int(height * random_scale), int(width * random_scale))
+        # max(1, ·): scale can land exactly at 1+ε so original == target and
+        # integers(0, 0) raises — the reference's torch.randint(0, 0) shares
+        # this latent crash (~1/res odds per call); guard instead of porting it
         crops_coords_top_left = (
-            int(rng.integers(0, original_size[0] - height)),
-            int(rng.integers(0, original_size[1] - width)),
+            int(rng.integers(0, max(1, original_size[0] - height))),
+            int(rng.integers(0, max(1, original_size[1] - width))),
         )
         target_size = (height, width)
     else:
@@ -140,6 +143,8 @@ def predict_noise(
     cond-only (the g==1 fast path: u + 1·(c−u) ≡ c) — no doubling, no
     combine; identical math, half the UNet rows.
     """
+    if (step_index is None) == (train_t is None):
+        raise ValueError("predict_noise: pass exactly one of step_index / train_t")
     use_cfg = text_embeddings.shape[0] != latents.shape[0]
     model_in = jnp.concatenate([latents] * 2, axis=0) if use_cfg else latents
     if step_index is not None:

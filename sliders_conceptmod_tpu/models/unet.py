@@ -52,27 +52,42 @@ _CROSS_ATTN_WEIGHTS = [None]
 
 
 class capture_attention_maps:
+    """TRACE-TIME switch: must be active while the forward is being traced —
+    a function already jitted outside the context keeps its cached
+    (capture-free) executable and this silently no-ops. Nested use restores
+    the outer state on exit."""
+
     def __enter__(self):
+        self._prev = _CAPTURE_ATTENTION[0]
         _CAPTURE_ATTENTION[0] = True
 
     def __exit__(self, *a):
-        _CAPTURE_ATTENTION[0] = False
+        _CAPTURE_ATTENTION[0] = self._prev
 
 
 class reweight_cross_attention:
     """Scale cross-attention probabilities per text token — the functional
     equivalent of prompt-to-prompt attention reweighting (the reference's
     alpha-schedule helpers, ptp_utils.py:243-295). ``weights`` is a [S_text]
-    vector; probabilities are multiplied column-wise and renormalized."""
+    vector (applied to every batch row — CFG callers that want the
+    reference's conditional-rows-only behavior pass [B_rows, S_text] with
+    ones on the uncond rows); probabilities are multiplied column-wise and
+    renormalized.
+
+    TRACE-TIME switch like :class:`capture_attention_maps`: the context must
+    wrap the trace, weights traced once are baked into that executable, and
+    an already-compiled function ignores a later context. Nested use
+    restores the outer weights on exit."""
 
     def __init__(self, weights):
         self.weights = weights
 
     def __enter__(self):
+        self._prev = _CROSS_ATTN_WEIGHTS[0]
         _CROSS_ATTN_WEIGHTS[0] = self.weights
 
     def __exit__(self, *a):
-        _CROSS_ATTN_WEIGHTS[0] = None
+        _CROSS_ATTN_WEIGHTS[0] = self._prev
 
 
 @dataclass(frozen=True)
@@ -287,7 +302,11 @@ class Attention(nn.Module):
             ).astype(jnp.float32)
             probs = jax.nn.softmax(logits, axis=-1)
             if reweight is not None:
-                w = jnp.asarray(reweight, jnp.float32).reshape(1, 1, 1, -1)
+                w = jnp.asarray(reweight, jnp.float32)
+                # [S] = every row; [B_rows, S] = per-row (CFG callers put
+                # ones on the uncond rows, matching the reference's
+                # conditional-only reweighting)
+                w = w.reshape(1, 1, 1, -1) if w.ndim == 1 else w[:, None, None, :]
                 probs = probs * w
                 probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
             if self.capture_maps or _CAPTURE_ATTENTION[0]:
@@ -401,13 +420,14 @@ class DownBlock2D(nn.Module):
     out_channels: int
     num_layers: int
     add_downsample: bool
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context=None):
         outputs = []
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, name="downsamplers_0", dtype=self.dtype)(x)
@@ -423,18 +443,20 @@ class CrossAttnDownBlock2D(nn.Module):
     transformer_layers: int
     use_linear_projection: bool
     add_downsample: bool
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context):
         outputs = []
         for i in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
             x = Transformer2DModel(
                 self.heads,
                 self.cross_attention_dim,
                 num_layers=self.transformer_layers,
                 use_linear_projection=self.use_linear_projection,
+                groups=self.groups,
                 name=f"attentions_{i}",
                 dtype=self.dtype,
             )(x, context)
@@ -451,20 +473,22 @@ class UNetMidBlock2DCrossAttn(nn.Module):
     cross_attention_dim: int
     transformer_layers: int
     use_linear_projection: bool
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context):
-        x = ResnetBlock2D(self.channels, name="resnets_0", dtype=self.dtype)(x, temb)
+        x = ResnetBlock2D(self.channels, groups=self.groups, name="resnets_0", dtype=self.dtype)(x, temb)
         x = Transformer2DModel(
             self.heads,
             self.cross_attention_dim,
             num_layers=self.transformer_layers,
             use_linear_projection=self.use_linear_projection,
+            groups=self.groups,
             name="attentions_0",
             dtype=self.dtype,
         )(x, context)
-        x = ResnetBlock2D(self.channels, name="resnets_1", dtype=self.dtype)(x, temb)
+        x = ResnetBlock2D(self.channels, groups=self.groups, name="resnets_1", dtype=self.dtype)(x, temb)
         return x
 
 
@@ -472,6 +496,7 @@ class UpBlock2D(nn.Module):
     out_channels: int
     num_layers: int
     add_upsample: bool
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -479,7 +504,7 @@ class UpBlock2D(nn.Module):
         for i in range(self.num_layers):
             res = res_samples.pop()
             x = jnp.concatenate([x, res], axis=-1)
-            x = ResnetBlock2D(self.out_channels, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0", dtype=self.dtype)(x)
         return x
@@ -493,6 +518,7 @@ class CrossAttnUpBlock2D(nn.Module):
     transformer_layers: int
     use_linear_projection: bool
     add_upsample: bool
+    groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -500,12 +526,13 @@ class CrossAttnUpBlock2D(nn.Module):
         for i in range(self.num_layers):
             res = res_samples.pop()
             x = jnp.concatenate([x, res], axis=-1)
-            x = ResnetBlock2D(self.out_channels, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
+            x = ResnetBlock2D(self.out_channels, groups=self.groups, name=f"resnets_{i}", dtype=self.dtype)(x, temb)
             x = Transformer2DModel(
                 self.heads,
                 self.cross_attention_dim,
                 num_layers=self.transformer_layers,
                 use_linear_projection=self.use_linear_projection,
+                groups=self.groups,
                 name=f"attentions_{i}",
                 dtype=self.dtype,
             )(x, context)
@@ -571,6 +598,7 @@ class UNet2DConditionModel(nn.Module):
                     transformer_layers=cfg.tf_layers_for_block(i),
                     use_linear_projection=cfg.use_linear_projection,
                     add_downsample=not is_final,
+                    groups=cfg.norm_num_groups,
                     name=f"down_blocks_{i}",
                     dtype=self.dtype,
                 )(x, emb, context)
@@ -579,6 +607,7 @@ class UNet2DConditionModel(nn.Module):
                     out_channels=out_ch,
                     num_layers=cfg.layers_per_block,
                     add_downsample=not is_final,
+                    groups=cfg.norm_num_groups,
                     name=f"down_blocks_{i}",
                     dtype=self.dtype,
                 )(x, emb)
@@ -593,6 +622,7 @@ class UNet2DConditionModel(nn.Module):
             cross_attention_dim=cfg.cross_attention_dim,
             transformer_layers=cfg.tf_layers_for_block(len(cfg.block_out_channels) - 1),
             use_linear_projection=cfg.use_linear_projection,
+            groups=cfg.norm_num_groups,
             name="mid_block",
             dtype=self.dtype,
         )(x, emb, context)
@@ -616,6 +646,7 @@ class UNet2DConditionModel(nn.Module):
                     transformer_layers=rev_tf[i],
                     use_linear_projection=cfg.use_linear_projection,
                     add_upsample=not is_final,
+                    groups=cfg.norm_num_groups,
                     name=f"up_blocks_{i}",
                     dtype=self.dtype,
                 )(x, block_res, emb, context)
@@ -624,6 +655,7 @@ class UNet2DConditionModel(nn.Module):
                     out_channels=out_ch,
                     num_layers=n_layers,
                     add_upsample=not is_final,
+                    groups=cfg.norm_num_groups,
                     name=f"up_blocks_{i}",
                     dtype=self.dtype,
                 )(x, block_res, emb)
