@@ -127,7 +127,7 @@ def save_weights(path: str, sites: Sequence[LoRASite], dora_params: Dict, dtype=
     else:
         import torch
 
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(path))
+        torch.save({k: lora_lib._numpy_to_torch(v) for k, v in sd.items()}, str(path))
 
 
 def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:

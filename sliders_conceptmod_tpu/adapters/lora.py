@@ -341,7 +341,20 @@ def save_weights(path: str, sites: Sequence[LoRASite], lora_params: Dict, dtype=
     else:
         import torch
 
-        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, str(path))
+        torch.save({k: _numpy_to_torch(v) for k, v in sd.items()}, str(path))
+
+
+def _numpy_to_torch(v):
+    # torch.from_numpy rejects ml_dtypes bfloat16 arrays; reinterpret the raw
+    # buffer as uint16 and view it back as torch.bfloat16 (bit-identical).
+    a = np.ascontiguousarray(v)
+    if a.dtype == jnp.bfloat16:
+        import torch
+
+        return torch.from_numpy(a.view(np.uint16)).view(torch.bfloat16)
+    import torch
+
+    return torch.from_numpy(a)
 
 
 def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:
@@ -401,5 +414,15 @@ def sites_alpha_from_checkpoint(path: str) -> Dict[str, float]:
     else:
         import torch
 
-        sd = {k: v.numpy() for k, v in torch.load(str(path), weights_only=True).items()}
-    return {k[: -len(".alpha")]: float(v) for k, v in sd.items() if k.endswith(".alpha")}
+        # .detach().cpu().float(): torch bf16 tensors raise TypeError under
+        # .numpy(); only scalar alphas are needed so filter before converting
+        sd = {
+            k: v.detach().cpu().float().numpy()
+            for k, v in torch.load(str(path), weights_only=True).items()
+            if k.endswith(".alpha")
+        }
+    return {
+        k[: -len(".alpha")]: float(np.asarray(v).reshape(()))
+        for k, v in sd.items()
+        if k.endswith(".alpha")
+    }

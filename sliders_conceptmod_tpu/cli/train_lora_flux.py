@@ -119,7 +119,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 and config.save.per_steps
                 and i % config.save.per_steps == 0
                 and i != 0
-                and i != config.train.iterations - 1
+                and i != total_micro - 1  # skip-last-step, in micro-step units
             ):
                 save_path.mkdir(parents=True, exist_ok=True)
                 peft_mod.save_weights(

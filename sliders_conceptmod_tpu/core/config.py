@@ -133,6 +133,25 @@ def parse_precision(precision: str) -> jnp.dtype:
     raise ValueError(f"Invalid precision type: {precision}")
 
 
+def parse_save_precision(precision: str):
+    """Reference config_util.py:46-50 + lora.py:274-283 — the *export* dtype.
+
+    Unlike :func:`parse_precision` (compute dtype, where fp16→bf16 because
+    float16 has no TPU advantage), the saved checkpoint must carry the dtype
+    the user configured: downstream torch/diffusers loaders read it verbatim.
+    bfloat16 numpy arrays (ml_dtypes) round-trip through safetensors natively.
+    """
+    import numpy as np
+
+    if precision in ("fp32", "float32", None, ""):
+        return np.float32
+    if precision in ("fp16", "float16"):
+        return np.float16
+    if precision in ("bf16", "bfloat16"):
+        return jnp.bfloat16  # the ml_dtypes numpy scalar type
+    raise ValueError(f"Invalid precision type: {precision}")
+
+
 def load_config_from_yaml(config_path: str) -> RootConfig:
     """Reference config_util.py:89-107 — defaults filled for missing blocks."""
     with open(config_path, "r") as f:

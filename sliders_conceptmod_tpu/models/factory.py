@@ -181,7 +181,15 @@ def _load_or_init_text_encoder(
                 "max_position_embeddings", clip_config.max_position_embeddings
             ),
             hidden_act=cfg_json.get("hidden_act", clip_config.hidden_act),
-            projection_dim=cfg_json.get("projection_dim") if "text_projection" in tree else None,
+            # projection head present → dim from config.json, else from the
+            # tree's own kernel [in, out] (configs sometimes omit the key;
+            # dropping the head because of that would silently un-project
+            # the pooled output)
+            projection_dim=(
+                cfg_json.get("projection_dim") or int(tree["text_projection"]["kernel"].shape[-1])
+            )
+            if "text_projection" in tree
+            else None,
         )
         model = CLIPTextEncoder(clip_config, dtype=dtype)
         # storage at train precision (CLAUDE.md: fp32 storage OOMs v5e)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
-from sliders_conceptmod_tpu.core.config import RootConfig, parse_precision
+from sliders_conceptmod_tpu.core.config import RootConfig, parse_precision, parse_save_precision
 from sliders_conceptmod_tpu.core.prompts import PromptSettings
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 from sliders_conceptmod_tpu.models import factory
@@ -71,9 +71,8 @@ def train(
 ) -> TrainResult:
     tpu_cfg = config.tpu
     weight_dtype = parse_precision(config.train.precision)
-    save_dtype = {"float32": np.float32, "fp32": np.float32}.get(
-        config.save.precision, np.float32
-    )
+    # reference lora.py:274-283: the export is cast to save.precision
+    save_dtype = parse_save_precision(config.save.precision)
     is_xl = "xl" in str(config.pretrained_model.name_or_path).lower()
     save_path = Path(config.save.path)
 
