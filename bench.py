@@ -36,6 +36,75 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC_PER_CHIP = 500 / 600 / 8  # north-star v5e-8 budget
 
 
+def device_peak_flops():
+    """bf16 peak FLOP/s of device 0, or None off-TPU (MFU meaningless on CPU).
+
+    Override with BENCH_PEAK_TFLOPS for new device kinds.
+    """
+    if os.environ.get("BENCH_PEAK_TFLOPS"):
+        return float(os.environ["BENCH_PEAK_TFLOPS"]) * 1e12
+    d = jax.devices()[0]
+    if d.platform != "tpu":
+        return None
+    kind = d.device_kind.lower()
+    for pat, peak in (
+        ("v5 lite", 197e12),
+        ("v5litepod", 197e12),
+        ("v5e", 197e12),
+        ("v6", 918e12),
+        ("v5p", 459e12),
+        ("v5", 197e12),
+        ("v4", 275e12),
+    ):
+        if pat in kind:
+            return peak
+    return None
+
+
+def fwd_flops(fn, *args, **kwargs):
+    """Analytic FLOPs of one forward via XLA HLO cost analysis (client-side
+    lowering only — no device compile). Dots count 2·M·N·K regardless of
+    dtype, which is exactly the numerator MFU wants."""
+    try:
+        ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def esd_step_flops(f_row, warm_iters, use_cfg, b=1, samples=1, teacher_extra=0):
+    """Analytic FLOPs of one ESD train step from the single-row forward cost.
+
+    Structure (train/esd.py): warm_iters warm-up forwards (CFG-doubled rows
+    when guidance≠1) + one teacher call (3 branch rows, +1 shared-uncond row
+    under CFG) + one student forward whose backward costs ~2× the forward.
+    ``warm_iters`` carries the trip-count expectation: T/2 for the uniform
+    [1,T) draw (esd.py), T−1 fixed for cascade.
+    """
+    cfg_mul = 2 if use_cfg else 1
+    rows = warm_iters * cfg_mul + (3 + (1 if use_cfg else 0) + teacher_extra) + 3 * cfg_mul
+    return f_row * rows * b * samples
+
+
+def emit(metric, value, unit, vs_baseline, flops_per_unit=None, rate=None):
+    """The driver-facing JSON line, plus MFU when analytic FLOPs are known."""
+    line = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }
+    peak = device_peak_flops()
+    if flops_per_unit:
+        line["analytic_tflops_per_step"] = round(flops_per_unit / 1e12, 3)
+        if peak and rate:
+            line["mfu"] = round(flops_per_unit * rate / peak, 4)
+    print(json.dumps(line))
+
+
 def bench_sd3(n_steps, res, dtype):
     import jax
     import jax.numpy as jnp
@@ -90,15 +159,21 @@ def bench_sd3(n_steps, res, dtype):
         lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
     sps = n_steps / (time.time() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "sd3_esd_train_steps_per_sec",
-                "value": round(sps, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
-            }
-        )
+    f_row = fwd_flops(
+        apply,
+        params,
+        jnp.zeros((1, 16, res // 8, res // 8), dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 154, cfg.joint_attention_dim), dtype),
+        jnp.zeros((1, cfg.pooled_projection_dim), dtype),
+    )
+    emit(
+        "sd3_esd_train_steps_per_sec",
+        sps,
+        "steps/s",
+        round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        flops_per_unit=esd_step_flops(f_row, warm_iters=28 / 2, use_cfg=False) if f_row else None,
+        rate=sps,
     )
 
 
@@ -167,15 +242,23 @@ def bench_cascade(n_steps, res, dtype):
         lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
     sps = n_steps / (time.time() - t0)
-    print(
-        json.dumps(
-            {
-                "metric": "cascade_esd_train_steps_per_sec",
-                "value": round(sps, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
-            }
-        )
+    f_row = fwd_flops(
+        apply,
+        params,
+        jnp.zeros((1, cfg.in_channels, lat, lat), dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, cfg.clip_text_in_channels), dtype),
+        jnp.zeros((1, 1, cfg.clip_text_pooled_in_channels), dtype),
+        jnp.zeros((1, 1, cfg.clip_image_in_channels), dtype),
+    )
+    emit(
+        "cascade_esd_train_steps_per_sec",
+        sps,
+        "steps/s",
+        round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        # fixed T−1 warm-up (esd_cascade t_to), predict_guidance 4 → CFG rows
+        flops_per_unit=esd_step_flops(f_row, warm_iters=19, use_cfg=True) if f_row else None,
+        rate=sps,
     )
 
 
@@ -240,15 +323,25 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
     tag = "" if guidance > 1 else "_noCFG"
     if batch > 1:
         tag += f"_b{batch}"
-    print(
-        json.dumps(
-            {
-                "metric": f"sdxl_ddim{steps}_images_per_sec_{res}px{tag}",
-                "value": round(ips, 4),
-                "unit": "images/s",
-                "vs_baseline": round(ips, 4),
-            }
-        )
+    f_row = fwd_flops(
+        unet_apply,
+        params,
+        jnp.zeros((1, 4, res // 8, res // 8), dtype),
+        jnp.zeros(()),
+        jnp.zeros((1, 77, 2048), dtype),
+        added_cond_kwargs={
+            "text_embeds": jnp.zeros((1, 1280), dtype),
+            "time_ids": jnp.zeros((1, 6), jnp.float32),
+        },
+    )
+    rows_per_image = 2 if guidance > 1 else 1
+    emit(
+        f"sdxl_ddim{steps}_images_per_sec_{res}px{tag}",
+        ips,
+        "images/s",
+        round(ips, 4),
+        flops_per_unit=f_row * steps * rows_per_image if f_row else None,
+        rate=ips,
     )
 
 
@@ -390,15 +483,31 @@ def main():
         metric += f"_x{samples}samples"
     if batch > 1:
         metric += f"_b{batch}"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sps, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
-            }
+    f_row = fwd_flops(
+        unet_apply,
+        params,
+        jnp.zeros((1, 4, res // 8, res // 8), dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, seq, ctx_dim), dtype),
+        added_cond_kwargs=None
+        if pooled_dim is None
+        else {
+            "text_embeds": jnp.zeros((1, pooled_dim), dtype),
+            "time_ids": jnp.zeros((1, 6), jnp.float32),
+        },
+    )
+    use_cfg = float(os.environ.get("BENCH_CFG", "1.0")) != 1.0
+    emit(
+        metric,
+        sps,
+        "steps/s",
+        round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        flops_per_unit=esd_step_flops(
+            f_row, warm_iters=max_denoise / 2, use_cfg=use_cfg, b=batch, samples=samples
         )
+        if f_row
+        else None,
+        rate=sps,
     )
 
 

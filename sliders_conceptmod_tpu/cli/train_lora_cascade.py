@@ -32,6 +32,14 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
+    if any(getattr(p, "dynamic_resolution", False) for p in prompts):
+        raise NotImplementedError(
+            "dynamic_resolution is implemented for the SD1/SDXL trainer only "
+            "(pre-compiled bucket set, train/trainer.py); for this family set "
+            "dynamic_resolution: false (documented deviation — the reference "
+            "draws a fresh shape per iteration, which would recompile XLA "
+            "executables mid-run)."
+        )
     weight_dtype = config_util.parse_precision(config.train.precision)
     tokenizer, te, prior, scheduler = factory.load_models_cascade(
         config.pretrained_model.name_or_path,

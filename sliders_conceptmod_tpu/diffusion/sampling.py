@@ -20,7 +20,7 @@ unconditional prediction instead of recomputing it per CFG pair — see
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -289,10 +289,35 @@ def current_train_timestep(timesteps_to, max_denoising_steps: int, num_train_tim
 
 def get_random_resolution_in_bucket(rng: np.random.Generator, bucket_resolution: int = 512) -> Tuple[int, int]:
     """Reference train_util.py:1085-1097. Host-side; NOTE: each distinct
-    resolution is a separate XLA compile — prefer a small fixed bucket set."""
+    resolution is a separate XLA compile — prefer a small fixed bucket set
+    (:func:`dynamic_resolution_buckets`)."""
     step = 64
     min_step = bucket_resolution // 2 // step
     max_step = bucket_resolution // step
     height = int(rng.integers(min_step, max_step)) * step
     width = int(rng.integers(min_step, max_step)) * step
     return height, width
+
+
+def dynamic_resolution_buckets(bucket_resolution: int = 512, step: int = 64) -> List[Tuple[int, int]]:
+    """XLA-safe dynamic resolution (SURVEY §7.4 design).
+
+    The reference draws h,w uniformly from [r/2, r) in 64px steps per
+    iteration (train_util.py:1085-1097; consulted at train_lora_xl.py:186-200)
+    — up to 16 distinct shapes, each a fresh XLA executable. Quantize that
+    range to a fixed ≤4-shape set covering both the scale extremes and the
+    two aspect orientations; the trainer keeps one compiled step per bucket
+    and picks per iteration with the host RNG (documented deviation: same
+    range, coarser grid).
+    """
+    r = bucket_resolution
+    lo = max(step, (r // 2 // step) * step)
+    hi = max(lo, ((r - step) // step) * step)
+    mid = max(lo, ((lo + hi) // 2 // step) * step)
+    buckets = [(lo, lo), (hi, mid), (mid, hi), (hi, hi)]
+    seen, out = set(), []
+    for b in buckets:  # small r collapses shapes — dedup, order-preserving
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+    return out

@@ -26,7 +26,7 @@ class MetricsLogger:
     steps/sec excluding the compile step. Device scalars are buffered and
     transferred in batches so the hot loop never blocks on the host."""
 
-    _KEYS = ("grad_norm", "loss_high", "loss_low", "similarity")
+    _KEYS = ("grad_norm", "loss_high", "loss_low", "similarity", "height", "width")
 
     def __init__(self, save_path, name: str, verbose: bool = False, flush_every: int = 64):
         self.path = Path(save_path)
@@ -70,7 +70,7 @@ class MetricsLogger:
             row = {"step": step, "loss": loss}
             for k in self._KEYS:
                 if k in m:
-                    row[k] = float(m[k])
+                    row[k] = int(m[k]) if k in ("height", "width") else float(m[k])
             self._f.write(json.dumps(row) + "\n")
             if self.verbose:
                 print(f"step {step} loss*1k {loss*1000:.4f}")

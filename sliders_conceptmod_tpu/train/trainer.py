@@ -35,7 +35,10 @@ import numpy as np
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.core.config import RootConfig, parse_precision, parse_save_precision
 from sliders_conceptmod_tpu.core.prompts import PromptSettings
-from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+from sliders_conceptmod_tpu.diffusion.sampling import (
+    dynamic_resolution_buckets as sampling_buckets,
+    get_add_time_ids,
+)
 from sliders_conceptmod_tpu.models import factory
 from sliders_conceptmod_tpu.train import esd
 from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
@@ -160,34 +163,52 @@ def train(
     resolution = _uniform_field(prompts, "resolution")
     batch_size = _uniform_field(prompts, "batch_size")
     dynamic_crops = _uniform_field(prompts, "dynamic_crops")
+    dynamic_resolution = _uniform_field(prompts, "dynamic_resolution")
 
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
-    ecfg = esd.ESDConfig(
-        max_denoising_steps=config.train.max_denoising_steps,
-        train_cfg_scale=config.train.cfg,
-        batch_size=batch_size,
-        height=resolution,
-        width=resolution,
-        samples_per_step=max(tpu_cfg.samples_per_step, 1)
-        if hasattr(tpu_cfg, "samples_per_step")
-        else 1,
-        # measured on v5e (BASELINE.md): no-remat is ~4% faster and fits HBM
-        # at <=512px; above that activation memory needs rematerialization
-        remat_unet=resolution > 512,
-    )
-    add_tids = jnp.asarray(get_add_time_ids(resolution, resolution, dynamic_crops)) if is_xl else None
-
     merge_fn = peft_mod.merge_lora_params
-    step_fn = esd.make_esd_train_step(
-        unet.apply_fn(),
-        sites,
-        scheduler,
-        schedule,
-        optimizer,
-        ecfg,
-        add_time_ids=add_tids,
-        merge_fn=merge_fn,
-    )
+
+    def build_step(height: int, width: int):
+        ecfg = esd.ESDConfig(
+            max_denoising_steps=config.train.max_denoising_steps,
+            train_cfg_scale=config.train.cfg,
+            batch_size=batch_size,
+            height=height,
+            width=width,
+            samples_per_step=max(tpu_cfg.samples_per_step, 1)
+            if hasattr(tpu_cfg, "samples_per_step")
+            else 1,
+            # measured on v5e (BASELINE.md): no-remat is ~4% faster and fits
+            # HBM at <=512px; above that activation memory needs remat
+            remat_unet=max(height, width) > 512,
+        )
+        add_tids = jnp.asarray(get_add_time_ids(height, width, dynamic_crops)) if is_xl else None
+        return esd.make_esd_train_step(
+            unet.apply_fn(),
+            sites,
+            scheduler,
+            schedule,
+            optimizer,
+            ecfg,
+            add_time_ids=add_tids,
+            merge_fn=merge_fn,
+        )
+
+    if dynamic_resolution:
+        # per-iteration resolution from a fixed pre-compilable bucket set
+        # (reference train_lora_xl.py:186-200; XLA-safe design in
+        # diffusion/sampling.dynamic_resolution_buckets)
+        buckets = sampling_buckets(resolution)
+
+        def pick_bucket(step_i: int) -> int:
+            # keyed per step (not a streamed RNG) so deterministic resume
+            # replays the same bucket sequence from any start_step
+            return int(np.random.default_rng((tpu_cfg.seed, step_i)).integers(len(buckets)))
+
+    else:
+        buckets = [(resolution, resolution)]
+        pick_bucket = None
+    step_fns = [build_step(h, w) for h, w in buckets]
     opt_state = optimizer.init(lora_params)
     from sliders_conceptmod_tpu.train import checkpoint as ckpt
 
@@ -223,7 +244,12 @@ def train(
     # --- loop -------------------------------------------------------------
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
-        lora_params, opt_state, metrics = step_fn(unet.params, lora_params, opt_state, k_step, bank)
+        bi = pick_bucket(i) if pick_bucket is not None else 0
+        lora_params, opt_state, metrics = step_fns[bi](
+            unet.params, lora_params, opt_state, k_step, bank
+        )
+        if pick_bucket is not None:
+            metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])
         logger.log(i, metrics)
         if wandb_run is not None:
             wandb_run.log({"loss": logger.current_loss(), "iteration": i})

@@ -1,0 +1,79 @@
+"""dynamic_resolution — XLA-safe bucket design (SURVEY §7.4).
+
+Reference behavior: per-iteration random (h, w) from [r/2, r) in 64px steps
+(train_util.py:1085-1097, consulted at train_lora_xl.py:186-200). The rebuild
+quantizes to a fixed ≤4-bucket set with one compiled step per bucket.
+"""
+
+import json
+
+import pytest
+
+from sliders_conceptmod_tpu.diffusion.sampling import dynamic_resolution_buckets
+
+
+def test_bucket_set_512():
+    buckets = dynamic_resolution_buckets(512)
+    assert buckets == [(256, 256), (448, 320), (320, 448), (448, 448)]
+    # all inside the reference range [r/2, r) and 64-aligned
+    for h, w in buckets:
+        assert 256 <= h < 512 and 256 <= w < 512
+        assert h % 64 == 0 and w % 64 == 0
+
+
+def test_bucket_set_collapses_small():
+    # tiny resolutions collapse to fewer (deduped) shapes, never zero
+    assert dynamic_resolution_buckets(64) == [(64, 64)]
+    assert dynamic_resolution_buckets(128) == [(64, 64)]
+    assert len(dynamic_resolution_buckets(192)) == 4
+
+
+def test_trainer_uses_multiple_resolutions(tmp_path):
+    """A YAML with dynamic_resolution: true trains with ≥2 distinct
+    resolutions, observable in the metrics jsonl (VERDICT r1 item 3)."""
+    from sliders_conceptmod_tpu.core.config import RootConfig
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.train import trainer
+
+    cfg = RootConfig(
+        prompts_file="unused",
+        pretrained_model={"name_or_path": "tiny"},
+        network={"rank": 2, "alpha": 1.0},
+        train={"iterations": 8, "max_denoising_steps": 2, "precision": "float32"},
+        save={"name": "dyn", "path": str(tmp_path), "precision": "float32", "per_steps": 0},
+        logging={},
+        tpu={"seed": 0},
+    )
+    prompts = [
+        PromptSettings(
+            target="sky",
+            positive="blue sky",
+            action="enhance",
+            resolution=192,
+            dynamic_resolution=True,
+        )
+    ]
+    trainer.train(cfg, prompts, rank=2, save_file=False)
+
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / "dyn_metrics.jsonl").read_text().splitlines()
+        if "loss" in line
+    ]
+    shapes = {(r["height"], r["width"]) for r in rows if "height" in r}
+    assert len(shapes) >= 2, shapes
+    allowed = set(dynamic_resolution_buckets(192))
+    assert shapes <= allowed
+
+
+def test_non_flagship_trainers_fail_loudly():
+    """SD3/Flux/Cascade trainers must raise (not silently drop) the flag."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+
+    p = PromptSettings(target="x", positive="y", resolution=64, dynamic_resolution=True)
+
+    from sliders_conceptmod_tpu.cli import train_lora_cascade, train_lora_flux, train_lora_sd3
+
+    for mod in (train_lora_sd3, train_lora_flux, train_lora_cascade):
+        with pytest.raises(NotImplementedError, match="dynamic_resolution"):
+            mod.train(None, [p], rank=2)  # guard fires before config is touched
