@@ -77,8 +77,16 @@ def inject_textual_inversion_token(
     te_params: Dict, token_embedding: np.ndarray, token_id: int
 ) -> Dict:
     """Return text-encoder params with the learned embedding written at
-    ``token_id`` (diffusers load_textual_inversion semantics)."""
-    emb = np.asarray(te_params["token_embedding"]["embedding"]).copy()
+    ``token_id`` (diffusers load_textual_inversion semantics). Ids past the
+    current table grow it (resize_token_embeddings flow, reference
+    generate_images_customdiffusion.py:489-498)."""
+    emb = np.asarray(te_params["token_embedding"]["embedding"])
+    if token_id >= emb.shape[0]:
+        grown = np.zeros((token_id + 1, emb.shape[1]), emb.dtype)
+        grown[: emb.shape[0]] = emb
+        emb = grown
+    else:
+        emb = emb.copy()
     emb[token_id] = np.asarray(token_embedding, emb.dtype)
     new = dict(te_params)
     new["token_embedding"] = dict(te_params["token_embedding"])
@@ -103,12 +111,86 @@ def load_textual_inversion(path: str) -> np.ndarray:
     return next(iter(data.values())).detach().float().numpy()
 
 
+def add_inversion_token(te_bundle, token: str, embedding: np.ndarray) -> int:
+    """Register ``token`` on the bundle's tokenizer, grow the token table,
+    and rebuild the encoder module at the new vocab size (the flax module
+    validates param shapes against config.vocab_size). Returns the token id.
+    Mirrors add_tokens + resize_token_embeddings + embedding write
+    (reference generate_images_customdiffusion.py:482-498)."""
+    import dataclasses
+
+    emb = np.asarray(embedding)
+    if emb.ndim > 1:
+        emb = emb[0]  # multi-vector TI: first vector (documented deviation)
+    token_id = te_bundle.tokenizer.add_tokens(token)
+    te_bundle.params = inject_textual_inversion_token(te_bundle.params, emb, token_id)
+    new_size = int(np.asarray(te_bundle.params["token_embedding"]["embedding"]).shape[0])
+    if new_size != te_bundle.model.config.vocab_size:
+        te_bundle.model = type(te_bundle.model)(
+            dataclasses.replace(te_bundle.model.config, vocab_size=new_size),
+            dtype=te_bundle.model.dtype,
+        )
+    return token_id
+
+
+def load_textual_inversion_xl(path: str):
+    """SDXL textual inversion ships TWO embeddings — clip_l (te1) and clip_g
+    (te2). Returns (emb_l, emb_g); falls back to duplicating a single-key
+    file (reference generate_images_textinversion_xl.py relies on the
+    pipeline's own loader for this split)."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = {k.lower(): np.asarray(v) for k, v in load_file(path).items()}
+    else:
+        import torch
+
+        sd = {
+            k.lower(): v.detach().float().numpy()
+            for k, v in torch.load(path, map_location="cpu", weights_only=False).items()
+            if hasattr(v, "detach")
+        }
+    if "clip_l" in sd and "clip_g" in sd:
+        return sd["clip_l"], sd["clip_g"]
+    vals = list(sd.values())
+    if len(vals) >= 2:
+        return vals[0], vals[1]
+    return vals[0], vals[0]
+
+
 def patch_custom_diffusion_kv(unet_params: Dict, delta_sd: Dict[str, np.ndarray]) -> Dict:
     """Apply a Custom-Diffusion delta (cross-attn to_k/to_v weights only,
-    reference generate_images_customdiffusion.py:374-510) onto a UNet tree."""
+    reference generate_images_customdiffusion.py:374-510) onto a UNet tree.
+
+    Accepts both the plain form ({name: tensor}, copied over the base) and
+    the compressed form ({name: {'u','v'}} where u@v is ADDED to the base —
+    reference load_model ``compress`` branch, :503-507)."""
+    flat = {}
+    for k, v in delta_sd.items():
+        if not ("attn2" in k and (".to_k." in k or ".to_v." in k or k.endswith("to_k.weight") or k.endswith("to_v.weight"))):
+            continue
+        if isinstance(v, dict) and "u" in v and "v" in v:
+            u = np.asarray(v["u"], np.float32)
+            w = np.asarray(v["v"], np.float32)
+            flat[k] = ("add", u @ w)
+        else:
+            flat[k] = ("copy", np.asarray(v))
+
     patched = jax.tree.map(lambda x: x, unet_params)  # shallow-ish copy
+    add_tree = tc.convert_diffusers_state_dict(
+        {k: v[1] for k, v in flat.items() if v[0] == "add"}
+    )
+
+    def merge_add(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge_add(dst[k], v)
+            else:
+                dst[k] = dst[k] + jnp.asarray(v, dst[k].dtype)
+
+    merge_add(patched, add_tree)
     tree = tc.convert_diffusers_state_dict(
-        {k: np.asarray(v) for k, v in delta_sd.items() if ".to_k." in k or ".to_v." in k}
+        {k: v[1] for k, v in flat.items() if v[0] == "copy"}
     )
 
     def merge(dst, src):

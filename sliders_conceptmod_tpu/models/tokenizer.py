@@ -46,6 +46,18 @@ class CLIPTokenizerFiles:
         )
         return np.asarray(enc["input_ids"], dtype=np.int32)
 
+    @property
+    def vocab_size(self) -> int:
+        return len(self._tok)
+
+    def add_tokens(self, token: str) -> int:
+        """Register a modifier/TI token; returns its id (baselines:
+        reference generate_images_customdiffusion.py:482-498 add_tokens +
+        resize_token_embeddings flow)."""
+        if self._tok.add_tokens(token) == 0:
+            raise ValueError(f"tokenizer already contains the token {token}")
+        return self._tok.convert_tokens_to_ids(token)
+
 
 class HashTokenizer:
     """bos + word-hash ids + eos, padded with eos (CLIP pad==eos for te1)."""
@@ -55,12 +67,23 @@ class HashTokenizer:
         self.max_length = max_length
         self.bos, self.eos = bos, eos
         self.pad = eos if pad is None else pad
+        self._added = {}  # modifier/TI tokens: word -> id past the table
+
+    def add_tokens(self, token: str) -> int:
+        key = token.lower()
+        if key in self._added:
+            raise ValueError(f"tokenizer already contains the token {token}")
+        self._added[key] = self.vocab_size + len(self._added)
+        return self._added[key]
 
     def __call__(self, prompts: Sequence[str]) -> np.ndarray:
         out = np.full((len(prompts), self.max_length), self.pad, dtype=np.int32)
         for i, p in enumerate(prompts):
             ids = [self.bos]
             for w in p.lower().split()[: self.max_length - 2]:
+                if w in self._added:
+                    ids.append(self._added[w])
+                    continue
                 h = 0
                 for ch in w:  # stable across runs (unlike hash())
                     h = (h * 131 + ord(ch)) % (self.vocab_size - 3)

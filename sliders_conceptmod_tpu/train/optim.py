@@ -13,15 +13,138 @@ torch scheduler semantics are reproduced in closed form:
 
 bitsandbytes 8-bit optimizers (reference train_util.py:1027-1035) have no TPU
 meaning — 'adam8bit'/'lion8bit' map to their full-precision optax versions.
-DAdapt/Prodigy are not shipped in this environment; requesting them raises.
+Prodigy (reference train_util.py:1037-1046 via the prodigyopt package) is
+reimplemented natively on optax below (:func:`prodigy`) — the step-size
+adaptation runs entirely on-device inside the jitted train step. DAdaptation
+still raises with a pointer to prodigy (its successor from the same authors).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import chex
+import jax
 import jax.numpy as jnp
 import optax
+
+
+class ProdigyState(NamedTuple):
+    step: chex.Array  # int32 scalar
+    d: chex.Array  # current distance estimate
+    d_max: chex.Array
+    d_numerator: chex.Array  # r_k in the paper
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+    s: optax.Updates  # β3-EMA of d-weighted grads; ‖s‖₁ is the D denominator
+    p0: optax.Updates  # initial params x₀
+
+
+def prodigy(
+    lr_schedule,
+    betas=(0.9, 0.999),
+    beta3: Optional[float] = None,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    d_coef: float = 1.0,
+    growth_rate: float = float("inf"),
+    safeguard_warmup: bool = False,
+    use_bias_correction: bool = False,
+) -> optax.GradientTransformation:
+    """Prodigy (Mishchenko & Defazio 2023, arXiv 2306.06101), Adam variant.
+
+    Matches the reference's prodigyopt semantics (train_util.py:1037-1046):
+    per step k with pre-update distance estimate d and dlr = d·lr(k)·bias,
+      r   ← β3·r + (d/d0)·dlr·⟨g, x₀ − x⟩
+      s   ← β3·s + (d/d0)·dlr·g          (weight d instead of dlr when
+                                          safeguard_warmup)
+      d̂  = d_coef · r / ‖s‖₁
+      d' = min(max(d_max, d̂), d·growth_rate)   (applied NEXT step)
+      m  ← β1·m + d·(1−β1)·g ;  v ← β2·v + d²·(1−β2)·g²
+      Δx = −dlr·m/(√v + d·eps) − wd·dlr·x      (decoupled weight decay)
+    All state lives on device — the whole adaptation jits into the train step.
+    """
+    b1, b2 = betas
+    b3 = beta3 if beta3 is not None else b2**0.5
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return ProdigyState(
+            step=jnp.zeros([], jnp.int32),
+            d=jnp.asarray(d0, jnp.float32),
+            d_max=jnp.asarray(d0, jnp.float32),
+            d_numerator=jnp.zeros([], jnp.float32),
+            exp_avg=zeros(),
+            exp_avg_sq=zeros(),
+            s=zeros(),
+            p0=jax.tree.map(jnp.copy, params),
+        )
+
+    def _tree_sum(tree):
+        return jax.tree.reduce(lambda a, x: a + x, tree, jnp.zeros([], jnp.float32))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("prodigy requires params to be passed to update()")
+        k = state.step
+        d = state.d
+        lr = jnp.asarray(lr_schedule(k), jnp.float32)
+        if use_bias_correction:
+            kf = k.astype(jnp.float32) + 1.0
+            bias = jnp.sqrt(1.0 - b2**kf) / (1.0 - b1**kf)
+        else:
+            bias = 1.0
+        dlr = d * lr * bias
+
+        dot = _tree_sum(
+            jax.tree.map(
+                lambda g, p, p_0: jnp.vdot(
+                    g.astype(jnp.float32), (p_0 - p).astype(jnp.float32)
+                ),
+                grads,
+                params,
+                state.p0,
+            )
+        )
+        numerator = b3 * state.d_numerator + (d / d0) * dlr * dot
+        s_alpha = (d / d0) * (d if safeguard_warmup else dlr)
+        s = jax.tree.map(lambda s_, g: b3 * s_ + s_alpha * g.astype(s_.dtype), state.s, grads)
+        denom_sum = _tree_sum(jax.tree.map(lambda s_: jnp.sum(jnp.abs(s_)), s))
+
+        d_hat = jnp.where(denom_sum > 0, d_coef * numerator / denom_sum, d)
+        d_max = jnp.maximum(state.d_max, d_hat)
+        d_next = jnp.where(denom_sum > 0, jnp.minimum(d_max, d * growth_rate), d)
+
+        exp_avg = jax.tree.map(
+            lambda m, g: b1 * m + d * (1 - b1) * g.astype(m.dtype), state.exp_avg, grads
+        )
+        exp_avg_sq = jax.tree.map(
+            lambda v, g: b2 * v + d * d * (1 - b2) * jnp.square(g.astype(v.dtype)),
+            state.exp_avg_sq,
+            grads,
+        )
+        updates = jax.tree.map(
+            lambda m, v, p: (-dlr * m / (jnp.sqrt(v) + d * eps) - weight_decay * dlr * p).astype(
+                p.dtype
+            ),
+            exp_avg,
+            exp_avg_sq,
+            params,
+        )
+        new_state = ProdigyState(
+            step=k + 1,
+            d=d_next,
+            d_max=d_max,
+            d_numerator=numerator,
+            exp_avg=exp_avg,
+            exp_avg_sq=exp_avg_sq,
+            s=s,
+            p0=state.p0,
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def parse_optimizer_args(optimizer_args: str) -> dict:
@@ -124,13 +247,23 @@ def get_optimizer(
         tx = optax.lion(lr_schedule, weight_decay=float(kwargs.get("weight_decay", 0.0)))
     elif name == "sgd":
         tx = optax.sgd(lr_schedule, momentum=float(kwargs.get("momentum", 0.0)))
-    elif name.startswith("dadapt") or name == "prodigy":
+    elif name == "prodigy":
+        tx = prodigy(
+            lr_schedule,
+            eps=float(kwargs.get("eps", 1e-8)),
+            weight_decay=float(kwargs.get("weight_decay", 0.0)),
+            d0=float(kwargs.get("d0", 1e-6)),
+            d_coef=float(kwargs.get("d_coef", 1.0)),
+            safeguard_warmup=bool(kwargs.get("safeguard_warmup", False)),
+            use_bias_correction=bool(kwargs.get("use_bias_correction", False)),
+        )
+    elif name.startswith("dadapt"):
         raise ValueError(
-            f"{name} is not available in the TPU build (no dadaptation/prodigyopt); "
-            "use adamw/lion/sgd"
+            f"{name} is not available in the TPU build (no dadaptation package); "
+            "use 'prodigy' (its successor, implemented natively) or adamw/lion/sgd"
         )
     else:
-        raise ValueError("Optimizer must be adam, adamw, lion or sgd")
+        raise ValueError("Optimizer must be adam, adamw, lion, sgd or prodigy")
 
     chain = []
     if grad_clip_norm is not None:
