@@ -64,13 +64,31 @@ def device_peak_flops():
 def fwd_flops(fn, *args, **kwargs):
     """Analytic FLOPs of one forward via XLA HLO cost analysis (client-side
     lowering only — no device compile). Dots count 2·M·N·K regardless of
-    dtype, which is exactly the numerator MFU wants."""
-    try:
-        ca = jax.jit(fn).lower(*args, **kwargs).cost_analysis()
+    dtype, which is exactly the numerator MFU wants.
+
+    The axon TPU client exposes no client-side HLO cost analysis
+    (Lowered.cost_analysis() → None there), so fall back to lowering the same
+    function for the host CPU backend with *abstract* inputs — the HLO (and
+    its flop count) is identical and nothing touches the device."""
+
+    def _extract(ca):
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        f = float(ca.get("flops", 0.0))
+        f = float(ca.get("flops", 0.0)) if ca else 0.0
         return f if f > 0 else None
+
+    try:
+        f = _extract(jax.jit(fn).lower(*args, **kwargs).cost_analysis())
+        if f:
+            return f
+    except Exception:
+        pass
+    try:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), (args, kwargs)
+        )
+        a_args, a_kwargs = abstract
+        return _extract(jax.jit(fn, backend="cpu").lower(*a_args, **a_kwargs).cost_analysis())
     except Exception:
         return None
 
@@ -89,7 +107,7 @@ def esd_step_flops(f_row, warm_iters, use_cfg, b=1, samples=1, teacher_extra=0):
     return f_row * rows * b * samples
 
 
-def emit(metric, value, unit, vs_baseline, flops_per_unit=None, rate=None):
+def emit(metric, value, unit, vs_baseline, flops_per_unit=None, rate=None, extra=None):
     """The driver-facing JSON line, plus MFU when analytic FLOPs are known."""
     line = {
         "metric": metric,
@@ -102,6 +120,8 @@ def emit(metric, value, unit, vs_baseline, flops_per_unit=None, rate=None):
         line["analytic_tflops_per_step"] = round(flops_per_unit / 1e12, 3)
         if peak and rate:
             line["mfu"] = round(flops_per_unit * rate / peak, 4)
+    if extra:
+        line.update(extra)
     print(json.dumps(line))
 
 
@@ -262,6 +282,103 @@ def bench_cascade(n_steps, res, dtype):
     )
 
 
+def bench_flux(n_steps, res, dtype):
+    """Flux-schnell ESD step at REDUCED depth with the real block structure
+    (VERDICT r1 item 7): full-scale schnell is 23.8 GB bf16 — beyond one v5e
+    (16 GB HBM) — so the single-chip evidence is a depth-reduced model with
+    identical dual/single-stream blocks (3072 inner, 24 heads, RoPE) plus an
+    analytic projection to full depth via the HLO flop ratio. Full-depth runs
+    take the TP path (BENCH_FLUX_LAYERS=19 BENCH_FLUX_SINGLE_LAYERS=38 on a
+    mesh; __graft_entry__ validates the sharded step).
+    """
+    import dataclasses
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
+    from sliders_conceptmod_tpu.models.flux import FluxConfig, FluxTransformer2DModel
+    from sliders_conceptmod_tpu.train import esd, esd_flux
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    layers = int(os.environ.get("BENCH_FLUX_LAYERS", "5"))
+    single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "10"))
+    full_cfg = FluxConfig.schnell()
+    cfg = dataclasses.replace(full_cfg, num_layers=layers, num_single_layers=single)
+    model = FluxTransformer2DModel(cfg, dtype=dtype)
+
+    gh = gw = res // 8 // 2
+    s_img, s_txt = gh * gw, 512
+    sample_args = lambda c: (
+        jnp.zeros((1, s_img, c.in_channels), dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, s_txt, c.joint_attention_dim), dtype),
+        jnp.zeros((1, c.pooled_projection_dim), dtype),
+        jnp.zeros((s_txt, 3)),
+        jnp.zeros((s_img, 3)),
+    )
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *sample_args(cfg)))
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+    def apply(p, *a, **kw):
+        return model.apply({"params": p}, *a, **kw)
+
+    sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    schedule = FlowMatchScheduler().set_timesteps(8, mu=calculate_shift(s_img))
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(sum(ord(c) for c in prompt) % 997)
+        return (
+            jax.random.normal(k, (s_txt, cfg.joint_attention_dim), dtype) * 0.1,
+            jax.random.normal(jax.random.fold_in(k, 1), (cfg.pooled_projection_dim,), dtype) * 0.1,
+        )
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
+    fcfg = esd_flux.FluxESDConfig(height=res, width=res, latent_channels=cfg.in_channels // 4)
+    opt = get_optimizer(
+        "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_value=1.0
+    )
+    step = esd_flux.make_flux_esd_train_step(apply, sites, schedule, opt, fcfg)
+    opt_state = opt.init(lora_params)
+
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    jax.block_until_ready(metrics["loss"])
+    sps = n_steps / (time.time() - t0)
+
+    f_red = fwd_flops(apply, params, *sample_args(cfg))
+    full_model = FluxTransformer2DModel(full_cfg, dtype=dtype)
+    full_abstract = jax.eval_shape(
+        lambda: full_model.init(jax.random.PRNGKey(0), *sample_args(full_cfg))
+    )["params"]
+
+    def full_apply(p, *a):
+        return full_model.apply({"params": p}, *a)
+
+    f_full = fwd_flops(full_apply, full_abstract, *sample_args(full_cfg))
+    extra = {"layers": layers, "single_layers": single}
+    # flux step: no warm-up (timesteps_to=0), 3-row teacher, student fwd+bwd
+    step_flops = f_red * 6 if f_red else None
+    if f_red and f_full:
+        extra["projected_full_depth_steps_per_sec"] = round(sps * f_red / f_full, 4)
+        extra["flop_ratio_full_over_reduced"] = round(f_full / f_red, 3)
+    emit(
+        f"flux_esd_train_steps_per_sec_L{layers}S{single}",
+        sps,
+        "steps/s",
+        round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        flops_per_unit=step_flops,
+        rate=sps,
+        extra=extra,
+    )
+
+
 def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
     """DDIM images/sec — the second north-star metric (BASELINE.md targets).
 
@@ -372,6 +489,9 @@ def main():
     if model_kind == "cascade":
         bench_cascade(n_steps, res, jnp.bfloat16)
         return
+    if model_kind == "flux":
+        bench_flux(n_steps, res, jnp.bfloat16)
+        return
     if os.environ.get("BENCH_MODE") == "infer":
         bench_infer(
             n_images=int(os.environ.get("BENCH_IMAGES", "4")),
@@ -439,6 +559,7 @@ def main():
     settings = [PromptSettings(target="person", positive="old person", resolution=res, batch_size=batch)]
     bank = esd.build_prompt_bank(settings, encode_fn)
 
+    pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
     ecfg = esd.ESDConfig(
         max_denoising_steps=max_denoise,
         train_cfg_scale=float(os.environ.get("BENCH_CFG", "1.0")),
@@ -447,6 +568,7 @@ def main():
         width=res,
         samples_per_step=samples,
         remat_unet=os.environ.get("BENCH_REMAT", "1" if res > 512 else "0") == "1",
+        pipeline_warmup=pipeline,
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -466,13 +588,23 @@ def main():
     # compile + warmup step (the reference timesteps_to draw makes step cost
     # stochastic; warmup once, then time a fixed batch of steps)
     key, k = jax.random.split(key)
-    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    if pipeline:
+        carry = step.init_carry(params, lora_params, k, bank)
+        key, k = jax.random.split(key)
+        lora_params, opt_state, metrics, carry = step(params, lora_params, opt_state, k, bank, carry)
+    else:
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.time()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+        if pipeline:
+            lora_params, opt_state, metrics, carry = step(
+                params, lora_params, opt_state, k, bank, carry
+            )
+        else:
+            lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.time() - t0
 
@@ -483,6 +615,8 @@ def main():
         metric += f"_x{samples}samples"
     if batch > 1:
         metric += f"_b{batch}"
+    if pipeline:
+        metric += "_pipelined"
     f_row = fwd_flops(
         unet_apply,
         params,

@@ -128,6 +128,15 @@ class ESDConfig:
     # batch 1, so the win is overhead removal, not batching). Also gives the
     # mesh ONE row axis to shard. Falls back to vmap unless batch_size == 1.
     fuse_samples: bool = True
+    # software-pipeline the warm-up across step boundaries: step k's graph
+    # computes the teacher/student/update from a CARRIED warm-up state and
+    # the warm-up for step k+1 from the *pre-update* LoRA params — the two
+    # subgraphs are independent, so XLA's scheduler can interleave the
+    # latency-bound warm-up chain with the student backward. DEVIATION: the
+    # warm-up sees params one optimizer step stale (the warm-up is already
+    # gradient-stopped context generation; with lr→0 the sequence is
+    # bit-identical, tests/test_esd_train.py). samples_per_step==1 only.
+    pipeline_warmup: bool = False
 
 
 def make_esd_train_step(
@@ -223,19 +232,7 @@ def make_esd_train_step(
 
         return loss_fn
 
-    def one_sample(base_params, lora_params, key, bank: PromptBank):
-        k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)
-        n_pairs = bank.text.shape[0]
-        pair = jax.random.randint(k_pair, (), 0, n_pairs)
-        timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
-
-        text = bank.text[pair]  # [5, S, D]
-        pooled = bank.pooled[pair] if bank.pooled is not None else None
-        g_pair = bank.guidance[pair]
-        sign = bank.sign[pair]
-
-        latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
-
+    def _pair_closures(text, pooled):
         def cfg_rows(role):  # [2b, S, D] (uncond ++ cond), or [b] cond-only
             if not use_cfg:
                 return tile(text[role])
@@ -256,9 +253,24 @@ def make_esd_train_step(
                 "time_ids": jnp.tile(add_time_ids, (2 * b, 1)),
             }
 
-        # --- (2) warm-up: slider ON, no grad (reference :209-231) ----------
-        student_params = merge(base_params, sites, lora_params, 1.0)
-        student_params_sg = jax.lax.stop_gradient(student_params)
+        return cfg_rows, xl_kwargs
+
+    def warm_draw(base_params, lora_params, key, bank: PromptBank):
+        """Draw (pair, t_k, noise) and run the slider-ON gradient-stopped
+        warm-up (reference :209-231). Returns the carry consumed by
+        :func:`_sample_tail` — either immediately (one_sample) or one step
+        later (pipeline_warmup)."""
+        k_pair, k_t, k_noise, k_warm = jax.random.split(key, 4)
+        n_pairs = bank.text.shape[0]
+        pair = jax.random.randint(k_pair, (), 0, n_pairs)
+        timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+
+        text = bank.text[pair]  # [5, S, D]
+        pooled = bank.pooled[pair] if bank.pooled is not None else None
+        cfg_rows, xl_kwargs = _pair_closures(text, pooled)
+
+        latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
+        student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
         denoised = denoise_partial(
             unet_apply,
             student_params_sg,
@@ -272,23 +284,32 @@ def make_esd_train_step(
             added_cond_kwargs=xl_kwargs(ROLE_TARGET),
         )
         denoised = jax.lax.stop_gradient(denoised)
-
         current_t = current_train_timestep(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
         )
+        return {"pair": pair, "denoised": denoised, "current_t": current_t}
 
-        # --- (3)-(5) teacher branches + student loss (shared tail) ----------
+    def _sample_tail(base_params, carry, bank: PromptBank):
+        """(3)-(5): teacher branches + student loss from a warm-up carry."""
+        pair = carry["pair"]
+        text = bank.text[pair]
+        pooled = bank.pooled[pair] if bank.pooled is not None else None
+        cfg_rows, xl_kwargs = _pair_closures(text, pooled)
         return teacher_and_loss(
             base_params,
-            denoised,
-            current_t,
+            carry["denoised"],
+            carry["current_t"],
             lambda r: tile(text[r]),
             (lambda r: tile(pooled[r])) if is_xl else None,
             cfg_rows,
             xl_kwargs,
-            g_pair,
-            sign,
+            bank.guidance[pair],
+            bank.sign[pair],
         )
+
+    def one_sample(base_params, lora_params, key, bank: PromptBank):
+        carry = warm_draw(base_params, lora_params, key, bank)
+        return _sample_tail(base_params, carry, bank)
 
     def fused_samples_loss(base_params, lora_params, keys, k_loop, bank: PromptBank):
         """samples_per_step independent samples as ROWS of one batch: one
@@ -404,5 +425,38 @@ def make_esd_train_step(
         lora_params = optax.apply_updates(lora_params, updates)
         gnorm = optax.global_norm(grads)
         return lora_params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    if cfg.pipeline_warmup:
+        if cfg.samples_per_step != 1:
+            raise ValueError("pipeline_warmup supports samples_per_step == 1 only")
+
+        @jax.jit
+        def init_carry(base_params, lora_params, key, bank: PromptBank):
+            return warm_draw(base_params, lora_params, key, bank)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 5))
+        def train_step_pipelined(base_params, lora_params, opt_state, key_next, bank, carry):
+            # the grad path reads `carry` (drawn last step); the next warm-up
+            # reads the PRE-update lora_params — independent subgraphs, so
+            # the scheduler may overlap the warm-up chain with the backward
+            loss_fn = _sample_tail(base_params, carry, bank)
+            loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+            new_carry = warm_draw(base_params, lora_params, key_next, bank)
+            updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+            lora_params = optax.apply_updates(lora_params, updates)
+            gnorm = optax.global_norm(grads)
+            return lora_params, opt_state, {"loss": loss, "grad_norm": gnorm}, new_carry
+
+        _init_carry_fn = init_carry
+
+        class _PipelinedStep:
+            """callable step + .init_carry (jit objects reject attributes)"""
+
+            init_carry = staticmethod(_init_carry_fn)
+
+            def __call__(self, *args):
+                return train_step_pipelined(*args)
+
+        return _PipelinedStep()
 
     return train_step

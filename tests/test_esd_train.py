@@ -233,3 +233,66 @@ def test_fused_samples_matches_vmap_path_with_cfg():
 
     assert losses[True] > 0
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_pipeline_warmup_equivalence():
+    """pipeline_warmup with lr=0 reproduces the unpipelined loss sequence
+    exactly (staleness is invisible when params never change)."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    keys = [jax.random.PRNGKey(100 + i) for i in range(4)]
+    opt = optax.sgd(0.0)
+
+    base_cfg = dict(max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False)
+    step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, esd.ESDConfig(**base_cfg)
+    )
+    pstep = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        esd.ESDConfig(pipeline_warmup=True, **base_cfg),
+    )
+
+    snapshot = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)  # step donates
+    lp, st = lora_params, opt.init(lora_params)
+    ref_losses = []
+    for k in keys[:-1]:
+        lp, st, m = step(params, lp, st, k, bank)
+        ref_losses.append(float(m["loss"]))
+
+    lp = jax.tree.map(jnp.asarray, snapshot)
+    st = opt.init(lp)
+    carry = pstep.init_carry(params, lp, keys[0], bank)
+    pipe_losses = []
+    for k in keys[1:]:
+        lp, st, m, carry = pstep(params, lp, st, k, bank, carry)
+        pipe_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(pipe_losses, ref_losses, rtol=1e-5)
+
+
+def test_pipeline_warmup_trains():
+    """With a real lr the pipelined step still reduces finite losses and
+    moves the adapters (one-step-stale warm-up deviation)."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    pstep = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        esd.ESDConfig(
+            max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False,
+            pipeline_warmup=True,
+        ),
+    )
+    lp = lora_params
+    st = opt.init(lp)
+    initial = jax.tree.map(lambda a: np.asarray(a).copy(), lp)
+    carry = pstep.init_carry(params, lp, jax.random.PRNGKey(0), bank)
+    losses = []
+    for i in range(3):
+        lp, st, m, carry = pstep(params, lp, st, jax.random.PRNGKey(1 + i), bank, carry)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    moved = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: np.asarray(a) - b, lp, initial),
+        0.0,
+    )
+    assert moved > 0
