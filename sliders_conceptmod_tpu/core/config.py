@@ -104,6 +104,10 @@ class TPUConfig(BaseModel):
     # pays off multi-chip when one chip can't hold the O(S) activations)
     sequence_parallel: bool = False
     sp_min_seq: int = 4096
+    # software-pipeline the gradient-stopped warm-up across step boundaries
+    # (train/esd.py ESDConfig.pipeline_warmup). DEVIATION when on: the
+    # warm-up sees adapter params one optimizer step stale.
+    pipeline_warmup: bool = False
 
 
 class RootConfig(BaseModel):

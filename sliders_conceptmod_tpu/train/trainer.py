@@ -168,6 +168,13 @@ def train(
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
     merge_fn = peft_mod.merge_lora_params
 
+    pipelined = bool(getattr(tpu_cfg, "pipeline_warmup", False))
+    if pipelined and dynamic_resolution:
+        raise ValueError(
+            "tpu.pipeline_warmup carries the warm-up state across steps at one "
+            "fixed shape — incompatible with dynamic_resolution buckets"
+        )
+
     def build_step(height: int, width: int):
         ecfg = esd.ESDConfig(
             max_denoising_steps=config.train.max_denoising_steps,
@@ -181,6 +188,7 @@ def train(
             # measured on v5e (BASELINE.md): no-remat is ~4% faster and fits
             # HBM at <=512px; above that activation memory needs remat
             remat_unet=max(height, width) > 512,
+            pipeline_warmup=pipelined,
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, dynamic_crops)) if is_xl else None
         return esd.make_esd_train_step(
@@ -242,12 +250,23 @@ def train(
     )
 
     # --- loop -------------------------------------------------------------
+    carry = None
+    if pipelined:
+        # resume note: the carry is re-drawn (not checkpointed) — the first
+        # post-resume step's warm-up sample differs from the uninterrupted run
+        key, k_carry = jax.random.split(key)
+        carry = step_fns[0].init_carry(unet.params, lora_params, k_carry, bank)
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
         bi = pick_bucket(i) if pick_bucket is not None else 0
-        lora_params, opt_state, metrics = step_fns[bi](
-            unet.params, lora_params, opt_state, k_step, bank
-        )
+        if pipelined:
+            lora_params, opt_state, metrics, carry = step_fns[0](
+                unet.params, lora_params, opt_state, k_step, bank, carry
+            )
+        else:
+            lora_params, opt_state, metrics = step_fns[bi](
+                unet.params, lora_params, opt_state, k_step, bank
+            )
         if pick_bucket is not None:
             metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])
         logger.log(i, metrics)
