@@ -91,7 +91,34 @@ class SliderService:
 
         self._encode_jit = _encode_jit
         self._embed_cache = {}
+        # merged-params LRU: the per-request adapter merge materializes a full
+        # bf16 copy of the UNet (5.1 GB at SDXL scale) — sweep workloads reuse
+        # a handful of scales, so cache the most recent merges. Capacity 2
+        # keeps base + 2 merged trees inside v5e HBM.
+        import threading
+
+        self._merged_cache: "dict[float, object]" = {}
+        self._merged_capacity = 2
+        self._merged_lock = threading.Lock()  # ThreadingHTTPServer workers share the cache
         self.load_seconds = time.time() - t0
+
+    def _merged_for_scale(self, scale: float):
+        if scale == 0.0:
+            return self.unet.params  # scale 0 ≡ base — skip the merge entirely
+        with self._merged_lock:
+            if scale in self._merged_cache:
+                merged = self._merged_cache.pop(scale)
+            else:
+                merged = lora_lib.merge_lora_params(
+                    self.unet.params, self.sites, self.lora_params, scale
+                )
+                while len(self._merged_cache) >= self._merged_capacity:
+                    # evict the least-recently-used entry (dict order = insert
+                    # order; adapted leaves are freed by GC — unadapted leaves
+                    # alias the base tree, so never delete() explicitly)
+                    self._merged_cache.pop(next(iter(self._merged_cache)))
+            self._merged_cache[scale] = merged  # reinsert = most-recent
+            return merged
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
@@ -119,7 +146,7 @@ class SliderService:
             jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
             * self.schedule.init_noise_sigma
         ).astype(jnp.bfloat16)
-        merged = lora_lib.merge_lora_params(self.unet.params, self.sites, self.lora_params, scale)
+        merged = self._merged_for_scale(scale)
         final = self._sample(
             self.unet.params, merged, latents, emb, added, jax.random.PRNGKey(seed), guidance
         )
