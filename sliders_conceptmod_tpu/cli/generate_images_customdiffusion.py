@@ -72,6 +72,19 @@ def run(args):
 
     unet.params = patch_custom_diffusion_kv(unet.params, delta.get("unet", {}))
 
+    # full text-encoder state dicts (save_text_encoder=True deltas,
+    # reference save_pretrained :459-480 / load_model :748-752)
+    from sliders_conceptmod_tpu.io import torch_convert as tc
+
+    for te_key, te_i in zip(("text_encoder", "text_encoder_2"), encoders):
+        if te_key in delta:
+            te_i.params = tc.tree_to_jax(
+                tc.convert_clip_text_state_dict(
+                    {k: np.asarray(v) for k, v in delta[te_key].items()}
+                ),
+                dtype=jnp.bfloat16,
+            )
+
     for token, embs in delta.get("modifier_token", {}).items():
         if not isinstance(embs, list):
             embs = [embs]
@@ -83,11 +96,12 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(latents, text_emb, added):
+    def sample_fn(params, latents, text_emb, added):
+        # params through the signature (CLAUDE.md: no closure-captured GBs)
         return sample_loop(
             unet_apply,
-            unet.params,
-            unet.params,
+            params,
+            params,
             0,
             scheduler,
             schedule,
@@ -98,13 +112,17 @@ def run(args):
             added_cond_kwargs=added,
         )
 
+    # loop-invariant: uncond embeddings never change across CSV cases
+    if is_xl:
+        text_u, pooled_u = factory.encode_prompts_xl(encoders, [""] * args.num_samples)
+    else:
+        uncond = factory.encode_prompts(encoders[0], [""] * args.num_samples)
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         full_prompt = f"{prompt} with {args.token}"  # reference :809
         if is_xl:
             text, pooled = factory.encode_prompts_xl(encoders, [full_prompt] * args.num_samples)
-            text_u, pooled_u = factory.encode_prompts_xl(encoders, [""] * args.num_samples)
             text_emb = jnp.concatenate([text_u, text], axis=0)
             added = {
                 "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
@@ -115,7 +133,6 @@ def run(args):
             }
         else:
             cond = factory.encode_prompts(encoders[0], [full_prompt] * args.num_samples)
-            uncond = factory.encode_prompts(encoders[0], [""] * args.num_samples)
             text_emb = jnp.concatenate([uncond, cond], axis=0)
             added = None
         latents = (
@@ -124,7 +141,7 @@ def run(args):
             )
             * schedule.init_noise_sigma
         )
-        final = sample_fn(latents.astype(jnp.bfloat16), text_emb, added)
+        final = sample_fn(unet.params, latents.astype(jnp.bfloat16), text_emb, added)
         images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
         from PIL import Image
 

@@ -42,12 +42,13 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(latents, text_emb):
-        # no phase flip — single model throughout (flip step 0, same params)
+    def sample_fn(params, latents, text_emb):
+        # no phase flip — single model throughout (flip step 0, same params);
+        # params through the signature (CLAUDE.md: no closure-captured GBs)
         return sample_loop(
             unet_apply,
-            unet.params,
-            unet.params,
+            params,
+            params,
             0,
             scheduler,
             schedule,
@@ -57,12 +58,12 @@ def run(args):
             guidance_scale=args.guidance_scale,
         )
 
+    uncond = factory.encode_prompts(te, [""] * args.num_samples)  # loop-invariant
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         full_prompt = f"{prompt} with {args.token}"  # reference :31
         cond = factory.encode_prompts(te, [full_prompt] * args.num_samples)
-        uncond = factory.encode_prompts(te, [""] * args.num_samples)
         text_emb = jnp.concatenate([uncond, cond], axis=0)
         latents = (
             jax.random.normal(
@@ -70,7 +71,7 @@ def run(args):
             )
             * schedule.init_noise_sigma
         )
-        final = sample_fn(latents.astype(jnp.bfloat16), text_emb)
+        final = sample_fn(unet.params, latents.astype(jnp.bfloat16), text_emb)
         images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
         from PIL import Image
 

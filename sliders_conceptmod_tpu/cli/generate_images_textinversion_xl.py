@@ -40,11 +40,12 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(latents, text_emb, added):
+    def sample_fn(params, latents, text_emb, added):
+        # params through the signature (CLAUDE.md: no closure-captured GBs)
         return sample_loop(
             unet_apply,
-            unet.params,
-            unet.params,
+            params,
+            params,
             0,
             scheduler,
             schedule,
@@ -55,12 +56,13 @@ def run(args):
             added_cond_kwargs=added,
         )
 
+    # loop-invariant: uncond embeddings never change across CSV cases
+    text_u, pooled_u = factory.encode_prompts_xl(text_encoders, [""] * args.num_samples)
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         full_prompt = f"{prompt} with {args.token}"
         text, pooled = factory.encode_prompts_xl(text_encoders, [full_prompt] * args.num_samples)
-        text_u, pooled_u = factory.encode_prompts_xl(text_encoders, [""] * args.num_samples)
         text_emb = jnp.concatenate([text_u, text], axis=0)
         added = {
             "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
@@ -75,7 +77,7 @@ def run(args):
             )
             * schedule.init_noise_sigma
         )
-        final = sample_fn(latents.astype(jnp.bfloat16), text_emb, added)
+        final = sample_fn(unet.params, latents.astype(jnp.bfloat16), text_emb, added)
         images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
         from PIL import Image
 

@@ -34,15 +34,17 @@ from sliders_conceptmod_tpu.models import factory
 
 
 def scale_folder(scale: float) -> str:
-    # reference: '0.5' -> 'half' in folder names (generate_images-uce.py:178)
-    s = f"{scale}".rstrip("0").rstrip(".") if "." in f"{scale}" else f"{scale}"
-    return s.replace("0.5", "half")
+    # reference: '0.5' -> 'half' in folder names (generate_images-uce.py:178);
+    # exact-match only — substring replace would mangle e.g. 10.5 or 0.55
+    if abs(scale) == 0.5:
+        return "half" if scale > 0 else "-half"
+    return f"{scale}".rstrip("0").rstrip(".") if "." in f"{scale}" else f"{scale}"
 
 
 def run(args):
     rows = load_prompts_csv(args.prompts_path)
     scales = [float(s) for s in args.scales.split(",")]
-    name = os.path.basename(args.model_path)
+    name = os.path.basename(os.path.normpath(args.model_path))
     folder = f"{args.save_path}/{name}"
     for scale in scales:
         os.makedirs(f"{folder}/{scale_folder(scale)}", exist_ok=True)
@@ -51,20 +53,22 @@ def run(args):
     tokenizer, te, vae, unet, scheduler = factory.load_models(
         args.base, scheduler_name="lms", weight_dtype=jnp.bfloat16, with_vae=True
     )
-    edited = jax.tree.map(
-        lambda e, o: jnp.asarray(e, o.dtype), load_edited_unet(args.model_path), unet.params
-    )
+    # delta in fp32 from the UNROUNDED edited weights: UCE edits are small
+    # perturbations of to_k/to_v — rounding the edited tensors to bf16 before
+    # subtracting would swamp the edit with quantization noise. The base is
+    # stored bf16 either way, so interp(1) still reproduces the edit exactly.
     delta = jax.jit(
         lambda e, o: jax.tree.map(
             lambda a, b: a.astype(jnp.float32) - b.astype(jnp.float32), e, o
         )
-    )(edited, unet.params)
-    del edited
+    )(load_edited_unet(args.model_path), unet.params)
 
+    # base params + delta flow through jit SIGNATURES — closure capture bakes
+    # multi-GB constants into the executables (CLAUDE.md convention)
     @jax.jit
-    def interp(scale):
+    def interp(base, d, scale):
         return jax.tree.map(
-            lambda o, d: (o.astype(jnp.float32) + scale * d).astype(o.dtype), unet.params, delta
+            lambda o, dd: (o.astype(jnp.float32) + scale * dd).astype(o.dtype), base, d
         )
 
     schedule = scheduler.set_timesteps(args.ddim_steps)
@@ -73,10 +77,10 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(edited_params, latents, text_emb):
+    def sample_fn(base_params, edited_params, latents, text_emb):
         return sample_loop(
             unet_apply,
-            unet.params,
+            base_params,
             edited_params,
             flip,
             scheduler,
@@ -88,11 +92,12 @@ def run(args):
         )
 
     neg = args.negative_prompts or ""
+    # loop-invariant: the uncond row never changes across CSV cases
+    uncond = factory.encode_prompts(te, [neg] * args.num_samples)
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         cond = factory.encode_prompts(te, [prompt] * args.num_samples)
-        uncond = factory.encode_prompts(te, [neg] * args.num_samples)
         text_emb = jnp.concatenate([uncond, cond], axis=0)
         per_scale = []
         for scale in scales:
@@ -101,7 +106,12 @@ def run(args):
                 jax.random.normal(key, (args.num_samples, 4, latent_res, latent_res), jnp.float32)
                 * schedule.init_noise_sigma
             )
-            final = sample_fn(interp(scale), latents.astype(jnp.bfloat16), text_emb)
+            final = sample_fn(
+                unet.params,
+                interp(unet.params, delta, scale),
+                latents.astype(jnp.bfloat16),
+                text_emb,
+            )
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
             from PIL import Image
 

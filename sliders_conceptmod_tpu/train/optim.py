@@ -157,6 +157,9 @@ def parse_optimizer_args(optimizer_args: str) -> dict:
         if "=" not in tok:
             continue
         k, v = tok.split("=", 1)
+        if v.lower() in ("true", "false"):  # bool flags (e.g. safeguard_warmup)
+            out[k] = v.lower() == "true"
+            continue
         try:
             out[k] = float(v)
         except ValueError:
@@ -250,10 +253,13 @@ def get_optimizer(
     elif name == "prodigy":
         tx = prodigy(
             lr_schedule,
+            betas=(float(kwargs.get("beta1", 0.9)), float(kwargs.get("beta2", 0.999))),
+            beta3=float(kwargs["beta3"]) if "beta3" in kwargs else None,
             eps=float(kwargs.get("eps", 1e-8)),
             weight_decay=float(kwargs.get("weight_decay", 0.0)),
             d0=float(kwargs.get("d0", 1e-6)),
             d_coef=float(kwargs.get("d_coef", 1.0)),
+            growth_rate=float(kwargs.get("growth_rate", float("inf"))),
             safeguard_warmup=bool(kwargs.get("safeguard_warmup", False)),
             use_bias_correction=bool(kwargs.get("use_bias_correction", False)),
         )
