@@ -77,19 +77,29 @@ def fwd_flops(fn, *args, **kwargs):
         f = float(ca.get("flops", 0.0)) if ca else 0.0
         return f if f > 0 else None
 
+    debug = os.environ.get("BENCH_DEBUG_FLOPS") == "1"
     try:
         f = _extract(jax.jit(fn).lower(*args, **kwargs).cost_analysis())
         if f:
             return f
-    except Exception:
-        pass
+    except Exception as e:
+        if debug:
+            import traceback
+
+            print(f"# fwd_flops default-backend failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
     try:
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), (args, kwargs)
         )
         a_args, a_kwargs = abstract
         return _extract(jax.jit(fn, backend="cpu").lower(*a_args, **a_kwargs).cost_analysis())
-    except Exception:
+    except Exception as e:
+        if debug:
+            import traceback
+
+            print(f"# fwd_flops cpu-backend fallback failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
         return None
 
 
