@@ -78,29 +78,41 @@ def fwd_flops(fn, *args, **kwargs):
         return f if f > 0 else None
 
     debug = os.environ.get("BENCH_DEBUG_FLOPS") == "1"
-    try:
-        f = _extract(jax.jit(fn).lower(*args, **kwargs).cost_analysis())
-        if f:
-            return f
-    except Exception as e:
-        if debug:
-            import traceback
+    # analytic lowering must take the XLA attention path: Pallas kernels are
+    # opaque to HLO cost analysis (their flops vanish from the count) and the
+    # flash kernel doesn't lower for CPU at all. Same math, same flop count.
+    from sliders_conceptmod_tpu.ops import attention as _attn
 
-            print(f"# fwd_flops default-backend failed: {e!r}", file=sys.stderr)
-            traceback.print_exc()
+    saved = _attn._FLASH_DISABLED
+    _attn._FLASH_DISABLED = True
     try:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), (args, kwargs)
-        )
-        a_args, a_kwargs = abstract
-        return _extract(jax.jit(fn, backend="cpu").lower(*a_args, **a_kwargs).cost_analysis())
-    except Exception as e:
-        if debug:
-            import traceback
+        try:
+            f = _extract(jax.jit(fn).lower(*args, **kwargs).cost_analysis())
+            if f:
+                return f
+        except Exception as e:
+            if debug:
+                import traceback
 
-            print(f"# fwd_flops cpu-backend fallback failed: {e!r}", file=sys.stderr)
-            traceback.print_exc()
-        return None
+                print(f"# fwd_flops default-backend failed: {e!r}", file=sys.stderr)
+                traceback.print_exc()
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), (args, kwargs)
+            )
+            a_args, a_kwargs = abstract
+            return _extract(
+                jax.jit(fn, backend="cpu").lower(*a_args, **a_kwargs).cost_analysis()
+            )
+        except Exception as e:
+            if debug:
+                import traceback
+
+                print(f"# fwd_flops cpu-backend fallback failed: {e!r}", file=sys.stderr)
+                traceback.print_exc()
+            return None
+    finally:
+        _attn._FLASH_DISABLED = saved
 
 
 def esd_step_flops(f_row, warm_iters, use_cfg, b=1, samples=1, teacher_extra=0):
