@@ -562,8 +562,19 @@ def main():
     def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
         return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
-    sites = lora_lib.create_sites(params, rank=4, alpha=1.0, train_method="full")
-    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites, dtype=jnp.float32)
+    peft = os.environ.get("BENCH_PEFT", "lora")
+    if peft == "dora":
+        from sliders_conceptmod_tpu.adapters import dora as peft_mod
+
+        sites = peft_mod.create_sites(params, rank=4, alpha=1.0, train_method="full")
+        lora_params = peft_mod.init_lora_params(
+            jax.random.PRNGKey(1), sites, base_params=params, dtype=jnp.float32
+        )
+        merge_fn = peft_mod.merge_lora_params
+    else:
+        sites = lora_lib.create_sites(params, rank=4, alpha=1.0, train_method="full")
+        lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites, dtype=jnp.float32)
+        merge_fn = None
 
     # reference budgets: SDXL euler_a/12 (config-xl.yaml), SD1.x DDIM-50 (config.yaml)
     scheduler = create_noise_scheduler("ddim" if model_kind == "sd15" else "euler_a")
@@ -603,6 +614,7 @@ def main():
         opt,
         ecfg,
         add_time_ids=None if pooled_dim is None else jnp.asarray(get_add_time_ids(res, res)),
+        merge_fn=merge_fn,
     )
     opt_state = opt.init(lora_params)
 
@@ -639,6 +651,8 @@ def main():
         metric += f"_b{batch}"
     if pipeline:
         metric += "_pipelined"
+    if peft != "lora":
+        metric += f"_{peft}"
     f_row = fwd_flops(
         unet_apply,
         params,
