@@ -77,3 +77,26 @@ def test_non_flagship_trainers_fail_loudly():
     for mod in (train_lora_sd3, train_lora_flux, train_lora_cascade):
         with pytest.raises(NotImplementedError, match="dynamic_resolution"):
             mod.train(None, [p], rank=2)  # guard fires before config is touched
+
+
+def test_pipeline_warmup_conflicts_with_buckets(tmp_path):
+    """tpu.pipeline_warmup carries one fixed-shape warm-up state — the
+    trainer must refuse the combination instead of silently mis-pipelining."""
+    from sliders_conceptmod_tpu.core.config import RootConfig
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.train import trainer
+
+    cfg = RootConfig(
+        prompts_file="unused",
+        pretrained_model={"name_or_path": "tiny"},
+        network={"rank": 2, "alpha": 1.0},
+        train={"iterations": 2, "max_denoising_steps": 2, "precision": "float32"},
+        save={"name": "x", "path": str(tmp_path), "precision": "float32", "per_steps": 0},
+        logging={},
+        tpu={"seed": 0, "pipeline_warmup": True},
+    )
+    prompts = [
+        PromptSettings(target="a", positive="b", resolution=192, dynamic_resolution=True)
+    ]
+    with pytest.raises(ValueError, match="pipeline_warmup"):
+        trainer.train(cfg, prompts, rank=2, save_file=False)
