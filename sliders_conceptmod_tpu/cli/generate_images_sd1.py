@@ -130,6 +130,7 @@ def build_parser():
     parser.add_argument("--rank", type=int, default=4)
     parser.add_argument("--start_noise", type=int, default=850)
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    parser.add_argument("--device", type=str, default="0", help="ignored on TPU (mesh-controlled)")
     return parser
 
 

@@ -128,7 +128,18 @@ def run(args):
 
 def build_parser():
     parser = argparse.ArgumentParser(prog="generateImagesUCE")
-    parser.add_argument("--model_path", type=str, required=True, help="edited UNet state dict")
+    # reference flag name is --model_name (generate_images-uce.py argparse);
+    # --model_path kept as an alias
+    parser.add_argument(
+        "--model_name",
+        "--model_path",
+        dest="model_path",
+        type=str,
+        required=True,
+        help="edited UNet state dict",
+    )
+    parser.add_argument("--device", type=str, default="0", help="ignored on TPU (mesh-controlled)")
+    parser.add_argument("--rank", type=int, default=4, help="accepted for parity; unused by UCE")
     parser.add_argument("--prompts_path", type=str, required=True)
     parser.add_argument("--negative_prompts", type=str, default=None)
     parser.add_argument("--save_path", type=str, required=True)
