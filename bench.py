@@ -602,6 +602,7 @@ def main():
         samples_per_step=samples,
         remat_unet=os.environ.get("BENCH_REMAT", "1" if res > 512 else "0") == "1",
         pipeline_warmup=pipeline,
+        fuse_teacher_student=os.environ.get("BENCH_FUSE_TS", "0") == "1",
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -653,6 +654,8 @@ def main():
         metric += "_pipelined"
     if peft != "lora":
         metric += f"_{peft}"
+    if os.environ.get("BENCH_FUSE_TS", "0") == "1":
+        metric += "_fusedTS"
     f_row = fwd_flops(
         unet_apply,
         params,

@@ -278,6 +278,67 @@ def _delta_kernel(site: LoRASite, leaf: Dict) -> jnp.ndarray:
     return delta * site.scale
 
 
+def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale):
+    """Apply-time adapter overlay with a PER-ROW slider multiplier.
+
+    Returns a flax ``intercept_methods`` context: inside it, every adapted
+    module's output becomes ``org(x) + row_scale·(α/r)·up(down(x))`` — the
+    reference's forward-hook formula (lora.py:134-138) — where ``row_scale``
+    is a [B] vector broadcast over the output's trailing dims. Rows with
+    scale 0 are exactly the slider-off model, so one batched call can carry
+    teacher (off) and student (on) rows against a SINGLE weight stream —
+    the graph-level fusion ``ESDConfig.fuse_teacher_student`` uses.
+
+    Equivalent to :func:`merge_lora_params` for uniform scales
+    (tests/test_lora_overlay.py); conv sites use the base conv's own
+    stride/padding for the down conv (reference lora.py:108-114).
+    """
+    import flax.linen as nn
+
+    by_path = {s.module_path: s for s in sites}
+    row_scale = jnp.asarray(row_scale)
+
+    def interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        if context.method_name != "__call__":
+            return out
+        site = by_path.get(tuple(context.module.path))
+        if site is None:
+            return out
+        leaf = lora_params[site.lora_name]
+        x = args[0]
+        if site.kind == "dense":
+            lora_out = (x.astype(jnp.float32) @ leaf["down"].astype(jnp.float32)) @ leaf[
+                "up"
+            ].astype(jnp.float32)
+        else:
+            mod = context.module  # nn.Conv — reuse its stride/padding (NHWC)
+            strides = mod.strides if mod.strides is not None else (1, 1)
+            if isinstance(strides, int):
+                strides = (strides, strides)
+            padding = mod.padding
+            if isinstance(padding, int):
+                padding = ((padding, padding), (padding, padding))
+            down = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32),
+                leaf["down"].astype(jnp.float32),
+                window_strides=strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            lora_out = jax.lax.conv_general_dilated(
+                down,
+                leaf["up"].astype(jnp.float32),
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        scale = row_scale.reshape((-1,) + (1,) * (out.ndim - 1)).astype(jnp.float32)
+        return out + (scale * site.scale * lora_out).astype(out.dtype)
+
+    return nn.intercept_methods(interceptor)
+
+
 def merge_lora_params(base_params, sites: Sequence[LoRASite], lora_params: Dict, multiplier):
     """Return a param tree with ``W + multiplier·(α/r)·up∘down`` at each site.
 

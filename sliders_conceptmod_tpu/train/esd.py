@@ -128,6 +128,14 @@ class ESDConfig:
     # batch 1, so the win is overhead removal, not batching). Also gives the
     # mesh ONE row axis to shard. Falls back to vmap unless batch_size == 1.
     fuse_samples: bool = True
+    # fuse the teacher branches AND the student prediction into ONE UNet
+    # call against a single weight stream: the teacher rows ride with
+    # per-row slider scale 0 and the student row with scale 1 through the
+    # apply-time overlay (adapters/lora.lora_overlay) — identical math to
+    # the separate calls (equivalence-tested), one fewer full pass over the
+    # frozen weights (the teacher call's HBM stream). LoRA + guidance==1 +
+    # samples_per_step==1 only.
+    fuse_teacher_student: bool = False
     # software-pipeline the warm-up across step boundaries: step k's graph
     # computes the teacher/student/update from a CARRIED warm-up state and
     # the warm-up for step k+1 from the *pre-update* LoRA params — the two
@@ -172,6 +180,47 @@ def make_esd_train_step(
         if cfg.remat_unet
         else unet_apply
     )
+
+    if cfg.fuse_teacher_student:
+        if use_cfg:
+            raise ValueError("fuse_teacher_student requires guidance == 1 (cond-only rows)")
+        if merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
+            raise ValueError("fuse_teacher_student supports the LoRA overlay only")
+        if cfg.samples_per_step != 1:
+            raise ValueError("fuse_teacher_student supports samples_per_step == 1 only")
+
+    def fused_teacher_student_loss(
+        base_params, denoised, current_t, role_text, role_pooled, g_pair, sign
+    ):
+        """One 4-row call: [positive, neutral, negative | student target] with
+        per-row slider scales [0,0,0 | 1] via the apply-time overlay — same
+        math as the separate teacher + student calls, one weight stream."""
+        roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE, ROLE_TARGET)
+        rows = jnp.concatenate([role_text(r) for r in roles], axis=0)
+        n = denoised.shape[0]
+        t_all = current_t if jnp.ndim(current_t) == 0 else jnp.tile(current_t, len(roles))
+        scaled = scheduler.scale_model_input_train_t(
+            schedule, jnp.concatenate([denoised] * len(roles), axis=0), t_all
+        )
+        kw = None
+        if is_xl:
+            kw = {
+                "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
+                "time_ids": jnp.tile(add_time_ids, (len(roles) * n, 1)),
+            }
+        row_scale = jnp.concatenate([jnp.zeros(3 * n), jnp.ones(n)])
+
+        def loss_fn(lp):
+            with lora_lib.lora_overlay(sites, lp, row_scale):
+                eps = student_apply(base_params, scaled, t_all, rows, added_cond_kwargs=kw)
+            e_pos, e_neu, e_neg, e_stu = jnp.split(eps, 4, axis=0)
+            esd_target = jax.lax.stop_gradient(
+                (e_neu + sign * g_pair * (e_pos - e_neg)).astype(jnp.float32)
+            )
+            diff = e_stu.astype(jnp.float32) - esd_target
+            return jnp.mean(diff * diff)
+
+        return loss_fn
 
     def teacher_and_loss(
         base_params, denoised, current_t, role_text, role_pooled, cfg_rows, xl_kwargs, g_pair, sign
@@ -295,6 +344,16 @@ def make_esd_train_step(
         text = bank.text[pair]
         pooled = bank.pooled[pair] if bank.pooled is not None else None
         cfg_rows, xl_kwargs = _pair_closures(text, pooled)
+        if cfg.fuse_teacher_student:
+            return fused_teacher_student_loss(
+                base_params,
+                carry["denoised"],
+                carry["current_t"],
+                lambda r: tile(text[r]),
+                (lambda r: tile(pooled[r])) if is_xl else None,
+                bank.guidance[pair],
+                bank.sign[pair],
+            )
         return teacher_and_loss(
             base_params,
             carry["denoised"],

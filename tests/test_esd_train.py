@@ -296,3 +296,82 @@ def test_pipeline_warmup_trains():
         0.0,
     )
     assert moved > 0
+
+
+def test_fuse_teacher_student_equivalence():
+    """fuse_teacher_student (one 4-row overlay call) reproduces the separate
+    teacher+student losses exactly at lr=0."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    keys = [jax.random.PRNGKey(300 + i) for i in range(3)]
+    opt = optax.sgd(0.0)
+    base_cfg = dict(max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False)
+
+    # randomize up factors (zero-init makes the fused/default paths trivially equal)
+    lora_params = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(9), a.shape) * 0.05, lora_params
+    )
+    snapshot = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)
+
+    step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, esd.ESDConfig(**base_cfg)
+    )
+    lp, st = lora_params, opt.init(lora_params)
+    ref = []
+    for k in keys:
+        lp, st, m = step(params, lp, st, k, bank)
+        ref.append(float(m["loss"]))
+
+    fstep = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        esd.ESDConfig(fuse_teacher_student=True, **base_cfg),
+    )
+    lp = jax.tree.map(jnp.asarray, snapshot)
+    st = opt.init(lp)
+    fused = []
+    for k in keys:
+        lp, st, m = fstep(params, lp, st, k, bank)
+        fused.append(float(m["loss"]))
+
+    np.testing.assert_allclose(fused, ref, rtol=2e-4)
+
+
+def test_fuse_teacher_student_trains():
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    fstep = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        esd.ESDConfig(
+            max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False,
+            fuse_teacher_student=True,
+        ),
+    )
+    lp, st = lora_params, opt.init(lora_params)
+    initial = jax.tree.map(lambda a: np.asarray(a).copy(), lp)
+    losses = []
+    for i in range(3):
+        lp, st, m = fstep(params, lp, st, jax.random.PRNGKey(i), bank)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    moved = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: np.asarray(a) - b, lp, initial),
+        0.0,
+    )
+    assert moved > 0
+
+
+def test_fuse_teacher_student_guards():
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = optax.sgd(0.0)
+    with pytest.raises(ValueError, match="guidance"):
+        esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt,
+            esd.ESDConfig(max_denoising_steps=MAX_STEPS, train_cfg_scale=3.0,
+                          fuse_teacher_student=True),
+        )
+    with pytest.raises(ValueError, match="samples_per_step"):
+        esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt,
+            esd.ESDConfig(max_denoising_steps=MAX_STEPS, samples_per_step=2,
+                          fuse_teacher_student=True),
+        )
