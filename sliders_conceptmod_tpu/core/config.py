@@ -108,6 +108,10 @@ class TPUConfig(BaseModel):
     # (train/esd.py ESDConfig.pipeline_warmup). DEVIATION when on: the
     # warm-up sees adapter params one optimizer step stale.
     pipeline_warmup: bool = False
+    # fuse the teacher branches + student prediction into one 4-row UNet call
+    # via the apply-time LoRA overlay (identical math, one fewer weight
+    # stream; LoRA + guidance==1 + samples_per_step==1 only)
+    fuse_teacher_student: bool = False
 
 
 class RootConfig(BaseModel):

@@ -189,6 +189,7 @@ def train(
             # HBM at <=512px; above that activation memory needs remat
             remat_unet=max(height, width) > 512,
             pipeline_warmup=pipelined,
+            fuse_teacher_student=bool(getattr(tpu_cfg, "fuse_teacher_student", False)),
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, dynamic_crops)) if is_xl else None
         return esd.make_esd_train_step(
