@@ -298,10 +298,11 @@ def test_pipeline_warmup_trains():
     assert moved > 0
 
 
-def test_fuse_teacher_student_equivalence():
+@pytest.mark.parametrize("xl", [False, True], ids=["sd", "xl"])
+def test_fuse_teacher_student_equivalence(xl):
     """fuse_teacher_student (one 4-row overlay call) reproduces the separate
     teacher+student losses exactly at lr=0."""
-    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(xl)
     keys = [jax.random.PRNGKey(300 + i) for i in range(3)]
     opt = optax.sgd(0.0)
     base_cfg = dict(max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False)
@@ -312,8 +313,10 @@ def test_fuse_teacher_student_equivalence():
     )
     snapshot = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)
 
+    add_tids = jnp.asarray(get_add_time_ids(64, 64)) if xl else None
     step = esd.make_esd_train_step(
-        unet_apply, sites, scheduler, schedule, opt, esd.ESDConfig(**base_cfg)
+        unet_apply, sites, scheduler, schedule, opt, esd.ESDConfig(**base_cfg),
+        add_time_ids=add_tids,
     )
     lp, st = lora_params, opt.init(lora_params)
     ref = []
@@ -324,6 +327,7 @@ def test_fuse_teacher_student_equivalence():
     fstep = esd.make_esd_train_step(
         unet_apply, sites, scheduler, schedule, opt,
         esd.ESDConfig(fuse_teacher_student=True, **base_cfg),
+        add_time_ids=add_tids,
     )
     lp = jax.tree.map(jnp.asarray, snapshot)
     st = opt.init(lp)
