@@ -67,10 +67,11 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(params_slider, latents, text_emb):
+    def sample_fn(params_base, params_slider, latents, text_emb):
+        # base params through the SIGNATURE (CLAUDE.md convention)
         return sample_loop(
             unet_apply,
-            unet.params,
+            params_base,
             params_slider,
             flip,
             scheduler,
@@ -96,7 +97,7 @@ def run(args):
                 * schedule.init_noise_sigma
             )
             params_slider = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
-            final = sample_fn(params_slider, latents.astype(jnp.bfloat16), text_emb)
+            final = sample_fn(unet.params, params_slider, latents.astype(jnp.bfloat16), text_emb)
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
             from PIL import Image
 

@@ -115,10 +115,12 @@ def run(args):
     latent_res = args.image_size // 8
 
     @jax.jit
-    def sample_fn(params_slider, latents, text_emb, added):
+    def sample_fn(params_base, params_slider, latents, text_emb, added):
+        # base params through the SIGNATURE (CLAUDE.md: closure capture bakes
+        # the 5.1GB frozen UNet into the executable as constants)
         return sample_loop(
             unet_apply,
-            unet.params,
+            params_base,
             params_slider,
             flip,
             scheduler,
@@ -150,6 +152,12 @@ def run(args):
         for scale in scales:
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0.png"
             if os.path.exists(out_path):
+                # resume: keep the already-generated column so the per-case
+                # composite isn't rebuilt from the new scales alone
+                import numpy as np
+                from PIL import Image
+
+                per_scale_first.append(np.asarray(Image.open(out_path)))
                 continue
             key = jax.random.PRNGKey(seed)
             latents = (
@@ -159,7 +167,9 @@ def run(args):
                 * schedule.init_noise_sigma
             )
             params_slider = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
-            final = sample_fn(params_slider, latents.astype(jnp.bfloat16), text_emb, added)
+            final = sample_fn(
+                unet.params, params_slider, latents.astype(jnp.bfloat16), text_emb, added
+            )
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
             from PIL import Image
 

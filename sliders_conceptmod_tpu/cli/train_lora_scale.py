@@ -114,6 +114,8 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     )
 
     save_path = Path(config.save.path)
+    # reference lora.py:274-283: exports cast to save.precision
+    save_dtype = config_util.parse_save_precision(config.save.precision)
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
@@ -134,15 +136,13 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
             and i != config.train.iterations - 1
         ):
             save_path.mkdir(parents=True, exist_ok=True)
-            lora_lib.save_weights(
-                save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
-            )
+            lora_lib.save_weights(save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params, dtype=save_dtype)
             ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
 
     logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
-        lora_lib.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)
+        lora_lib.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
     return sites, lora_params
 
 

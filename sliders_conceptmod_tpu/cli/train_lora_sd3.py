@@ -90,6 +90,8 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     )
 
     save_path = Path(config.save.path)
+    # reference lora.py:274-283: exports cast to save.precision
+    save_dtype = config_util.parse_save_precision(config.save.precision)
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
@@ -116,9 +118,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 and i != config.train.iterations - 1
             ):
                 save_path.mkdir(parents=True, exist_ok=True)
-                peft_mod.save_weights(
-                    save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params
-                )
+                peft_mod.save_weights(save_path / f"{config.save.name}_{i}steps.safetensors", sites, lora_params, dtype=save_dtype)
                 ckpt.save_resume(save_path, config.save.name, lora_params, opt_state, i + 1, key)
             if on_step_complete is not None:
                 on_step_complete(i)
@@ -126,7 +126,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
-        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params)
+        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
         return None
     return peft_mod.state_dict_numpy(sites, lora_params)
 

@@ -171,6 +171,8 @@ def train(
     )
 
     save_path = Path(config.save.path)
+    # reference lora.py:274-283: exports cast to save.precision
+    save_dtype = config_util.parse_save_precision(config.save.precision)
     from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
 
     logger = MetricsLogger(save_path, config.save.name, config.logging.verbose)
@@ -200,11 +202,9 @@ def train(
             and i != config.train.iterations - 1
         ):
             save_path.mkdir(parents=True, exist_ok=True)
-            peft_mod.save_weights(
-                save_path / f"{config.save.name}_{clip_index}_{i}steps.safetensors",
+            peft_mod.save_weights(save_path / f"{config.save.name}_{clip_index}_{i}steps.safetensors",
                 sites,
-                lora_params,
-            )
+                lora_params, dtype=save_dtype)
             ckpt.save_resume(
                 save_path, f"{config.save.name}_{clip_index}", lora_params, opt_state, i + 1,
                 jax.random.PRNGKey(0),
@@ -215,9 +215,7 @@ def train(
     logger.close()
     if save_file:
         save_path.mkdir(parents=True, exist_ok=True)
-        peft_mod.save_weights(
-            save_path / f"{config.save.name}_{clip_index}_last.safetensors", sites, lora_params
-        )
+        peft_mod.save_weights(save_path / f"{config.save.name}_{clip_index}_last.safetensors", sites, lora_params, dtype=save_dtype)
         return None
     return peft_mod.state_dict_numpy(sites, lora_params)
 

@@ -136,13 +136,16 @@ def null_optimization(
             updates, new_opt_state = opt.update(grads, opt_state, uncond)
             new_uncond = optax.apply_updates(uncond, updates)
             threshold = cfg.epsilon + i.astype(jnp.float32) * 2e-5
+            # reference ordering (ptp NullInversion.null_optimization):
+            # optimizer.step() runs, THEN the loss check breaks — so the
+            # stop-triggering iteration's update is applied; only iterations
+            # after a previous stop are frozen
             stop = loss < threshold
-            keep = jnp.logical_or(done, stop)
-            uncond = jnp.where(keep, uncond, new_uncond)
+            uncond = jnp.where(done, uncond, new_uncond)
             opt_state = jax.tree.map(
-                lambda a, b: jnp.where(keep, a, b), opt_state, new_opt_state
+                lambda a, b: jnp.where(done, a, b), opt_state, new_opt_state
             )
-            return (uncond, opt_state, keep)
+            return (uncond, opt_state, jnp.logical_or(done, stop))
 
         opt_state = opt.init(uncond)
         uncond, _, _ = jax.lax.fori_loop(0, cfg.num_inner_steps, inner, (uncond, opt_state, jnp.asarray(False)))

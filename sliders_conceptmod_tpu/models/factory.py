@@ -214,6 +214,10 @@ def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
             layers_per_block=cfg_json.get("layers_per_block", 2),
             norm_num_groups=cfg_json.get("norm_num_groups", 32),
             scaling_factor=cfg_json.get("scaling_factor", 0.18215),
+            # SD3/Flux VAE dirs declare use_quant_conv=false and ship no
+            # quant convs; missing keys default to the SD1/XL layout
+            use_quant_conv=cfg_json.get("use_quant_conv", True),
+            use_post_quant_conv=cfg_json.get("use_post_quant_conv", True),
         )
         model = AutoencoderKL(config, dtype=dtype)
         return VAEBundle(model, tc.tree_to_jax(tree, dtype=dtype), config)
@@ -414,11 +418,18 @@ class TransformerBundle:
     model: object
     params: dict
     config: object
+    # kwargs injected when the caller omits them — Flux-dev needs a guidance
+    # embedding value on EVERY forward (guidance_embeds=True would otherwise
+    # crash at trace time); the diffusers FluxPipeline default is 3.5
+    default_kwargs: Optional[dict] = None
 
     def apply_fn(self) -> Callable:
         model = self.model
+        defaults = dict(self.default_kwargs or {})
 
         def apply(params, *args, **kwargs):
+            for k, v in defaults.items():
+                kwargs.setdefault(k, v)
             return model.apply({"params": params}, *args, **kwargs)
 
         return apply
@@ -741,7 +752,10 @@ def load_models_flux(
                 flux_cfg = FluxConfig.dev() if tree_guidance else FluxConfig.schnell()
                 model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
         params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
-        transformer = TransformerBundle(model, params, flux_cfg)
+        transformer = TransformerBundle(
+        model, params, flux_cfg,
+        default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+    )
         # BFL distributes the text stack separately; the stub encode_fn keeps
         # the training graph identical until T5/CLIP dirs are supplied
         return [tok], encode_fn, transformer, _FMS(use_dynamic_shifting=True)
@@ -751,7 +765,10 @@ def load_models_flux(
         sub = os.path.join(str(name_or_path), "transformer")
         sd = tc._load_safetensors_dir(sub)
         params = tc.tree_to_jax(convert_flux_state_dict(sd), dtype=weight_dtype)
-        transformer = TransformerBundle(model, params, flux_cfg)
+        transformer = TransformerBundle(
+        model, params, flux_cfg,
+        default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+    )
         scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
         return [tok], encode_fn, transformer, scheduler
     params = model.init(
@@ -763,7 +780,10 @@ def load_models_flux(
         jnp.zeros((2, 3)),
         jnp.zeros((gh * gw, 3)),
     )["params"]
-    transformer = TransformerBundle(model, params, flux_cfg)
+    transformer = TransformerBundle(
+        model, params, flux_cfg,
+        default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+    )
     scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
     return [tok], encode_fn, transformer, scheduler
 

@@ -120,9 +120,10 @@ class FluxTimeTextEmbed(nn.Module):
         t_emb = timestep_embedding(timestep.astype(jnp.float32) * 1000.0, 256, flip_sin_to_cos=True).astype(self.dtype)
         emb = TimestepEmbedding(self.inner_dim, name="timestep_embedder", dtype=self.dtype)(t_emb)
         if self.guidance_embeds:
-            g_emb = timestep_embedding(
-                jnp.asarray(guidance, jnp.float32) * 1000.0, 256, flip_sin_to_cos=True
-            ).astype(self.dtype)
+            # scalar guidance (e.g. the dev-variant default 3.5 injected by
+            # the factory bundle) broadcasts to the batch
+            g = jnp.broadcast_to(jnp.asarray(guidance, jnp.float32), timestep.shape)
+            g_emb = timestep_embedding(g * 1000.0, 256, flip_sin_to_cos=True).astype(self.dtype)
             emb = emb + TimestepEmbedding(self.inner_dim, name="guidance_embedder", dtype=self.dtype)(g_emb)
         emb = emb + TimestepEmbedding(self.inner_dim, name="text_embedder", dtype=self.dtype)(
             pooled.astype(self.dtype)

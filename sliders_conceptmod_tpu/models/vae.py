@@ -37,6 +37,9 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # SD3/Flux VAEs ship no (post_)quant_conv (diffusers use_quant_conv=false)
+    use_quant_conv: bool = True
+    use_post_quant_conv: bool = True
 
     @classmethod
     def sd(cls) -> "VAEConfig":
@@ -49,8 +52,14 @@ class VAEConfig:
     @classmethod
     def sd3(cls) -> "VAEConfig":
         """16-channel SD3/Flux VAE (shift_factor applied by the caller —
-        infer/generate_flow.sd3_latents_to_images)."""
-        return cls(latent_channels=16, scaling_factor=1.5305)
+        infer/generate_flow.sd3_latents_to_images). Real checkpoints carry
+        no quant convs — the encoder's conv_out emits 2·C moments directly."""
+        return cls(
+            latent_channels=16,
+            scaling_factor=1.5305,
+            use_quant_conv=False,
+            use_post_quant_conv=False,
+        )
 
     @classmethod
     def tiny(cls) -> "VAEConfig":
@@ -233,12 +242,20 @@ class AutoencoderKL(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.config, dtype=self.dtype)
         self.decoder = Decoder(self.config, dtype=self.dtype)
-        self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), name="quant_conv", dtype=self.dtype)
-        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), name="post_quant_conv", dtype=self.dtype)
+        if self.config.use_quant_conv:
+            self.quant_conv = nn.Conv(
+                2 * self.config.latent_channels, (1, 1), name="quant_conv", dtype=self.dtype
+            )
+        if self.config.use_post_quant_conv:
+            self.post_quant_conv = nn.Conv(
+                self.config.latent_channels, (1, 1), name="post_quant_conv", dtype=self.dtype
+            )
 
     def encode(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = jnp.transpose(images, (0, 2, 3, 1)).astype(self.dtype)
-        moments = self.quant_conv(self.encoder(x))
+        moments = self.encoder(x)
+        if self.config.use_quant_conv:
+            moments = self.quant_conv(moments)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         logvar = jnp.clip(logvar, -30.0, 20.0)
         return (
@@ -248,7 +265,9 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         z = jnp.transpose(latents, (0, 2, 3, 1)).astype(self.dtype)
-        x = self.decoder(self.post_quant_conv(z))
+        if self.config.use_post_quant_conv:
+            z = self.post_quant_conv(z)
+        x = self.decoder(z)
         return jnp.transpose(x, (0, 3, 1, 2))
 
     def __call__(self, images):

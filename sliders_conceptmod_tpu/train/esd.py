@@ -110,6 +110,24 @@ def build_prompt_bank(settings_list, encode_fn) -> PromptBank:
     )
 
 
+def draw_time_ids(key, height: int, width: int) -> jnp.ndarray:
+    """Traced per-iteration XL crop conditioning [1, 6] — reference
+    get_add_time_ids with dynamic_crops (train_util.py:976-1011), redrawn
+    EVERY iteration (train_lora_xl.py:202-207): original size = target ×
+    uniform[1,3), crop top-left uniform over the overhang. In-graph from the
+    step key so runs are reproducible from tpu.seed (the host-side redraw
+    would also force one compile per drawn value)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = jax.random.uniform(k1) * 2.0 + 1.0
+    oh = jnp.floor(height * scale)
+    ow = jnp.floor(width * scale)
+    top = jnp.floor(jax.random.uniform(k2) * jnp.maximum(oh - height, 1.0))
+    left = jnp.floor(jax.random.uniform(k3) * jnp.maximum(ow - width, 1.0))
+    return jnp.stack(
+        [oh, ow, top, left, jnp.float32(height), jnp.float32(width)]
+    ).astype(jnp.float32)[None]
+
+
 @dataclass(frozen=True)
 class ESDConfig:
     max_denoising_steps: int = 50
@@ -136,6 +154,10 @@ class ESDConfig:
     # frozen weights (the teacher call's HBM stream). LoRA + guidance==1 +
     # samples_per_step==1 only.
     fuse_teacher_student: bool = False
+    # per-iteration random crop conditioning for XL (reference
+    # prompt_pair.dynamic_crops): time_ids drawn in-graph from the step key
+    # (draw_time_ids); samples_per_step == 1 only
+    dynamic_crops: bool = False
     # software-pipeline the warm-up across step boundaries: step k's graph
     # computes the teacher/student/update from a CARRIED warm-up state and
     # the warm-up for step k+1 from the *pre-update* LoRA params — the two
@@ -181,6 +203,8 @@ def make_esd_train_step(
         else unet_apply
     )
 
+    if cfg.dynamic_crops and cfg.samples_per_step != 1:
+        raise ValueError("dynamic_crops supports samples_per_step == 1 only")
     if cfg.fuse_teacher_student:
         if use_cfg:
             raise ValueError("fuse_teacher_student requires guidance == 1 (cond-only rows)")
@@ -190,8 +214,9 @@ def make_esd_train_step(
             raise ValueError("fuse_teacher_student supports samples_per_step == 1 only")
 
     def fused_teacher_student_loss(
-        base_params, denoised, current_t, role_text, role_pooled, g_pair, sign
+        base_params, denoised, current_t, role_text, role_pooled, g_pair, sign, tids=None
     ):
+        tids = add_time_ids if tids is None else tids
         """One 4-row call: [positive, neutral, negative | student target] with
         per-row slider scales [0,0,0 | 1] via the apply-time overlay — same
         math as the separate teacher + student calls, one weight stream."""
@@ -206,7 +231,7 @@ def make_esd_train_step(
         if is_xl:
             kw = {
                 "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
-                "time_ids": jnp.tile(add_time_ids, (len(roles) * n, 1)),
+                "time_ids": jnp.tile(tids, (len(roles) * n, 1)),
             }
         row_scale = jnp.concatenate([jnp.zeros(3 * n), jnp.ones(n)])
 
@@ -223,8 +248,10 @@ def make_esd_train_step(
         return loss_fn
 
     def teacher_and_loss(
-        base_params, denoised, current_t, role_text, role_pooled, cfg_rows, xl_kwargs, g_pair, sign
+        base_params, denoised, current_t, role_text, role_pooled, cfg_rows, xl_kwargs, g_pair, sign,
+        tids=None,
     ):
+        tids = add_time_ids if tids is None else tids
         """Shared tail of both sample paths: batched teacher call → CFG
         combine → ESD target → student loss_fn. ``role_text(r)``/
         ``role_pooled(r)`` yield the per-role row batches; ``current_t`` is a
@@ -245,7 +272,7 @@ def make_esd_train_step(
         if is_xl:
             teacher_kwargs = {
                 "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
-                "time_ids": jnp.tile(add_time_ids, (n_rows * denoised.shape[0], 1)),
+                "time_ids": jnp.tile(tids, (n_rows * denoised.shape[0], 1)),
             }
         teacher_eps = unet_apply(
             base_params, scaled, teacher_t, teacher_rows, added_cond_kwargs=teacher_kwargs
@@ -281,7 +308,8 @@ def make_esd_train_step(
 
         return loss_fn
 
-    def _pair_closures(text, pooled):
+    def _pair_closures(text, pooled, tids=None):
+        tids = add_time_ids if tids is None else tids
         def cfg_rows(role):  # [2b, S, D] (uncond ++ cond), or [b] cond-only
             if not use_cfg:
                 return tile(text[role])
@@ -293,13 +321,13 @@ def make_esd_train_step(
             if not use_cfg:
                 return {
                     "text_embeds": tile(pooled[role]),
-                    "time_ids": jnp.tile(add_time_ids, (b, 1)),
+                    "time_ids": jnp.tile(tids, (b, 1)),
                 }
             return {
                 "text_embeds": jnp.concatenate(
                     [tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0
                 ),
-                "time_ids": jnp.tile(add_time_ids, (2 * b, 1)),
+                "time_ids": jnp.tile(tids, (2 * b, 1)),
             }
 
         return cfg_rows, xl_kwargs
@@ -316,7 +344,12 @@ def make_esd_train_step(
 
         text = bank.text[pair]  # [5, S, D]
         pooled = bank.pooled[pair] if bank.pooled is not None else None
-        cfg_rows, xl_kwargs = _pair_closures(text, pooled)
+        tids = (
+            draw_time_ids(jax.random.fold_in(key, 7), cfg.height, cfg.width)
+            if (is_xl and cfg.dynamic_crops)
+            else None
+        )
+        cfg_rows, xl_kwargs = _pair_closures(text, pooled, tids)
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
         student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
@@ -336,14 +369,18 @@ def make_esd_train_step(
         current_t = current_train_timestep(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps
         )
-        return {"pair": pair, "denoised": denoised, "current_t": current_t}
+        carry = {"pair": pair, "denoised": denoised, "current_t": current_t}
+        if tids is not None:
+            carry["time_ids"] = tids  # same crop for teacher/student (reference)
+        return carry
 
     def _sample_tail(base_params, carry, bank: PromptBank):
         """(3)-(5): teacher branches + student loss from a warm-up carry."""
         pair = carry["pair"]
         text = bank.text[pair]
         pooled = bank.pooled[pair] if bank.pooled is not None else None
-        cfg_rows, xl_kwargs = _pair_closures(text, pooled)
+        tids = carry.get("time_ids")
+        cfg_rows, xl_kwargs = _pair_closures(text, pooled, tids)
         if cfg.fuse_teacher_student:
             return fused_teacher_student_loss(
                 base_params,
@@ -353,6 +390,7 @@ def make_esd_train_step(
                 (lambda r: tile(pooled[r])) if is_xl else None,
                 bank.guidance[pair],
                 bank.sign[pair],
+                tids=tids,
             )
         return teacher_and_loss(
             base_params,
@@ -364,6 +402,7 @@ def make_esd_train_step(
             xl_kwargs,
             bank.guidance[pair],
             bank.sign[pair],
+            tids=tids,
         )
 
     def one_sample(base_params, lora_params, key, bank: PromptBank):

@@ -172,7 +172,14 @@ def make_cascade_esd_train_step(
             return sched_step(guided, i, lat, jax.random.fold_in(k_warm, i))
 
         denoised = jax.lax.stop_gradient(jax.lax.fori_loop(0, t_to, body, latents0))
-        x_in = denoised if is_wuerstchen else (denoised / jnp.sqrt(current_sigma**2 + 1)).astype(denoised.dtype)
+        # branch-input scaling at the raw train timestep: σ-space schedulers
+        # (euler_a/lms) divide by √(σ²+1) (diffusers scale_model_input);
+        # ddim/ddpm scale_model_input is the identity — matching the warm-up
+        # loop's scale_in, which routes through NoiseScheduler.scale_model_input
+        if is_wuerstchen or schedule.kind not in ("euler_a", "lms"):
+            x_in = denoised
+        else:
+            x_in = (denoised / jnp.sqrt(current_sigma**2 + 1)).astype(denoised.dtype)
 
         # teacher: pos/neu/neg cond rows + one shared '' row, one batched call
         troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)

@@ -149,21 +149,25 @@ def prodigy(
 
 def parse_optimizer_args(optimizer_args: str) -> dict:
     """'weight_decay=0.01 betas=(0.9,0.999)' → kwargs dict (reference passes
-    ``--optimizer_args`` through to the torch ctor, train_util.py config)."""
+    ``--optimizer_args`` through to the torch ctor, train_util.py config).
+
+    Tuple values parse into float tuples (the naive comma→space split would
+    shred 'betas=(0.9,0.999)' into junk tokens)."""
+    import re
+
     out = {}
     if not optimizer_args:
         return out
-    for tok in optimizer_args.replace(",", " ").split():
-        if "=" not in tok:
-            continue
-        k, v = tok.split("=", 1)
-        if v.lower() in ("true", "false"):  # bool flags (e.g. safeguard_warmup)
+    for k, v in re.findall(r"(\w+)\s*=\s*(\([^)]*\)|[^\s,]+)", optimizer_args):
+        if v.startswith("("):
+            out[k] = tuple(float(x) for x in v.strip("()").replace(",", " ").split())
+        elif v.lower() in ("true", "false"):  # bool flags (e.g. safeguard_warmup)
             out[k] = v.lower() == "true"
-            continue
-        try:
-            out[k] = float(v)
-        except ValueError:
-            out[k] = v
+        else:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
     return out
 
 
@@ -238,22 +242,33 @@ def get_optimizer(
     if weight_decay is not None:
         kwargs.setdefault("weight_decay", weight_decay)
 
+    betas = kwargs.get("betas")  # 'betas=(b1,b2)' torch-ctor syntax
+    b1 = float(kwargs.get("beta1", betas[0] if betas else 0.9))
+    b2 = float(kwargs.get("beta2", betas[1] if betas and len(betas) > 1 else 0.999))
+
     if name in ("adam", "adam8bit"):
-        tx = optax.adam(lr_schedule, eps=float(kwargs.get("eps", 1e-8)))
+        tx = optax.adam(lr_schedule, b1=b1, b2=b2, eps=float(kwargs.get("eps", 1e-8)))
     elif name in ("adamw", "adamw8bit"):
         tx = optax.adamw(
             lr_schedule,
+            b1=b1,
+            b2=b2,
             weight_decay=float(kwargs.get("weight_decay", 1e-2)),
             eps=float(kwargs.get("eps", 1e-8)),
         )
     elif name in ("lion", "lion8bit"):
-        tx = optax.lion(lr_schedule, weight_decay=float(kwargs.get("weight_decay", 0.0)))
+        tx = optax.lion(
+            lr_schedule,
+            b1=float(kwargs.get("beta1", betas[0] if betas else 0.9)),
+            b2=float(kwargs.get("beta2", betas[1] if betas and len(betas) > 1 else 0.99)),
+            weight_decay=float(kwargs.get("weight_decay", 0.0)),
+        )
     elif name == "sgd":
         tx = optax.sgd(lr_schedule, momentum=float(kwargs.get("momentum", 0.0)))
     elif name == "prodigy":
         tx = prodigy(
             lr_schedule,
-            betas=(float(kwargs.get("beta1", 0.9)), float(kwargs.get("beta2", 0.999))),
+            betas=(b1, b2),
             beta3=float(kwargs["beta3"]) if "beta3" in kwargs else None,
             eps=float(kwargs.get("eps", 1e-8)),
             weight_decay=float(kwargs.get("weight_decay", 0.0)),

@@ -190,8 +190,12 @@ def train(
             remat_unet=max(height, width) > 512,
             pipeline_warmup=pipelined,
             fuse_teacher_student=bool(getattr(tpu_cfg, "fuse_teacher_student", False)),
+            # per-iteration crop redraw happens in-graph (esd.draw_time_ids) —
+            # a host-side draw here would freeze ONE crop into the compiled
+            # step for the whole run
+            dynamic_crops=bool(dynamic_crops) and is_xl,
         )
-        add_tids = jnp.asarray(get_add_time_ids(height, width, dynamic_crops)) if is_xl else None
+        add_tids = jnp.asarray(get_add_time_ids(height, width, False)) if is_xl else None
         return esd.make_esd_train_step(
             unet.apply_fn(),
             sites,

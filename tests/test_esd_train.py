@@ -379,3 +379,35 @@ def test_fuse_teacher_student_guards():
             esd.ESDConfig(max_denoising_steps=MAX_STEPS, samples_per_step=2,
                           fuse_teacher_student=True),
         )
+
+
+def test_dynamic_crops_draws_per_iteration():
+    """dynamic_crops: time_ids are drawn in-graph per step — different keys
+    give different crops, same key gives the same crop (reproducible from
+    seed); the XL step trains with the flag on."""
+    tids_a = esd.draw_time_ids(jax.random.PRNGKey(0), 64, 64)
+    tids_b = esd.draw_time_ids(jax.random.PRNGKey(1), 64, 64)
+    tids_a2 = esd.draw_time_ids(jax.random.PRNGKey(0), 64, 64)
+    assert tids_a.shape == (1, 6)
+    np.testing.assert_array_equal(np.asarray(tids_a), np.asarray(tids_a2))
+    assert not np.array_equal(np.asarray(tids_a), np.asarray(tids_b))
+    # reference ranges: original in [target, 3*target), crop inside overhang
+    oh, ow, top, left, th, tw = np.asarray(tids_a)[0]
+    assert 64 <= oh < 192 and 64 <= ow < 192
+    assert 0 <= top <= oh - 64 and 0 <= left <= ow - 64
+    assert (th, tw) == (64, 64)
+
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(True)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        esd.ESDConfig(
+            max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False,
+            dynamic_crops=True,
+        ),
+        add_time_ids=jnp.asarray(get_add_time_ids(64, 64)),
+    )
+    lp, st = lora_params, opt.init(lora_params)
+    for i in range(2):
+        lp, st, m = step(params, lp, st, jax.random.PRNGKey(i), bank)
+        assert np.isfinite(float(m["loss"]))

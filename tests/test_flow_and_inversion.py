@@ -212,3 +212,34 @@ def test_convert_flux_state_dict_covers_every_param():
     assert not missing and not extra, (sorted(missing)[:4], sorted(extra)[:4])
     for k in exp:
         np.testing.assert_array_equal(exp[k], g[k], err_msg=k)
+
+
+def test_flux_dev_guidance_defaulting():
+    """Flux-dev (guidance_embeds=True) bundles inject a default guidance value
+    so every existing caller works — previously any dev checkpoint crashed at
+    first trace (factory.py TransformerBundle.default_kwargs)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.models import flux
+    from sliders_conceptmod_tpu.models.factory import TransformerBundle
+
+    cfg = dataclasses.replace(flux.FluxConfig.tiny(), guidance_embeds=True)
+    m = flux.FluxTransformer2DModel(cfg)
+    s_img, s_txt = 4, 4
+    args = (
+        jnp.zeros((1, s_img, cfg.in_channels)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, s_txt, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)),
+        jnp.zeros((s_txt, 3)),
+        jnp.zeros((s_img, 3)),
+    )
+    params = m.init(jax.random.PRNGKey(0), *args, guidance=jnp.ones((1,)) * 3.5)["params"]
+    assert "guidance_embedder" in params["time_text_embed"]
+
+    bundle = TransformerBundle(m, params, cfg, default_kwargs={"guidance": 3.5})
+    out = bundle.apply_fn()(params, *args)  # no guidance kwarg — default injected
+    assert out.shape == (1, s_img, cfg.in_channels)
