@@ -59,6 +59,13 @@ def run(args):
     apply_fn = transformer.apply_fn()
     img_ids = jnp.asarray(prepare_latent_image_ids(gh, gw))
 
+    # dev checkpoints (guidance_embeds): the user's --guidance_scale is the
+    # distilled-guidance EMBEDDING value (diffusers FluxPipeline semantics —
+    # no CFG row doubling); schnell ignores it
+    guidance_kw = (
+        {"guidance": jnp.float32(args.guidance_scale)} if flux_cfg.guidance_embeds else {}
+    )
+
     @jax.jit  # one executable for the whole (case × scale) sweep
     def sample(params_a, params_b, tokens, text, pooled):
         txt_ids = jnp.zeros((text.shape[1], 3))
@@ -66,7 +73,7 @@ def run(args):
         def make_body(params):
             def body(i, tok):
                 t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
-                v = apply_fn(params, tok, t, text, pooled, txt_ids, img_ids)
+                v = apply_fn(params, tok, t, text, pooled, txt_ids, img_ids, **guidance_kw)
                 return FlowMatchScheduler.step(schedule, v, i, tok)
 
             return body
@@ -117,6 +124,10 @@ def build_parser():
     parser.add_argument("--from_case", type=int, default=0)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--start_noise", type=float, default=800)
+    parser.add_argument(
+        "--guidance_scale", type=float, default=3.5,
+        help="Distilled-guidance embedding for dev checkpoints (no CFG); ignored by schnell.",
+    )
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
     return parser
 

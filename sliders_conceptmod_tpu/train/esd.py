@@ -156,7 +156,7 @@ class ESDConfig:
     fuse_teacher_student: bool = False
     # per-iteration random crop conditioning for XL (reference
     # prompt_pair.dynamic_crops): time_ids drawn in-graph from the step key
-    # (draw_time_ids); samples_per_step == 1 only
+    # (draw_time_ids), per sample on the DP/fused paths
     dynamic_crops: bool = False
     # software-pipeline the warm-up across step boundaries: step k's graph
     # computes the teacher/student/update from a CARRIED warm-up state and
@@ -203,8 +203,6 @@ def make_esd_train_step(
         else unet_apply
     )
 
-    if cfg.dynamic_crops and cfg.samples_per_step != 1:
-        raise ValueError("dynamic_crops supports samples_per_step == 1 only")
     if cfg.fuse_teacher_student:
         if use_cfg:
             raise ValueError("fuse_teacher_student requires guidance == 1 (cond-only rows)")
@@ -216,10 +214,10 @@ def make_esd_train_step(
     def fused_teacher_student_loss(
         base_params, denoised, current_t, role_text, role_pooled, g_pair, sign, tids=None
     ):
-        tids = add_time_ids if tids is None else tids
         """One 4-row call: [positive, neutral, negative | student target] with
         per-row slider scales [0,0,0 | 1] via the apply-time overlay — same
         math as the separate teacher + student calls, one weight stream."""
+        tids = add_time_ids if tids is None else tids
         roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE, ROLE_TARGET)
         rows = jnp.concatenate([role_text(r) for r in roles], axis=0)
         n = denoised.shape[0]
@@ -231,7 +229,7 @@ def make_esd_train_step(
         if is_xl:
             kw = {
                 "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
-                "time_ids": jnp.tile(tids, (len(roles) * n, 1)),
+                "time_ids": jnp.tile(jnp.broadcast_to(tids, (n, 6)), (len(roles), 1)),
             }
         row_scale = jnp.concatenate([jnp.zeros(3 * n), jnp.ones(n)])
 
@@ -251,14 +249,15 @@ def make_esd_train_step(
         base_params, denoised, current_t, role_text, role_pooled, cfg_rows, xl_kwargs, g_pair, sign,
         tids=None,
     ):
-        tids = add_time_ids if tids is None else tids
         """Shared tail of both sample paths: batched teacher call → CFG
         combine → ESD target → student loss_fn. ``role_text(r)``/
         ``role_pooled(r)`` yield the per-role row batches; ``current_t`` is a
-        scalar (per-sample path) or [S] (fused path — teacher rows tile it).
-        The per-sample and fused paths are equivalence-tested
-        (tests/test_esd_train.py) — keeping the math in ONE place is what
-        preserves that."""
+        scalar (per-sample path) or [S] (fused path — teacher rows tile it);
+        ``tids`` is [1, 6] (shared crop) or per-sample [S, 6] (fused path
+        with dynamic_crops). The per-sample and fused paths are
+        equivalence-tested (tests/test_esd_train.py) — keeping the math in
+        ONE place is what preserves that."""
+        tids = add_time_ids if tids is None else tids
         roles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
         if use_cfg:
             roles = (ROLE_UNCOND,) + roles
@@ -272,7 +271,9 @@ def make_esd_train_step(
         if is_xl:
             teacher_kwargs = {
                 "text_embeds": jnp.concatenate([role_pooled(r) for r in roles], axis=0),
-                "time_ids": jnp.tile(tids, (n_rows * denoised.shape[0], 1)),
+                "time_ids": jnp.tile(
+                    jnp.broadcast_to(tids, (denoised.shape[0], 6)), (n_rows, 1)
+                ),
             }
         teacher_eps = unet_apply(
             base_params, scaled, teacher_t, teacher_rows, added_cond_kwargs=teacher_kwargs
@@ -426,6 +427,13 @@ def make_esd_train_step(
             return pair, timesteps_to, lat0
 
         pair, timesteps_to, latents0 = jax.vmap(draw)(keys)
+        tids = None
+        if is_xl and cfg.dynamic_crops:
+            # identical per-sample derivation to warm_draw (fold_in(key, 7)),
+            # so fused and vmap paths draw the same crops
+            tids = jax.vmap(
+                lambda k: draw_time_ids(jax.random.fold_in(k, 7), cfg.height, cfg.width)[0]
+            )(keys)  # [S, 6]
         if cfg.shard_samples:
 
             latents0 = jax.lax.with_sharding_constraint(latents0, P("data"))
@@ -443,14 +451,15 @@ def make_esd_train_step(
         def xl_kwargs(role):
             if not is_xl:
                 return None
+            tids_s = jnp.broadcast_to(add_time_ids if tids is None else tids, (S, 6))
             if not use_cfg:
                 return {
                     "text_embeds": pooled[:, role],
-                    "time_ids": jnp.tile(add_time_ids, (S, 1)),
+                    "time_ids": tids_s,
                 }
             return {
                 "text_embeds": jnp.concatenate([pooled[:, ROLE_UNCOND], pooled[:, role]], axis=0),
-                "time_ids": jnp.tile(add_time_ids, (2 * S, 1)),
+                "time_ids": jnp.tile(tids_s, (2, 1)),
             }
 
         student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
@@ -481,6 +490,7 @@ def make_esd_train_step(
             xl_kwargs,
             g_pair,
             sign,
+            tids=tids,
         )
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))

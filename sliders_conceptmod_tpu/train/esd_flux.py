@@ -10,7 +10,10 @@ Semantics-parity target: reference ``train_lora_flux.py:86-447`` with
   sequence length (train_util.py:640-657),
 * NO CFG batching — each branch is a single un-guided forward with its own
   prompt embeddings; ``guidance=None`` (schnell) (train_util.py:404-409,
-  :286-305),
+  :286-305). Deviation for dev checkpoints (which the reference cannot
+  train — guidance_embeds requires a value on every forward): the factory
+  bundle injects the diffusers FluxPipeline default ``guidance=3.5``
+  (models/factory.TransformerBundle.default_kwargs),
 * branch outputs are scheduler-stepped latents from step index 0
   (train_util.py:446; ``_step_index`` save/restore in the reference is
   replaced by the explicit index),

@@ -243,6 +243,8 @@ def get_optimizer(
         kwargs.setdefault("weight_decay", weight_decay)
 
     betas = kwargs.get("betas")  # 'betas=(b1,b2)' torch-ctor syntax
+    if not isinstance(betas, (tuple, list)):
+        betas = None  # malformed scalar/str betas: ignore, as the torch path would reject it
     b1 = float(kwargs.get("beta1", betas[0] if betas else 0.9))
     b2 = float(kwargs.get("beta2", betas[1] if betas and len(betas) > 1 else 0.999))
 

@@ -411,3 +411,28 @@ def test_dynamic_crops_draws_per_iteration():
     for i in range(2):
         lp, st, m = step(params, lp, st, jax.random.PRNGKey(i), bank)
         assert np.isfinite(float(m["loss"]))
+
+
+def test_dynamic_crops_dp_fused_matches_vmap():
+    """dynamic_crops composes with samples_per_step > 1: the per-sample
+    crops are drawn from each sample's key (fold_in(key, 7), identical on
+    the vmapped and fused paths), so both DP paths give the same loss."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(True)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+
+    losses = {}
+    for fuse in (True, False):
+        step = esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt,
+            esd.ESDConfig(
+                max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False,
+                samples_per_step=3, fuse_samples=fuse, dynamic_crops=True,
+            ),
+            add_time_ids=jnp.asarray(get_add_time_ids(64, 64)),
+        )
+        lp = jax.tree.map(np.asarray, lora_params)  # fresh (donation)
+        _, _, m = step(params, lp, opt.init(lp), jax.random.PRNGKey(11), bank)
+        losses[fuse] = float(m["loss"])
+
+    assert losses[True] > 0
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

@@ -243,3 +243,9 @@ def test_flux_dev_guidance_defaulting():
     bundle = TransformerBundle(m, params, cfg, default_kwargs={"guidance": 3.5})
     out = bundle.apply_fn()(params, *args)  # no guidance kwarg — default injected
     assert out.shape == (1, s_img, cfg.in_channels)
+
+    # an explicit guidance (generate_images_flux --guidance_scale) overrides
+    # the injected default and actually changes the embedding
+    out_g = bundle.apply_fn()(params, *args, guidance=jnp.float32(30.0))
+    assert out_g.shape == out.shape
+    assert not np.allclose(np.asarray(out_g), np.asarray(out))
