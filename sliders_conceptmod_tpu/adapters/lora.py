@@ -408,13 +408,11 @@ def save_weights(path: str, sites: Sequence[LoRASite], lora_params: Dict, dtype=
 def _numpy_to_torch(v):
     # torch.from_numpy rejects ml_dtypes bfloat16 arrays; reinterpret the raw
     # buffer as uint16 and view it back as torch.bfloat16 (bit-identical).
-    a = np.ascontiguousarray(v)
-    if a.dtype == jnp.bfloat16:
-        import torch
-
-        return torch.from_numpy(a.view(np.uint16)).view(torch.bfloat16)
     import torch
 
+    a = np.ascontiguousarray(v)
+    if a.dtype == jnp.bfloat16:
+        return torch.from_numpy(a.view(np.uint16)).view(torch.bfloat16)
     return torch.from_numpy(a)
 
 

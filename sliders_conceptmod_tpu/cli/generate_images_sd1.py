@@ -17,6 +17,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from PIL import Image
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.cli.generate_images_xl import (
@@ -99,8 +100,6 @@ def run(args):
             params_slider = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
             final = sample_fn(unet.params, params_slider, latents.astype(jnp.bfloat16), text_emb)
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
-            from PIL import Image
-
             for idx in range(images.shape[0]):
                 Image.fromarray(images[idx]).save(
                     f"{args.save_path}/{name}/{scale}/{case_number}_{idx}.png"
@@ -108,8 +107,6 @@ def run(args):
             per_scale.append(images[0])
             print(f"case {case_number} scale {scale}: saved {images.shape[0]} images")
         # composite grid across the scale sweep (reference writes grids too)
-        from PIL import Image
-
         grid = np.concatenate(per_scale, axis=1)
         os.makedirs(f"{args.save_path}/{name}/all", exist_ok=True)
         Image.fromarray(grid).save(f"{args.save_path}/{name}/all/{case_number}.png")

@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+from PIL import Image
 
 from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
@@ -79,8 +80,6 @@ def run(args):
         )
         final = sample_fn(unet.params, latents.astype(jnp.bfloat16), text_emb, added)
         images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
-        from PIL import Image
-
         for i in range(images.shape[0]):
             Image.fromarray(images[i]).save(f"{folder}/{case_number}_{i}.png")
         print(f"case {case_number}: saved {images.shape[0]} images")

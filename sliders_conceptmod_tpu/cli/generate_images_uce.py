@@ -22,6 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from PIL import Image
 
 from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv
 from sliders_conceptmod_tpu.eval.baselines import load_edited_unet
@@ -113,16 +114,12 @@ def run(args):
                 text_emb,
             )
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
-            from PIL import Image
-
             for idx in range(images.shape[0]):
                 Image.fromarray(images[idx]).save(
                     f"{folder}/{scale_folder(scale)}/{case_number}_{idx}.png"
                 )
             per_scale.append(images[0])
             print(f"case {case_number} scale {scale}: saved {images.shape[0]} images")
-        from PIL import Image
-
         Image.fromarray(np.concatenate(per_scale, axis=1)).save(f"{folder}/all/{case_number}.png")
 
 

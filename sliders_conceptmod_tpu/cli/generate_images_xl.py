@@ -28,6 +28,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from PIL import Image
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.infer.generate import (
@@ -154,9 +156,6 @@ def run(args):
             if os.path.exists(out_path):
                 # resume: keep the already-generated column so the per-case
                 # composite isn't rebuilt from the new scales alone
-                import numpy as np
-                from PIL import Image
-
                 per_scale_first.append(np.asarray(Image.open(out_path)))
                 continue
             key = jax.random.PRNGKey(seed)
@@ -171,8 +170,6 @@ def run(args):
                 unet.params, params_slider, latents.astype(jnp.bfloat16), text_emb, added
             )
             images = latents_to_images(vae.decode, final, vae.config.scaling_factor)
-            from PIL import Image
-
             for idx in range(images.shape[0]):
                 Image.fromarray(images[idx]).save(
                     f"{args.save_path}/{name}/{scale}/{case_number}_{idx}.png"
@@ -181,9 +178,6 @@ def run(args):
             print(f"case {case_number} scale {scale}: saved {images.shape[0]} images")
         if per_scale_first:
             # composite grid across the scale sweep (matches the SD1 CLI)
-            import numpy as np
-            from PIL import Image
-
             os.makedirs(f"{args.save_path}/{name}/all", exist_ok=True)
             Image.fromarray(np.concatenate(per_scale_first, axis=1)).save(
                 f"{args.save_path}/{name}/all/{case_number}.png"
