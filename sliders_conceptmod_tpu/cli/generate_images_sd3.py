@@ -67,24 +67,37 @@ def run(args):
         )
     )
 
+    # pre-encode every case row, then drop the text encoders — during the
+    # sweep the device must hold base + merged transformer trees (2×4.1GB at
+    # SD3-Medium), so the CLIP towers can't stay resident alongside them
+    t5_seq_len = 4 if is_tiny else 256
+    text_u, pooled_u = factory.encode_prompts_sd3(
+        text_encoders, [""], joint_attention_dim=mm_cfg.joint_attention_dim,
+        t5_seq_len=t5_seq_len,
+    )
+    encoded = []
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         text, pooled = factory.encode_prompts_sd3(
             text_encoders, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim,
-            t5_seq_len=4 if is_tiny else 256,
-        )
-        text_u, pooled_u = factory.encode_prompts_sd3(
-            text_encoders, [""], joint_attention_dim=mm_cfg.joint_attention_dim,
-            t5_seq_len=4 if is_tiny else 256,
+            t5_seq_len=t5_seq_len,
         )
         emb = jnp.concatenate([text_u, text], axis=0)
         pool = jnp.concatenate([pooled_u, pooled], axis=0)
+        encoded.append((case_number, seed, emb, pool))
+    del text_encoders
+
+    merged = None
+    for case_number, seed, emb, pool in encoded:
         for scale in scales:
             key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(
                 key, (1, mm_cfg.in_channels, latent_res, latent_res), jnp.float32
             )
+            # release the previous scale's merged tree BEFORE building the
+            # next — holding both alongside the base is 3 full param trees
+            merged = None  # noqa: F841
             merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
             final = sample_fn(transformer.params, merged, latents.astype(jnp.bfloat16), emb, pool)
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
@@ -93,10 +106,11 @@ def run(args):
 
                 img = sd3_latents_to_images(vae.decode, final)[0]
                 Image.fromarray(img).save(out_path + ".png")
-            else:  # weightless smoke: persist raw latents
+            else:  # weightless smoke: persist raw latents (fp32 — numpy
+                # cannot round-trip ml_dtypes bf16 through .npy)
                 import numpy as np
 
-                np.save(out_path + ".npy", jax.device_get(final))
+                np.save(out_path + ".npy", np.asarray(jax.device_get(final), dtype=np.float32))
             print(f"case {case_number} scale {scale}: wrote {out_path}")
 
 

@@ -62,7 +62,13 @@ def train(
         t5_cfg = T5Config.tiny() if "tiny" in model else T5Config.xxl()
         t5_model = T5EncoderModel(t5_cfg, dtype=weight_dtype)
         tok = HashTokenizer(max_length=16 if "tiny" in model else 512, vocab_size=t5_cfg.vocab_size, bos=0, eos=1, pad=0)
-        params = t5_model.init(jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32))["params"]
+        # fused init+cast (factory._init_unet pattern): an uncast fp32
+        # T5-XXL tree is 19GB — must come up at weight_dtype on a v5e
+        def _init_cast():
+            p = t5_model.init(jax.random.PRNGKey(0), _jnp.zeros((1, 8), _jnp.int32))["params"]
+            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+
+        params = jax.jit(_init_cast)()
 
         class _T5Bundle:
             model = t5_model

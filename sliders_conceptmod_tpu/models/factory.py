@@ -228,7 +228,12 @@ def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
     else:
         config = VAEConfig.sd()
     model = AutoencoderKL(config, dtype=dtype)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
+
+    def init_cast():
+        p = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
+        return jax.tree.map(lambda a: a.astype(dtype), p)
+
+    params = jax.jit(init_cast)()
     return VAEBundle(model, params, config)
 
 
@@ -511,13 +516,20 @@ def load_models_sd3(
         sd = tc._load_safetensors_dir(sub)
         params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
     else:
-        params = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, mm_cfg.in_channels, 8, 8)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, 2, mm_cfg.joint_attention_dim)),
-            jnp.zeros((1, mm_cfg.pooled_projection_dim)),
-        )["params"]
+        # init + precision cast fused under one jit (see _init_unet): an
+        # uncast fp32 SD3-Medium tree is 8.1GB — half the v5e's HBM wasted
+        # on storage the model immediately re-casts at every use
+        def init_cast():
+            p = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, mm_cfg.in_channels, 8, 8)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 2, mm_cfg.joint_attention_dim)),
+                jnp.zeros((1, mm_cfg.pooled_projection_dim)),
+            )["params"]
+            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+
+        params = jax.jit(init_cast)()
     transformer = TransformerBundle(model, params, mm_cfg)
     scheduler = FlowMatchScheduler(shift=3.0)
     return [te1.tokenizer, te2.tokenizer], [te1, te2], transformer, scheduler
@@ -771,15 +783,21 @@ def load_models_flux(
     )
         scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
         return [tok], encode_fn, transformer, scheduler
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
-        jnp.zeros((1,)),
-        jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
-        jnp.zeros((1, flux_cfg.pooled_projection_dim)),
-        jnp.zeros((2, 3)),
-        jnp.zeros((gh * gw, 3)),
-    )["params"]
+    # fused init+cast (see _init_unet): uncast fp32 schnell is 47.6GB — the
+    # weightless full-depth tree must come up at weight_dtype or nothing fits
+    def init_cast():
+        p = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            jnp.zeros((2, 3)),
+            jnp.zeros((gh * gw, 3)),
+        )["params"]
+        return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+
+    params = jax.jit(init_cast)()
     transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,

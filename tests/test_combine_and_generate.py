@@ -114,3 +114,41 @@ def test_sample_loop_accepts_traced_guidance():
 
     out = run(jnp.asarray(7.5))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_generate_images_sd3_cli_smoke(tmp_path):
+    """End-to-end sweep CLI on the tiny weightless family: pre-encode →
+    encoder teardown → two-phase flow sampler → per-scale outputs (the
+    full-scale run holds base + merged SD3 trees, so the CLI must survive
+    the encoder-free restructure unchanged at tiny scale)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.cli.generate_images_sd3 import build_parser, run
+    from sliders_conceptmod_tpu.models import factory
+
+    _, _, tr, _ = factory.load_models_sd3("tiny-sd3", weight_dtype=jnp.bfloat16)
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    # fresh init has zero up-factors (merged == base at every scale); nudge
+    # every factor so ±scale actually produces different outputs
+    lp = jax.tree.map(lambda a: jnp.full_like(a, 0.05), lp)
+    ckpt = tmp_path / "tiny_sd3_slider_alpha1.0_rank2_full.safetensors"
+    lora_lib.save_weights(str(ckpt), sites, lp)
+    csv_path = tmp_path / "prompts.csv"
+    csv_path.write_text(
+        'case_number,prompt,evaluation_seed,concept\n0,"a cat",7,cat\n'
+    )
+
+    args = build_parser().parse_args([
+        "--model_name", str(ckpt), "--prompts_path", str(csv_path),
+        "--save_path", str(tmp_path / "sweep"), "--base", "tiny-sd3",
+        "--image_size", "64", "--steps", "3", "--scales=-1,1",
+    ])
+    run(args)
+    outs = sorted((tmp_path / "sweep").rglob("*.npy"))
+    assert len(outs) == 2  # one per scale
+    a, b = (np.load(p).astype(np.float32) for p in outs)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0  # the slider scale actually changes the output
