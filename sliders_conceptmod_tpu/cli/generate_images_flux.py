@@ -88,17 +88,27 @@ def run(args):
     if os.path.isdir(os.path.join(str(args.base), "vae")):
         vae = factory._load_or_init_vae(args.base, "flux", jnp.float32)
 
+    # pre-encode every case row, then drop the encoders (T5-XXL alone is
+    # 9.5GB bf16 — it cannot stay resident next to base + merged trees)
+    encoded = []
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
             continue
         text, pooled = encode_fn(prompt)
-        text, pooled = text[None], pooled[None]
+        encoded.append((case_number, seed, text[None], pooled[None]))
+    del encode_fn
+
+    merged = None
+    for case_number, seed, text, pooled in encoded:
         for scale in scales:
             key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(
                 key, (1, latent_channels, gh * 2, gw * 2), jnp.float32
             )
             tokens = pack_latents(latents).astype(jnp.bfloat16)
+            # release the previous merged tree before building the next —
+            # base + two merged trees is 3 full param sets
+            merged = None  # noqa: F841
             merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
             final_tokens = sample(transformer.params, merged, tokens, text, pooled)
             final = unpack_latents(final_tokens, gh * 2, gw * 2)
@@ -109,7 +119,8 @@ def run(args):
                 img = sd3_latents_to_images(vae.decode, final)[0]
                 Image.fromarray(img).save(out_path + ".png")
             else:
-                np.save(out_path + ".npy", jax.device_get(final))
+                # fp32 — numpy cannot round-trip ml_dtypes bf16 through .npy
+                np.save(out_path + ".npy", np.asarray(jax.device_get(final), dtype=np.float32))
             print(f"case {case_number} scale {scale}: wrote {out_path}")
 
 

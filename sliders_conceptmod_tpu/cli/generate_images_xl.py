@@ -165,6 +165,10 @@ def run(args):
                 )
                 * schedule.init_noise_sigma
             )
+            # release the previous scale's merged tree before building the
+            # next (base + two merged SDXL trees is 15.3GB — transient OOM
+            # at 1024px otherwise)
+            params_slider = None  # noqa: F841
             params_slider = lora_lib.merge_lora_params(unet.params, sites, lora_params, scale)
             final = sample_fn(
                 unet.params, params_slider, latents.astype(jnp.bfloat16), text_emb, added

@@ -152,3 +152,37 @@ def test_generate_images_sd3_cli_smoke(tmp_path):
     a, b = (np.load(p).astype(np.float32) for p in outs)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 0  # the slider scale actually changes the output
+
+
+def test_generate_images_flux_cli_smoke(tmp_path):
+    """End-to-end flux sweep CLI on tiny weightless: pre-encode → encoder
+    teardown → packed-latent flow sampler → per-scale fp32 npy outputs."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.cli.generate_images_flux import build_parser, run
+    from sliders_conceptmod_tpu.models import factory
+
+    _, _, tr, _ = factory.load_models_flux("tiny-flux", weight_dtype=jnp.bfloat16)
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lp = jax.tree.map(lambda a: jnp.full_like(a, 0.05), lp)
+    ckpt = tmp_path / "tiny_flux_slider_alpha1.0_rank2_full.safetensors"
+    lora_lib.save_weights(str(ckpt), sites, lp)
+    csv_path = tmp_path / "prompts.csv"
+    csv_path.write_text(
+        'case_number,prompt,evaluation_seed,concept\n0,"a cat",7,cat\n'
+    )
+
+    args = build_parser().parse_args([
+        "--model_name", str(ckpt), "--prompts_path", str(csv_path),
+        "--save_path", str(tmp_path / "sweep"), "--base", "tiny-flux",
+        "--image_size", "16", "--steps", "2", "--scales=-1,1",
+    ])
+    run(args)
+    outs = sorted((tmp_path / "sweep").rglob("*.npy"))
+    assert len(outs) == 2
+    a, b = (np.load(p).astype(np.float32) for p in outs)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 0
