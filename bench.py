@@ -401,7 +401,7 @@ def bench_flux(n_steps, res, dtype):
     )
 
 
-def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
+def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales=None):
     """DDIM images/sec — the second north-star metric (BASELINE.md targets).
 
     Mirrors the reference inference sweep protocol
@@ -438,14 +438,43 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
     scheduler = create_noise_scheduler("ddim")
     schedule = scheduler.set_timesteps(steps)
     flip = flip_step_for_start_noise(schedule, 750.0)
-    text_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
 
-    @jax.jit
-    def run(latents, key):
-        return sample_loop(
-            unet_apply, params, params, flip, scheduler, schedule, latents, text_emb,
-            key, guidance_scale=guidance, added_cond_kwargs=added,
+    if sweep_scales is not None:
+        # BENCH_SWEEP_SCALES: the full eval scale grid in ONE batched
+        # trajectory via the per-row LoRA overlay (sample_loop_scales) —
+        # batch dim = S scales (× CFG doubling inside)
+        from sliders_conceptmod_tpu.adapters import lora as lora_lib
+        from sliders_conceptmod_tpu.infer.generate import sample_loop_scales
+
+        scales_vec = jnp.asarray(sweep_scales, jnp.float32)
+        batch = int(scales_vec.shape[0])
+        sites = lora_lib.create_sites(
+            params, rank=4, alpha=1.0, target_replace=["Attention"], train_method="full"
         )
+        lp = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+        lp = jax.tree.map(lambda a: jnp.full(a.shape, 0.01, a.dtype), lp)
+        added = {
+            "text_embeds": jnp.zeros((2 * batch, 1280), dtype),
+            "time_ids": jnp.tile(jnp.asarray(get_add_time_ids(res, res)), (2 * batch, 1)),
+        }
+        sweep_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
+
+        @jax.jit
+        def run(latents, key):
+            return sample_loop_scales(
+                unet_apply, params, sites, lp, scales_vec, flip, scheduler, schedule,
+                latents, sweep_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+            )
+
+    else:
+        text_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
+
+        @jax.jit
+        def run(latents, key):
+            return sample_loop(
+                unet_apply, params, params, flip, scheduler, schedule, latents, text_emb,
+                key, guidance_scale=guidance, added_cond_kwargs=added,
+            )
 
     lat_shape = (batch, 4, res // 8, res // 8)
     out = run(jnp.zeros(lat_shape, dtype), jax.random.PRNGKey(0))
@@ -460,7 +489,9 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1):
     jax.block_until_ready(out)
     ips = n_calls * batch / (time.time() - t0)
     tag = "" if guidance > 1 else "_noCFG"
-    if batch > 1:
+    if sweep_scales is not None:
+        tag += f"_sweep{batch}scales"
+    elif batch > 1:
         tag += f"_b{batch}"
     f_row = fwd_flops(
         unet_apply,
@@ -522,6 +553,11 @@ def main():
             dtype=dtype,
             guidance=float(os.environ.get("BENCH_GUIDANCE", "7.5")),
             batch=int(os.environ.get("BENCH_IMG_BATCH", "1")),
+            sweep_scales=(
+                [float(s) for s in os.environ["BENCH_SWEEP_SCALES"].split(",")]
+                if os.environ.get("BENCH_SWEEP_SCALES")
+                else None
+            ),
         )
         return
     if model_kind == "tiny":

@@ -136,6 +136,22 @@ def run(args):
 
     from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 
+    if args.batch_scales:
+        # the whole scale grid in ONE trajectory (sample_loop_scales): a v5e
+        # is latency-bound at batch 1, so S sequential 50-step chains waste
+        # ~S× wall-clock vs one chain carrying S per-row-multiplier rows
+        from sliders_conceptmod_tpu.infer.generate import sample_loop_scales
+
+        scales_vec = jnp.asarray(scales, jnp.float32)
+
+        @jax.jit
+        def sample_scales_fn(params_base, lp, latents, text_emb, added):
+            return sample_loop_scales(
+                unet_apply, params_base, sites, lp, scales_vec, flip, scheduler,
+                schedule, latents, text_emb, jax.random.PRNGKey(0),
+                guidance_scale=args.guidance_scale, added_cond_kwargs=added,
+            )
+
     neg = args.negative_prompts or ""
     for case_number, prompt, seed in rows:
         if not (args.from_case <= case_number <= args.till_case):
@@ -151,6 +167,53 @@ def run(args):
                 (2 * args.num_samples, 1),
             ),
         }
+        if args.batch_scales:
+            S, N = len(scales), args.num_samples
+            if all(
+                os.path.exists(f"{args.save_path}/{name}/{s}/{case_number}_0.png")
+                for s in scales
+            ):
+                for s in scales:
+                    per_scale_first.append(
+                        np.asarray(Image.open(f"{args.save_path}/{name}/{s}/{case_number}_0.png"))
+                    )
+            else:
+                key = jax.random.PRNGKey(seed)
+                lat0 = (
+                    jax.random.normal(key, (N, 4, latent_res, latent_res), jnp.float32)
+                    * schedule.init_noise_sigma
+                )
+                lat_b = jnp.tile(lat0, (S, 1, 1, 1))
+                emb_b = jnp.concatenate(
+                    [jnp.tile(text_emb[:N], (S, 1, 1)), jnp.tile(text_emb[N:], (S, 1, 1))], axis=0
+                )
+                added_b = {
+                    k_: jnp.concatenate(
+                        [jnp.tile(v[:N], (S,) + (1,) * (v.ndim - 1)),
+                         jnp.tile(v[N:], (S,) + (1,) * (v.ndim - 1))], axis=0
+                    )
+                    for k_, v in added.items()
+                }
+                final_b = sample_scales_fn(
+                    unet.params, lora_params, lat_b.astype(jnp.bfloat16), emb_b, added_b
+                )
+                for si, scale in enumerate(scales):
+                    images = latents_to_images(
+                        vae.decode, final_b[si * N:(si + 1) * N], vae.config.scaling_factor
+                    )
+                    for idx in range(images.shape[0]):
+                        Image.fromarray(images[idx]).save(
+                            f"{args.save_path}/{name}/{scale}/{case_number}_{idx}.png"
+                        )
+                    per_scale_first.append(images[0])
+                print(f"case {case_number}: saved {S * N} images (batched scales)")
+            if per_scale_first:
+                os.makedirs(f"{args.save_path}/{name}/all", exist_ok=True)
+                Image.fromarray(np.concatenate(per_scale_first, axis=1)).save(
+                    f"{args.save_path}/{name}/all/{case_number}.png"
+                )
+            continue
+
         for scale in scales:
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0.png"
             if os.path.exists(out_path):
@@ -206,6 +269,11 @@ def build_parser():
     parser.add_argument("--rank", type=int, default=4)
     parser.add_argument("--start_noise", type=int, default=750)
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    parser.add_argument(
+        "--batch_scales", action="store_true",
+        help="Run the whole scale grid as ONE batched trajectory via the "
+        "per-row LoRA overlay (latency-bound chips: ~S× sweep throughput).",
+    )
     return parser
 
 

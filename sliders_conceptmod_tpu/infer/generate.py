@@ -116,6 +116,92 @@ def sample_loop(
     return carry[0]
 
 
+def sample_loop_scales(
+    unet_apply: Callable,
+    params,
+    sites,
+    lora_params,
+    scales: jnp.ndarray,  # [S] slider scales, one trajectory row-group each
+    flip_step: int,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,  # [S*N, ...] scale-major (same seed tiled per scale)
+    text_embeddings: jnp.ndarray,  # [2*S*N] uncond ++ cond
+    key: jax.Array,
+    guidance_scale: float = 7.5,
+    guidance_rescale: float = 0.0,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Every slider scale of a sweep in ONE batched trajectory.
+
+    The eval sweep protocol (reference generate_images_xl.py:494-507) runs
+    the scale grid sequentially — but a v5e is latency-bound at batch 1
+    (BASELINE.md phase table: batch-4 UNet fwd ≈ batch-1 cost), so S
+    sequential 50-step chains waste ~S× wall-clock. This sampler batches all
+    S scales into one chain using the apply-time LoRA overlay
+    (adapters/lora.lora_overlay) with a per-row multiplier: rows carry their
+    own slider scale against a SINGLE weight stream, and the pre-flip
+    structure-preservation phase (multiplier 0 while t > start_noise,
+    reference :324-328) becomes a traced gate instead of a params swap.
+
+    Numerics: overlay ≡ merge (tests/test_lora_overlay.py) up to bf16
+    rounding — the overlay adds the rank-r path in fp32 while merging folds
+    it into the bf16 kernel.
+    """
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    n = schedule.num_inference_steps
+    state = scheduler.init_step_state(latents.shape)
+    scales = jnp.asarray(scales, jnp.float32)
+    B = latents.shape[0]
+    reps = B // scales.shape[0]
+    row_scales = jnp.repeat(scales, reps)  # [S*N]
+    try:
+        use_cfg = float(guidance_scale) > 1.0
+    except jax.errors.ConcretizationTypeError:
+        use_cfg = True
+    if not use_cfg:
+        cond_emb = text_embeddings[B:]
+        cond_added = (
+            {k_: v[v.shape[0] // 2:] for k_, v in added_cond_kwargs.items()}
+            if added_cond_kwargs is not None
+            else None
+        )
+
+    def body(i, carry):
+        lat, st, k = carry
+        k, sub = jax.random.split(k)
+        gate = jnp.where(i < flip_step, 0.0, 1.0)  # slider off while t > start_noise
+        if not use_cfg:
+            scaled = scheduler.scale_model_input(schedule, lat, i)
+            with lora_lib.lora_overlay(sites, lora_params, gate * row_scales):
+                guided = unet_apply(
+                    params, scaled, schedule.timesteps[i], cond_emb, added_cond_kwargs=cond_added
+                )
+        else:
+            doubled = jnp.concatenate([lat] * 2, axis=0)
+            scaled = scheduler.scale_model_input(schedule, doubled, i)
+            with lora_lib.lora_overlay(
+                sites, lora_params, gate * jnp.concatenate([row_scales] * 2)
+            ):
+                eps = unet_apply(
+                    params,
+                    scaled,
+                    schedule.timesteps[i],
+                    text_embeddings,
+                    added_cond_kwargs=added_cond_kwargs,
+                )
+            uncond, cond = jnp.split(eps, 2, axis=0)
+            guided = uncond + guidance_scale * (cond - uncond)
+            if guidance_rescale > 0:
+                guided = rescale_noise_cfg(guided, cond, guidance_rescale)
+        lat, st = scheduler.step(schedule, guided, i, lat, st, key=sub)
+        return (lat, st, k)
+
+    carry = jax.lax.fori_loop(0, n, body, (latents, state, key))
+    return carry[0]
+
+
 def latents_to_images(vae_decode: Callable, latents: jnp.ndarray, scaling_factor: float) -> np.ndarray:
     """latents → uint8 HWC images (VAE decode in fp32, [-1,1] → [0,255])."""
     imgs = vae_decode((latents / scaling_factor).astype(jnp.float32))

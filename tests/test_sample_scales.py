@@ -1,0 +1,101 @@
+"""Batched-scales sweep sampler (infer/generate.sample_loop_scales).
+
+Equivalence target: one batched trajectory carrying every slider scale via
+the per-row LoRA overlay must reproduce the per-scale sequential
+sample_loop trajectories (merged params) — the reference eval protocol
+(generate_images_xl.py:494-507) run S× faster on a latency-bound chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sliders_conceptmod_tpu.adapters import lora
+from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+from sliders_conceptmod_tpu.infer.generate import sample_loop, sample_loop_scales
+from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig.tiny()
+    model = UNet2DConditionModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)), jnp.zeros((1, 7, 32))
+    )["params"]
+    sites = lora.create_sites(params, rank=2, alpha=1.0, target_replace=["Attention"], train_method="full")
+    lp = lora.init_lora_params(jax.random.PRNGKey(1), sites)
+    lp = jax.tree.map(lambda a: jax.random.normal(jax.random.PRNGKey(2), a.shape) * 0.05, lp)
+
+    def apply(p, sample, t, ctx, added_cond_kwargs=None):
+        return model.apply({"params": p}, sample, t, ctx)
+
+    return apply, params, sites, lp
+
+
+@pytest.mark.parametrize("guidance", [7.5, 0.0])
+def test_batched_scales_match_sequential(setup, guidance):
+    apply, params, sites, lp = setup
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(4)
+    flip = 2  # slider off for the first 2 steps, on after
+    scales = jnp.asarray([-2.0, 0.0, 1.5])
+    lat0 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 16, 16)) * schedule.init_noise_sigma
+    cond = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 32)) * 0.1
+    uncond = jnp.zeros((1, 7, 32))
+    key = jax.random.PRNGKey(5)
+
+    # sequential reference: one merged-params sample_loop per scale
+    want = []
+    for s in np.asarray(scales):
+        merged = lora.merge_lora_params(params, sites, lp, float(s))
+        emb = jnp.concatenate([uncond, cond], axis=0)
+        want.append(
+            np.asarray(
+                sample_loop(
+                    apply, params, merged, flip, scheduler, schedule, lat0, emb, key,
+                    guidance_scale=guidance,
+                )
+            )
+        )
+    want = np.concatenate(want, axis=0)
+
+    S = scales.shape[0]
+    lat_b = jnp.tile(lat0, (S, 1, 1, 1))
+    emb_b = jnp.concatenate([jnp.tile(uncond, (S, 1, 1)), jnp.tile(cond, (S, 1, 1))], axis=0)
+    got = np.asarray(
+        sample_loop_scales(
+            apply, params, sites, lp, scales, flip, scheduler, schedule, lat_b, emb_b, key,
+            guidance_scale=guidance,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    # scale rows genuinely differ from each other post-flip
+    assert np.abs(got[0] - got[1]).max() > 1e-4
+
+
+def test_batched_scales_scale0_row_equals_base(setup):
+    """The scale-0 row must be EXACTLY the slider-off model (overlay row
+    semantics), matching a plain sample_loop on base params."""
+    apply, params, sites, lp = setup
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(3)
+    lat0 = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 16, 16)) * schedule.init_noise_sigma
+    emb = jnp.concatenate([jnp.zeros((1, 7, 32)), jnp.ones((1, 7, 32)) * 0.1], axis=0)
+    key = jax.random.PRNGKey(7)
+    base = np.asarray(
+        sample_loop(apply, params, params, 0, scheduler, schedule, lat0, emb, key)
+    )
+    scales = jnp.asarray([0.0, 2.0])
+    got = np.asarray(
+        sample_loop_scales(
+            apply, params, sites, lp, scales, 0, scheduler, schedule,
+            jnp.tile(lat0, (2, 1, 1, 1)),
+            jnp.concatenate([jnp.tile(emb[:1], (2, 1, 1)), jnp.tile(emb[1:], (2, 1, 1))], axis=0),
+            key,
+        )
+    )
+    # batch-2 vs batch-1 matmul reduction order gives ~3e-5 drift; the
+    # scale-0 row is semantically the slider-off model
+    np.testing.assert_allclose(got[0], base[0], atol=1e-4, rtol=1e-4)
