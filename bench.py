@@ -460,21 +460,29 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
         sweep_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
 
         @jax.jit
-        def run(latents, key):
+        def run_p(p_, latents, key):
+            # params through the SIGNATURE (CLAUDE.md: closure capture bakes
+            # 5.1GB of constants into the executable / remote compile)
             return sample_loop_scales(
-                unet_apply, params, sites, lp, scales_vec, flip, scheduler, schedule,
+                unet_apply, p_, sites, lp, scales_vec, flip, scheduler, schedule,
                 latents, sweep_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
             )
+
+        def run(latents, key):
+            return run_p(params, latents, key)
 
     else:
         text_emb = jnp.full((2 * batch, 77, 2048), 0.01, dtype)
 
         @jax.jit
-        def run(latents, key):
+        def run_p(p_, latents, key):
             return sample_loop(
-                unet_apply, params, params, flip, scheduler, schedule, latents, text_emb,
+                unet_apply, p_, p_, flip, scheduler, schedule, latents, text_emb,
                 key, guidance_scale=guidance, added_cond_kwargs=added,
             )
+
+        def run(latents, key):
+            return run_p(params, latents, key)
 
     lat_shape = (batch, 4, res // 8, res // 8)
     out = run(jnp.zeros(lat_shape, dtype), jax.random.PRNGKey(0))
