@@ -15,8 +15,12 @@ bitsandbytes 8-bit optimizers (reference train_util.py:1027-1035) have no TPU
 meaning — 'adam8bit'/'lion8bit' map to their full-precision optax versions.
 Prodigy (reference train_util.py:1037-1046 via the prodigyopt package) is
 reimplemented natively on optax below (:func:`prodigy`) — the step-size
-adaptation runs entirely on-device inside the jitted train step. DAdaptation
-still raises with a pointer to prodigy (its successor from the same authors).
+adaptation runs entirely on-device inside the jitted train step. The
+DAdaptation pair the reference offers via the ``dadaptation`` package
+(train_util.py:1017-1026: DAdaptAdam / DAdaptLion, arXiv 2301.07733) is
+likewise reimplemented natively (:func:`dadapt_adam`, :func:`dadapt_lion`);
+with no dadaptation package installable here (zero egress) the tests pin the
+algorithms' defining properties rather than bitwise package parity.
 """
 
 from __future__ import annotations
@@ -141,6 +145,204 @@ def prodigy(
             exp_avg_sq=exp_avg_sq,
             s=s,
             p0=state.p0,
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+class DAdaptAdamState(NamedTuple):
+    step: chex.Array  # int32 scalar
+    d: chex.Array
+    numerator_weighted: chex.Array  # √β2-EMA of dlr·⟨g, s/(√v+d·eps)⟩
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+    s: optax.Updates  # √β2-EMA of dlr-weighted grads; ‖s‖₁ is the D denominator
+
+
+def dadapt_adam(
+    lr_schedule,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    growth_rate: float = float("inf"),
+    use_bias_correction: bool = False,
+    decouple: bool = False,
+) -> optax.GradientTransformation:
+    """D-Adaptation Adam (Defazio & Mishchenko 2023, arXiv 2301.07733).
+
+    Reference exposes this as ``optimizer: dadaptadam`` through the
+    ``dadaptation`` package (train_util.py:1017-1021). Semantics follow the
+    package's DAdaptAdam: per step k with pre-update estimate d and
+    dlr = d·lr(k)·bias,
+      r  ← √β2·r + (1−√β2)·dlr·⟨g, s/(√v + d·eps)⟩    (old v, s, d)
+      m  ← β1·m + (1−β1)·dlr·g                         (dlr folded into m)
+      v  ← β2·v + (1−β2)·g²
+      s  ← √β2·s + (1−√β2)·dlr·g
+      d̂ = r / ((1−√β2)·‖s‖₁)
+      d' = max(d, min(d̂, d·growth_rate))               (used in THIS step's eps)
+      Δx = −m/(√v + d'·eps) − [decouple] wd·dlr·x
+    Coupled weight decay (the package default) adds wd·x to the gradient
+    before the EMAs. All state lives on device; jits into the train step.
+    """
+    b1, b2 = betas
+    sqrt_b2 = b2**0.5
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return DAdaptAdamState(
+            step=jnp.zeros([], jnp.int32),
+            d=jnp.asarray(d0, jnp.float32),
+            numerator_weighted=jnp.zeros([], jnp.float32),
+            exp_avg=zeros(),
+            exp_avg_sq=zeros(),
+            s=zeros(),
+        )
+
+    def _tree_sum(tree):
+        return jax.tree.reduce(lambda a, x: a + x, tree, jnp.zeros([], jnp.float32))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("dadapt_adam requires params to be passed to update()")
+        k = state.step
+        d = state.d
+        lr = jnp.asarray(lr_schedule(k), jnp.float32)
+        if use_bias_correction:
+            kf = k.astype(jnp.float32) + 1.0
+            bias = jnp.sqrt(1.0 - b2**kf) / (1.0 - b1**kf)
+        else:
+            bias = 1.0
+        dlr = d * lr * bias
+
+        if weight_decay and not decouple:
+            grads = jax.tree.map(lambda g, p: g + weight_decay * p.astype(g.dtype), grads, params)
+
+        dot = _tree_sum(
+            jax.tree.map(
+                lambda g, s_, v: jnp.vdot(
+                    g.astype(jnp.float32),
+                    s_.astype(jnp.float32) / (jnp.sqrt(v.astype(jnp.float32)) + d * eps),
+                ),
+                grads,
+                state.s,
+                state.exp_avg_sq,
+            )
+        )
+        numerator = sqrt_b2 * state.numerator_weighted + (1 - sqrt_b2) * dlr * dot
+
+        exp_avg = jax.tree.map(
+            lambda m, g: b1 * m + (1 - b1) * dlr * g.astype(m.dtype), state.exp_avg, grads
+        )
+        exp_avg_sq = jax.tree.map(
+            lambda v, g: b2 * v + (1 - b2) * jnp.square(g.astype(v.dtype)),
+            state.exp_avg_sq,
+            grads,
+        )
+        s = jax.tree.map(
+            lambda s_, g: sqrt_b2 * s_ + (1 - sqrt_b2) * dlr * g.astype(s_.dtype), state.s, grads
+        )
+        sk_l1 = _tree_sum(jax.tree.map(lambda s_: jnp.sum(jnp.abs(s_)), s))
+
+        d_hat = jnp.where(sk_l1 > 0, numerator / ((1 - sqrt_b2) * sk_l1), d)
+        d_next = jnp.where(sk_l1 > 0, jnp.maximum(d, jnp.minimum(d_hat, d * growth_rate)), d)
+
+        wd_term = weight_decay * dlr if decouple else 0.0
+        updates = jax.tree.map(
+            lambda m, v, p: (-m / (jnp.sqrt(v) + d_next * eps) - wd_term * p).astype(p.dtype),
+            exp_avg,
+            exp_avg_sq,
+            params,
+        )
+        new_state = DAdaptAdamState(
+            step=k + 1,
+            d=d_next,
+            numerator_weighted=numerator,
+            exp_avg=exp_avg,
+            exp_avg_sq=exp_avg_sq,
+            s=s,
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+class DAdaptLionState(NamedTuple):
+    step: chex.Array
+    d: chex.Array
+    numerator_weighted: chex.Array
+    exp_avg: optax.Updates
+    s: optax.Updates
+
+
+def dadapt_lion(
+    lr_schedule,
+    betas=(0.9, 0.99),
+    weight_decay: float = 0.0,
+    d0: float = 1e-6,
+    growth_rate: float = float("inf"),
+) -> optax.GradientTransformation:
+    """D-Adaptation Lion (``optimizer: dadaptlion``, reference
+    train_util.py:1022-1023). Sign-descent D-Adaptation:
+      u  = sign(β1·m + (1−β1)·g)
+      Δx = −dlr·u − wd·dlr·x                       (decoupled decay)
+      m  ← β2·m + (1−β2)·dlr·g
+      r  ← β2·r + (1−β2)·dlr·⟨u, s⟩                (old s)
+      s  ← β2·s + (1−β2)·dlr·u
+      d̂ = r / ((1−β2)·‖s‖₁);  d' = max(d, min(d̂, d·growth_rate))
+    """
+    b1, b2 = betas
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return DAdaptLionState(
+            step=jnp.zeros([], jnp.int32),
+            d=jnp.asarray(d0, jnp.float32),
+            numerator_weighted=jnp.zeros([], jnp.float32),
+            exp_avg=zeros(),
+            s=zeros(),
+        )
+
+    def _tree_sum(tree):
+        return jax.tree.reduce(lambda a, x: a + x, tree, jnp.zeros([], jnp.float32))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("dadapt_lion requires params to be passed to update()")
+        d = state.d
+        lr = jnp.asarray(lr_schedule(state.step), jnp.float32)
+        dlr = d * lr
+
+        u = jax.tree.map(
+            lambda m, g: jnp.sign(b1 * m + (1 - b1) * g.astype(m.dtype)), state.exp_avg, grads
+        )
+        dot = _tree_sum(
+            jax.tree.map(
+                lambda u_, s_: jnp.vdot(u_.astype(jnp.float32), s_.astype(jnp.float32)),
+                u,
+                state.s,
+            )
+        )
+        numerator = b2 * state.numerator_weighted + (1 - b2) * dlr * dot
+        exp_avg = jax.tree.map(
+            lambda m, g: b2 * m + (1 - b2) * dlr * g.astype(m.dtype), state.exp_avg, grads
+        )
+        s = jax.tree.map(lambda s_, u_: b2 * s_ + (1 - b2) * dlr * u_, state.s, u)
+        sk_l1 = _tree_sum(jax.tree.map(lambda s_: jnp.sum(jnp.abs(s_)), s))
+
+        d_hat = jnp.where(sk_l1 > 0, numerator / ((1 - b2) * sk_l1), d)
+        d_next = jnp.where(sk_l1 > 0, jnp.maximum(d, jnp.minimum(d_hat, d * growth_rate)), d)
+
+        updates = jax.tree.map(
+            lambda u_, p: (-dlr * u_ - weight_decay * dlr * p).astype(p.dtype), u, params
+        )
+        new_state = DAdaptLionState(
+            step=state.step + 1,
+            d=d_next,
+            numerator_weighted=numerator,
+            exp_avg=exp_avg,
+            s=s,
         )
         return updates, new_state
 
@@ -280,13 +482,32 @@ def get_optimizer(
             safeguard_warmup=bool(kwargs.get("safeguard_warmup", False)),
             use_bias_correction=bool(kwargs.get("use_bias_correction", False)),
         )
-    elif name.startswith("dadapt"):
-        raise ValueError(
-            f"{name} is not available in the TPU build (no dadaptation package); "
-            "use 'prodigy' (its successor, implemented natively) or adamw/lion/sgd"
+    elif name == "dadaptadam":
+        tx = dadapt_adam(
+            lr_schedule,
+            betas=(b1, b2),
+            eps=float(kwargs.get("eps", 1e-8)),
+            weight_decay=float(kwargs.get("weight_decay", 0.0)),
+            d0=float(kwargs.get("d0", 1e-6)),
+            growth_rate=float(kwargs.get("growth_rate", float("inf"))),
+            use_bias_correction=bool(kwargs.get("use_bias_correction", False)),
+            decouple=bool(kwargs.get("decouple", False)),
         )
+    elif name == "dadaptlion":
+        tx = dadapt_lion(
+            lr_schedule,
+            betas=(
+                float(kwargs.get("beta1", betas[0] if betas else 0.9)),
+                float(kwargs.get("beta2", betas[1] if betas and len(betas) > 1 else 0.99)),
+            ),
+            weight_decay=float(kwargs.get("weight_decay", 0.0)),
+            d0=float(kwargs.get("d0", 1e-6)),
+            growth_rate=float(kwargs.get("growth_rate", float("inf"))),
+        )
+    elif name.startswith("dadapt"):
+        raise ValueError("DAdapt optimizer must be dadaptadam or dadaptlion")
     else:
-        raise ValueError("Optimizer must be adam, adamw, lion, sgd or prodigy")
+        raise ValueError("Optimizer must be adam, adamw, lion, sgd, prodigy or dadapt*")
 
     chain = []
     if grad_clip_norm is not None:
