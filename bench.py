@@ -322,8 +322,12 @@ def bench_flux(n_steps, res, dtype):
     from sliders_conceptmod_tpu.train import esd, esd_flux
     from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
-    layers = int(os.environ.get("BENCH_FLUX_LAYERS", "5"))
-    single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "10"))
+    # BENCH_QUANT=1: int8-quantized frozen base (adapters/quant.py) — full
+    # depth fits one v5e (11.9 GB int8 vs 23.8 GB bf16), so default to the
+    # REAL schnell depth and measure it directly instead of projecting
+    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
+    layers = int(os.environ.get("BENCH_FLUX_LAYERS", "19" if quantized else "5"))
+    single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "38" if quantized else "10"))
     full_cfg = FluxConfig.schnell()
     cfg = dataclasses.replace(full_cfg, num_layers=layers, num_single_layers=single)
     model = FluxTransformer2DModel(cfg, dtype=dtype)
@@ -339,10 +343,16 @@ def bench_flux(n_steps, res, dtype):
         jnp.zeros((s_img, 3)),
     )
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), *sample_args(cfg)))
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+    if quantized:
+        from sliders_conceptmod_tpu.adapters import quant
 
-    def apply(p, *a, **kw):
-        return model.apply({"params": p}, *a, **kw)
+        params, scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
+        apply = quant.make_quant_apply(model, scales, compute_dtype=dtype)
+    else:
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+        def apply(p, *a, **kw):
+            return model.apply({"params": p}, *a, **kw)
 
     sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
@@ -360,7 +370,9 @@ def bench_flux(n_steps, res, dtype):
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_value=1.0
     )
-    step = esd_flux.make_flux_esd_train_step(apply, sites, schedule, opt, fcfg)
+    step = esd_flux.make_flux_esd_train_step(
+        apply, sites, schedule, opt, fcfg, student_overlay=quantized
+    )
     opt_state = opt.init(lora_params)
 
     key = jax.random.PRNGKey(0)
@@ -384,7 +396,7 @@ def bench_flux(n_steps, res, dtype):
         return full_model.apply({"params": p}, *a)
 
     f_full = fwd_flops(full_apply, full_abstract, *sample_args(full_cfg))
-    extra = {"layers": layers, "single_layers": single}
+    extra = {"layers": layers, "single_layers": single, "int8_base": quantized}
     # flux step: no warm-up (timesteps_to=0), 3-row teacher, student fwd+bwd
     step_flops = f_red * 6 if f_red else None
     if f_red and f_full:

@@ -1,0 +1,215 @@
+"""Int8-quantized frozen base for adapter training (QLoRA-style, TPU-native).
+
+The reference cannot train Flux at all on a 16 GB card and has no
+quantized-base path (its Flux trainer assumes an 80 GB-class GPU,
+``train_lora_flux.py:86-447``). This module is a deliberate TPU extension:
+the *frozen* base weights are stored as symmetric per-output-channel int8
+(11.9 GB for Flux-schnell's 11.89B params vs 23.8 GB bf16), which fits one
+v5e chip (16 GB HBM), and are dequantized at the point of use inside each
+matmul — XLA fuses the ``int8→bf16`` cast into the matmul producer so no
+full-precision copy of the tree ever materializes.
+
+Mechanism mirrors :func:`adapters.lora.lora_overlay`: a flax
+``intercept_methods`` context replaces the ``__call__`` of every quantized
+``nn.Dense`` with ``(x @ dequant(q)) * scale + bias``. Because the quant
+interceptor *replaces* the base computation (it never calls ``next_fun``),
+it must be registered INNERMOST; flax runs interceptors in registration
+order (first registered = outermost), so compose as::
+
+    with lora_overlay(sites, lp, row_scale), quant_overlay(scales):
+        model.apply({"params": qparams}, ...)
+
+which yields ``dequant_base(x) + row_scale·(α/r)·up(down(x))`` — the
+reference's forward-hook formula (lora.py:134-138) over a quantized base.
+
+Only frozen weights are quantized; LoRA factors, optimizer state and
+activations stay in the training dtype, so the adapter math is identical to
+the full-precision path up to the base-weight rounding error.
+
+Scope: 2-D ``kernel`` leaves (Dense). Conv bases (SD-UNet) stay full
+precision — the UNet families fit one chip without quantization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# kernels below this element count stay full precision: the HBM win is
+# negligible and small layers (e.g. pooled-text projections) are the most
+# quantization-sensitive
+QUANT_MIN_ELEMS = 65536
+
+ScaleDict = Dict[Tuple[str, ...], jnp.ndarray]
+
+
+def _walk(tree, prefix=()):
+    for k in sorted(tree.keys()):
+        v = tree[k]
+        if isinstance(v, dict):
+            yield from _walk(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def quantize_leaf(w: jnp.ndarray):
+    """Symmetric per-output-column int8: ``w ≈ q · scale`` with
+    ``scale[j] = max_i |w[i,j]| / 127`` (so the error per element is at most
+    ``scale/2``)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_host_tree(np_tree, dtype=jnp.bfloat16, min_elems: int = QUANT_MIN_ELEMS):
+    """Quantize a HOST (numpy) state tree straight to device int8 — the
+    real-checkpoint load path. The full-precision tree never touches the
+    device (full-depth Flux: 23.8 GB bf16 > 16 GB v5e HBM — a plain
+    ``tree_to_jax`` would OOM before quantization could run); each leaf is
+    quantized in numpy and only the int8 copy (plus fp32 per-column scales)
+    is transferred. Non-quantized leaves transfer at ``dtype``."""
+    import numpy as np
+
+    scales: ScaleDict = {}
+
+    def rebuild(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = rebuild(v, prefix + (k,))
+                continue
+            arr = np.asarray(v)
+            if k == "kernel" and arr.ndim == 2 and arr.size >= min_elems:
+                w = arr.astype(np.float32)
+                amax = np.max(np.abs(w), axis=0)
+                scale = np.maximum(amax / 127.0, 1e-12)
+                q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+                scales[prefix] = jnp.asarray(scale, jnp.float32)
+                out[k] = jnp.asarray(q)
+            else:
+                out[k] = jnp.asarray(arr, dtype)
+        return out
+
+    return rebuild(np_tree), scales
+
+
+def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS):
+    """Quantize every large 2-D ``kernel`` leaf; return ``(qtree, scales)``.
+
+    ``scales`` maps the owning MODULE path (the kernel path minus its last
+    component) to the per-column fp32 scale vector — the lookup key
+    :func:`quant_overlay` uses. Quantization runs eagerly per leaf, so the
+    peak transient is one fp32 leaf (~150 MB for Flux's largest), never the
+    full tree.
+    """
+    scales: ScaleDict = {}
+
+    def rebuild(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = rebuild(v, prefix + (k,))
+            elif k == "kernel" and v.ndim == 2 and v.size >= min_elems:
+                q, scale = quantize_leaf(v)
+                scales[prefix] = scale
+                out[k] = q
+            else:
+                out[k] = v
+        return out
+
+    return rebuild(params), scales
+
+
+def dequantize_params(qtree, scales: ScaleDict, dtype=jnp.bfloat16):
+    """Inverse of :func:`quantize_params` (up to rounding) — for tests and
+    for exporting a merged full-precision tree."""
+
+    def rebuild(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = rebuild(v, prefix + (k,))
+            elif k == "kernel" and prefix in scales:
+                out[k] = (v.astype(jnp.float32) * scales[prefix]).astype(dtype)
+            else:
+                out[k] = v
+        return out
+
+    return rebuild(qtree)
+
+
+def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
+    """flax ``intercept_methods`` context: inside it, every Dense whose
+    module path appears in ``scales`` computes
+    ``((x @ q) * scale + bias)`` with the int8 kernel dequantized in-graph
+    (fused by XLA into the matmul — int8 is what HBM holds)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        if context.method_name != "__call__":
+            return next_fun(*args, **kwargs)
+        scale = scales.get(tuple(context.module.path))
+        if scale is None:
+            return next_fun(*args, **kwargs)
+        variables = context.module.variables["params"]
+        kernel = variables["kernel"]
+        x = args[0]
+        y = jnp.einsum(
+            "...i,io->...o", x.astype(compute_dtype), kernel.astype(compute_dtype)
+        ).astype(jnp.float32) * scale
+        bias = variables.get("bias")
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(compute_dtype)
+
+    return nn.intercept_methods(interceptor)
+
+
+def make_quant_apply(model, scales: ScaleDict, compute_dtype=jnp.bfloat16):
+    """``apply_fn(qparams, *args, **kwargs)`` running ``model.apply`` under
+    the dequant overlay — a drop-in for the trainers' ``transformer_apply``."""
+
+    def apply_fn(qparams, *args, **kwargs):
+        with quant_overlay(scales, compute_dtype):
+            return model.apply({"params": qparams}, *args, **kwargs)
+
+    return apply_fn
+
+
+def wrap_apply(apply_fn, scales: ScaleDict, compute_dtype=jnp.bfloat16):
+    """Wrap an arbitrary ``apply_fn(params, *args, **kwargs)`` (e.g. a
+    ``TransformerBundle.apply_fn``) so it runs under the dequant overlay —
+    the loader-facing sibling of :func:`make_quant_apply`."""
+
+    def apply(params, *args, **kwargs):
+        with quant_overlay(scales, compute_dtype):
+            return apply_fn(params, *args, **kwargs)
+
+    return apply
+
+
+def weightless_quantized(shapes, min_elems: int = QUANT_MIN_ELEMS, dtype=jnp.bfloat16, seed=0):
+    """Build a random int8-quantized tree straight from ``jax.eval_shape``
+    output — the weightless bench path. Avoids ever materializing the
+    full-precision tree (full-depth Flux: 47.6 GB fp32 / 23.8 GB bf16,
+    both beyond one v5e)."""
+    scales: ScaleDict = {}
+
+    def rebuild(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = rebuild(v, prefix + (k,))
+            elif k == "kernel" and len(v.shape) == 2 and v.size >= min_elems:
+                key = jax.random.PRNGKey((hash(prefix + (k, seed))) % (2**31))
+                out[k] = jax.random.randint(key, v.shape, -127, 128, jnp.int8)
+                scales[prefix] = jnp.full(v.shape[-1:], 0.02 / 127.0, jnp.float32)
+            else:
+                out[k] = jnp.full(v.shape, 0.02, dtype)
+        return out
+
+    return rebuild(shapes), scales

@@ -112,6 +112,11 @@ class TPUConfig(BaseModel):
     # via the apply-time LoRA overlay (identical math, one fewer weight
     # stream; LoRA + guidance==1 + samples_per_step==1 only)
     fuse_teacher_student: bool = False
+    # store the FROZEN base as symmetric per-column int8 (adapters/quant.py,
+    # QLoRA-style): full-depth Flux-schnell (23.8 GB bf16) fits one 16 GB
+    # v5e at 11.9 GB. Flux trainer only; the student LoRA runs through the
+    # apply-time overlay so the int8 base is never merged into.
+    quantize_base: bool = False
 
 
 class RootConfig(BaseModel):

@@ -427,6 +427,9 @@ class TransformerBundle:
     # embedding value on EVERY forward (guidance_embeds=True would otherwise
     # crash at trace time); the diffusers FluxPipeline default is 3.5
     default_kwargs: Optional[dict] = None
+    # non-None => self.params is an int8-quantized base (adapters/quant.py,
+    # tpu.quantize_base) and apply_fn dequantizes at the point of use
+    quant_scales: Optional[dict] = None
 
     def apply_fn(self) -> Callable:
         model = self.model
@@ -437,6 +440,10 @@ class TransformerBundle:
                 kwargs.setdefault(k, v)
             return model.apply({"params": params}, *args, **kwargs)
 
+        if self.quant_scales is not None:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            return quant.wrap_apply(apply, self.quant_scales, self.model.dtype)
         return apply
 
 
@@ -634,6 +641,7 @@ def encode_prompts_cascade(
 def load_models_flux(
     name_or_path: str,
     weight_dtype=jnp.float32,
+    quantize_base: bool = False,
 ):
     """Flux (schnell) — reference model_util.py:238-268. Returns
     (tokenizers, encode_fn, transformer, flow scheduler).
@@ -643,6 +651,12 @@ def load_models_flux(
     ``tokenizers`` lib can read it (no sentencepiece in this image), else the
     deterministic hash tokenizer. Weightless/tiny mode uses a
     pseudo-embedding stub for the whole text stack (identical graph).
+
+    ``quantize_base=True`` (tpu.quantize_base): the transformer's frozen
+    Dense kernels land on device as int8 (adapters/quant.py) — host trees
+    are quantized leaf-by-leaf BEFORE transfer so the bf16 tree (23.8 GB
+    full-depth schnell) never has to fit in HBM. ``TransformerBundle
+    .apply_fn`` then dequantizes at the point of use.
     """
     from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
     from sliders_conceptmod_tpu.models.flux import FluxConfig, FluxTransformer2DModel
@@ -763,10 +777,19 @@ def load_models_flux(
             if tree_guidance != flux_cfg.guidance_embeds:
                 flux_cfg = FluxConfig.dev() if tree_guidance else FluxConfig.schnell()
                 model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
-        params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
+        quant_scales = None
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            params, quant_scales = quant.quantize_host_tree(
+                trees["transformer"], dtype=weight_dtype
+            )
+        else:
+            params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
         transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+        quant_scales=quant_scales,
     )
         # BFL distributes the text stack separately; the stub encode_fn keeps
         # the training graph identical until T5/CLIP dirs are supplied
@@ -776,31 +799,61 @@ def load_models_flux(
 
         sub = os.path.join(str(name_or_path), "transformer")
         sd = tc._load_safetensors_dir(sub)
-        params = tc.tree_to_jax(convert_flux_state_dict(sd), dtype=weight_dtype)
+        quant_scales = None
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            params, quant_scales = quant.quantize_host_tree(
+                convert_flux_state_dict(sd), dtype=weight_dtype
+            )
+        else:
+            params = tc.tree_to_jax(convert_flux_state_dict(sd), dtype=weight_dtype)
         transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+        quant_scales=quant_scales,
     )
         scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
         return [tok], encode_fn, transformer, scheduler
     # fused init+cast (see _init_unet): uncast fp32 schnell is 47.6GB — the
     # weightless full-depth tree must come up at weight_dtype or nothing fits
-    def init_cast():
-        p = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
-            jnp.zeros((1,)),
-            jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
-            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
-            jnp.zeros((2, 3)),
-            jnp.zeros((gh * gw, 3)),
-        )["params"]
-        return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+    quant_scales = None
+    if quantize_base:
+        from sliders_conceptmod_tpu.adapters import quant
 
-    params = jax.jit(init_cast)()
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
+                jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+                jnp.zeros((2, 3)),
+                jnp.zeros((gh * gw, 3)),
+            )
+        )
+        params, quant_scales = quant.weightless_quantized(
+            shapes["params"], dtype=weight_dtype
+        )
+    else:
+
+        def init_cast():
+            p = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
+                jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+                jnp.zeros((2, 3)),
+                jnp.zeros((gh * gw, 3)),
+            )["params"]
+            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+
+        params = jax.jit(init_cast)()
     transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+        quant_scales=quant_scales,
     )
     scheduler = FlowMatchScheduler(use_dynamic_shifting=True)
     return [tok], encode_fn, transformer, scheduler

@@ -65,7 +65,14 @@ def make_flux_esd_train_step(
     optimizer: optax.GradientTransformation,
     cfg: FluxESDConfig,
     merge_fn=None,
+    student_overlay: bool = False,
 ):
+    """``student_overlay=True`` applies the student's LoRA via the apply-time
+    interceptor (adapters.lora.lora_overlay) instead of merging it into the
+    base tree — required when the base is int8-quantized (adapters/quant.py:
+    merging would need a lossy dequant→merge→requant round trip every step;
+    the overlay leaves the int8 base untouched and adds the fp32 adapter
+    delta on top, the reference's own forward-hook composition)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
     b = cfg.batch_size
@@ -123,10 +130,22 @@ def make_flux_esd_train_step(
         )
 
         def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
-            tgt = predict_step(
-                student_apply, sp, tokens, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET]), t_idx, 1
-            )
+            if student_overlay:
+                with lora_lib.lora_overlay(sites, lp, jnp.ones((b,), jnp.float32)):
+                    tgt = predict_step(
+                        student_apply,
+                        base_params,
+                        tokens,
+                        tile(text[ROLE_TARGET]),
+                        tile(pooled[ROLE_TARGET]),
+                        t_idx,
+                        1,
+                    )
+            else:
+                sp = merge(base_params, sites, lp, 1.0)
+                tgt = predict_step(
+                    student_apply, sp, tokens, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET]), t_idx, 1
+                )
             diff = tgt.astype(jnp.float32) - esd_target
             return jnp.mean(diff * diff)
 
