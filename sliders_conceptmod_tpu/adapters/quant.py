@@ -98,14 +98,15 @@ def quantize_host_tree(np_tree, dtype=jnp.bfloat16, min_elems: int = QUANT_MIN_E
     return rebuild(np_tree), scales
 
 
-def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS):
+def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS, cast_rest=None):
     """Quantize every large 2-D ``kernel`` leaf; return ``(qtree, scales)``.
 
     ``scales`` maps the owning MODULE path (the kernel path minus its last
     component) to the per-column fp32 scale vector — the lookup key
     :func:`quant_overlay` uses. Quantization runs eagerly per leaf, so the
     peak transient is one fp32 leaf (~150 MB for Flux's largest), never the
-    full tree.
+    full tree. ``cast_rest``: storage dtype for the NON-quantized leaves
+    (None = leave untouched). Traceable — see :func:`quantize_init`.
     """
     scales: ScaleDict = {}
 
@@ -118,11 +119,27 @@ def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS):
                 q, scale = quantize_leaf(v)
                 scales[prefix] = scale
                 out[k] = q
+            elif cast_rest is not None:
+                out[k] = v.astype(cast_rest)
             else:
                 out[k] = v
         return out
 
     return rebuild(params), scales
+
+
+def quantize_init(init_fn, min_elems: int = QUANT_MIN_ELEMS, dtype=jnp.bfloat16):
+    """jit-fused ``init → quantize``: run a parameter initializer and
+    quantize its output inside ONE executable, so the values match the
+    plain (unquantized) init exactly up to int8 rounding — the weightless
+    load path stays same-seed equivalent to the full-precision family —
+    while XLA frees each fp32 leaf after its int8 copy is produced (the
+    full fp32 tree is never live at once)."""
+
+    def fused():
+        return quantize_params(init_fn(), min_elems=min_elems, cast_rest=dtype)
+
+    return jax.jit(fused)()
 
 
 def dequantize_params(qtree, scales: ScaleDict, dtype=jnp.bfloat16):

@@ -30,8 +30,13 @@ def run(args):
     for scale in scales:
         os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
 
+    # --quantize_base: int8 frozen base (adapters/quant.py) — full-depth
+    # schnell (23.8 GB bf16) sweeps on one 16 GB v5e. The slider is applied
+    # through the apply-time LoRA overlay with the scale as a TRACED [B]
+    # multiplier, so all scales share one executable and the int8 base is
+    # never merged into.
     tokenizers, encode_fn, transformer, scheduler = factory.load_models_flux(
-        args.base, weight_dtype=jnp.bfloat16
+        args.base, weight_dtype=jnp.bfloat16, quantize_base=args.quantize_base
     )
     flux_cfg = transformer.config
     is_tiny = "tiny" in str(args.base).lower()
@@ -84,6 +89,29 @@ def run(args):
             tokens = jax.lax.fori_loop(flip, schedule.num_inference_steps, make_body(params_b), tokens)
         return tokens
 
+    @jax.jit  # quantized base: scale is a traced [B] row multiplier —
+    def sample_overlay(base, lp, row_scale, tokens, text, pooled):
+        # ONE executable covers every scale (incl. 0 == slider off)
+        txt_ids = jnp.zeros((text.shape[1], 3))
+
+        def make_body(scaled):
+            def body(i, tok):
+                t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
+                if scaled:
+                    with lora_lib.lora_overlay(sites, lp, row_scale):
+                        v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **guidance_kw)
+                else:
+                    v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **guidance_kw)
+                return FlowMatchScheduler.step(schedule, v, i, tok)
+
+            return body
+
+        if flip > 0:
+            tokens = jax.lax.fori_loop(0, flip, make_body(False), tokens)
+        if flip < schedule.num_inference_steps:
+            tokens = jax.lax.fori_loop(flip, schedule.num_inference_steps, make_body(True), tokens)
+        return tokens
+
     vae = None
     if os.path.isdir(os.path.join(str(args.base), "vae")):
         vae = factory._load_or_init_vae(args.base, "flux", jnp.float32)
@@ -106,11 +134,18 @@ def run(args):
                 key, (1, latent_channels, gh * 2, gw * 2), jnp.float32
             )
             tokens = pack_latents(latents).astype(jnp.bfloat16)
-            # release the previous merged tree before building the next —
-            # base + two merged trees is 3 full param sets
-            merged = None  # noqa: F841
-            merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
-            final_tokens = sample(transformer.params, merged, tokens, text, pooled)
+            if args.quantize_base:
+                final_tokens = sample_overlay(
+                    transformer.params, lora_params,
+                    jnp.full((tokens.shape[0],), scale, jnp.float32),
+                    tokens, text, pooled,
+                )
+            else:
+                # release the previous merged tree before building the next —
+                # base + two merged trees is 3 full param sets
+                merged = None  # noqa: F841
+                merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
+                final_tokens = sample(transformer.params, merged, tokens, text, pooled)
             final = unpack_latents(final_tokens, gh * 2, gw * 2)
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
             if vae is not None:
@@ -140,6 +175,11 @@ def build_parser():
         help="Distilled-guidance embedding for dev checkpoints (no CFG); ignored by schnell.",
     )
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    parser.add_argument(
+        "--quantize_base", action="store_true",
+        help="int8 frozen base (adapters/quant.py): full-depth schnell sweeps "
+        "on one 16 GB v5e; the slider runs via the apply-time overlay.",
+    )
     return parser
 
 

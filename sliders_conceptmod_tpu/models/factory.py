@@ -817,37 +817,28 @@ def load_models_flux(
         return [tok], encode_fn, transformer, scheduler
     # fused init+cast (see _init_unet): uncast fp32 schnell is 47.6GB — the
     # weightless full-depth tree must come up at weight_dtype or nothing fits
+    def _init_params():
+        return model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
+            jnp.zeros((1, flux_cfg.pooled_projection_dim)),
+            jnp.zeros((2, 3)),
+            jnp.zeros((gh * gw, 3)),
+        )["params"]
+
     quant_scales = None
     if quantize_base:
         from sliders_conceptmod_tpu.adapters import quant
 
-        shapes = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
-                jnp.zeros((1,)),
-                jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
-                jnp.zeros((1, flux_cfg.pooled_projection_dim)),
-                jnp.zeros((2, 3)),
-                jnp.zeros((gh * gw, 3)),
-            )
-        )
-        params, quant_scales = quant.weightless_quantized(
-            shapes["params"], dtype=weight_dtype
-        )
+        # fused init→quantize: SAME init values as the unquantized family
+        # (up to int8 rounding), so same-seed weightless equivalence holds
+        params, quant_scales = quant.quantize_init(_init_params, dtype=weight_dtype)
     else:
 
         def init_cast():
-            p = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, gh * gw, flux_cfg.in_channels)),
-                jnp.zeros((1,)),
-                jnp.zeros((1, 2, flux_cfg.joint_attention_dim)),
-                jnp.zeros((1, flux_cfg.pooled_projection_dim)),
-                jnp.zeros((2, 3)),
-                jnp.zeros((gh * gw, 3)),
-            )["params"]
-            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
+            return jax.tree.map(lambda a: a.astype(weight_dtype), _init_params())
 
         params = jax.jit(init_cast)()
     transformer = TransformerBundle(

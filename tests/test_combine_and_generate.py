@@ -186,3 +186,20 @@ def test_generate_images_flux_cli_smoke(tmp_path):
     a, b = (np.load(p).astype(np.float32) for p in outs)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 0
+
+    # --quantize_base: the overlay sampler (traced scale, int8-ready base)
+    # sweeps the same checkpoint and matches the merged-tree path up to
+    # bf16 merge rounding (tiny kernels sit below QUANT_MIN_ELEMS, so the
+    # base itself is identical — this isolates overlay-vs-merge)
+    qargs = build_parser().parse_args([
+        "--model_name", str(ckpt), "--prompts_path", str(csv_path),
+        "--save_path", str(tmp_path / "sweep_q"), "--base", "tiny-flux",
+        "--image_size", "16", "--steps", "2", "--scales=-1,1",
+        "--quantize_base",
+    ])
+    run(qargs)
+    qouts = sorted((tmp_path / "sweep_q").rglob("*.npy"))
+    assert len(qouts) == 2
+    for p, qp in zip(outs, qouts):
+        ref, got = np.load(p).astype(np.float32), np.load(qp).astype(np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
