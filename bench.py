@@ -413,6 +413,114 @@ def bench_flux(n_steps, res, dtype):
     )
 
 
+def bench_flux_infer(res, steps, dtype, n_rounds=4):
+    """Flux-schnell slider sweep img/s, full depth on ONE chip via the int8
+    base (BENCH_QUANT=1) — all 5 slider scales ride ONE batched trajectory
+    with the scale as a per-row LoRA-overlay multiplier (the XL
+    batched-scales design on the flow sampler). BENCH_QUANT=0 falls back to
+    depth-reduced bf16 (full depth does not fit unquantized)."""
+    import dataclasses
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
+    from sliders_conceptmod_tpu.models.flux import (
+        FluxConfig,
+        FluxTransformer2DModel,
+        pack_latents,
+        prepare_latent_image_ids,
+    )
+
+    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
+    layers = int(os.environ.get("BENCH_FLUX_LAYERS", "19" if quantized else "5"))
+    single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "38" if quantized else "10"))
+    scales = [float(s) for s in os.environ.get("BENCH_SWEEP_SCALES", "-2,-1,0,1,2").split(",")]
+    cfg = dataclasses.replace(FluxConfig.schnell(), num_layers=layers, num_single_layers=single)
+    model = FluxTransformer2DModel(cfg, dtype=dtype)
+
+    gh = gw = res // 8 // 2
+    s_img, s_txt = gh * gw, 512
+    b = len(scales)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, s_img, cfg.in_channels), dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, s_txt, cfg.joint_attention_dim), dtype),
+            jnp.zeros((1, cfg.pooled_projection_dim), dtype),
+            jnp.zeros((s_txt, 3)),
+            jnp.zeros((s_img, 3)),
+        )
+    )
+    if quantized:
+        from sliders_conceptmod_tpu.adapters import quant
+
+        params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
+        apply = quant.make_quant_apply(model, q_scales, compute_dtype=dtype)
+    else:
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+        def apply(p, *a, **kw):
+            return model.apply({"params": p}, *a, **kw)
+
+    sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    lora_params = jax.tree.map(lambda a: a + 0.01, lora_params)
+    schedule = FlowMatchScheduler().set_timesteps(steps, mu=calculate_shift(s_img))
+    img_ids = jnp.asarray(prepare_latent_image_ids(gh, gw))
+    row_scale = jnp.asarray(scales, jnp.float32)
+
+    @jax.jit
+    def sample(base, lp, tokens, text, pooled):
+        txt_ids = jnp.zeros((s_txt, 3))
+
+        def body(i, tok):
+            t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (b,))
+            with lora_lib.lora_overlay(sites, lp, row_scale):
+                v = apply(base, tok, t, text, pooled, txt_ids, img_ids)
+            return FlowMatchScheduler.step(schedule, v, i, tok)
+
+        return jax.lax.fori_loop(0, schedule.num_inference_steps, body, tokens)
+
+    k = jax.random.PRNGKey(0)
+    text = jax.random.normal(k, (b, s_txt, cfg.joint_attention_dim), dtype) * 0.1
+    pooled = jax.random.normal(jax.random.fold_in(k, 1), (b, cfg.pooled_projection_dim), dtype) * 0.1
+    latents = jax.random.normal(jax.random.fold_in(k, 2), (b, cfg.in_channels // 4, gh * 2, gw * 2))
+    tokens = pack_latents(latents).astype(dtype)
+
+    out = sample(params, lora_params, tokens, text, pooled)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n_rounds):
+        out = sample(params, lora_params, tokens, text, pooled)
+    jax.block_until_ready(out)
+    ips = n_rounds * b / (time.time() - t0)
+
+    f_fwd = fwd_flops(
+        lambda p, tok, t, te, po: apply(p, tok, t, te, po, jnp.zeros((s_txt, 3)), img_ids),
+        params,
+        tokens,
+        jnp.zeros((b,)),
+        text,
+        pooled,
+    )
+    emit(
+        f"flux_infer_sweep_images_per_sec_L{layers}S{single}",
+        ips,
+        "img/s",
+        0.0,
+        # per-IMAGE flops: the batched forward covers b images per call
+        flops_per_unit=f_fwd * steps / b if f_fwd else None,
+        rate=ips,
+        extra={
+            "layers": layers,
+            "single_layers": single,
+            "int8_base": quantized,
+            "scales": len(scales),
+            "flow_steps": steps,
+        },
+    )
+
+
 def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales=None):
     """DDIM images/sec — the second north-star metric (BASELINE.md targets).
 
@@ -563,7 +671,12 @@ def main():
         bench_cascade(n_steps, res, jnp.bfloat16)
         return
     if model_kind == "flux":
-        bench_flux(n_steps, res, jnp.bfloat16)
+        if os.environ.get("BENCH_MODE") == "infer":
+            bench_flux_infer(
+                res, int(os.environ.get("BENCH_DDIM_STEPS", "8")), jnp.bfloat16
+            )
+        else:
+            bench_flux(n_steps, res, jnp.bfloat16)
         return
     if os.environ.get("BENCH_MODE") == "infer":
         bench_infer(
