@@ -158,6 +158,123 @@ class SliderService:
         return buf.getvalue()
 
 
+class FluxSliderService:
+    """Flux slider serving (schnell/dev): few-step flow sampler with the
+    slider applied through the apply-time LoRA overlay — the scale rides the
+    jit signature as a per-row multiplier, so EVERY float scale hits one
+    executable and no merged tree is ever materialized (no LRU needed).
+    ``quantize_base=True`` serves full-depth schnell from one 16 GB v5e
+    (int8 frozen base, adapters/quant.py)."""
+
+    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
+                 start_noise: float = 800, quantize_base: bool = False):
+        from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
+        from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
+
+        self.image_size = image_size
+        self.steps = steps
+        t0 = time.time()
+        _, self._encode_raw, self.transformer, scheduler = factory.load_models_flux(
+            base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base
+        )
+        cfg = self.transformer.config
+        is_tiny = "tiny" in str(base).lower()
+        self.vae_scale = 2 if is_tiny else 8
+        self.latent_channels = cfg.in_channels // 4
+        self.gh = self.gw = image_size // self.vae_scale // 2
+        self._pack, self._unpack = pack_latents, unpack_latents
+
+        rank, alpha = 4, 1.0
+        exact = settings_from_checkpoint(slider_path)
+        if exact is not None:
+            rank, alpha = exact
+        sites = lora_lib.create_sites(
+            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+            train_method="full", delimiter="-",
+        )
+        self.sites = lora_lib.filter_sites_to_checkpoint(slider_path, sites)
+        self.lora_params = lora_lib.load_weights(slider_path, self.sites)
+
+        self.schedule = scheduler.set_timesteps(steps, mu=calculate_shift(self.gh * self.gw))
+        from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
+
+        self.flip = _flow_flip(self.schedule, start_noise)
+        apply_fn = self.transformer.apply_fn()
+        sites_, schedule_, flip_ = self.sites, self.schedule, self.flip
+        img_ids = jnp.asarray(prepare_latent_image_ids(self.gh, self.gw))
+        guidance_embeds = cfg.guidance_embeds
+
+        @jax.jit
+        def _sample(base_params, lp, row_scale, tokens, text, pooled, guidance):
+            txt_ids = jnp.zeros((text.shape[1], 3))
+            gkw = {"guidance": guidance} if guidance_embeds else {}
+
+            def make_body(scaled):
+                def body(i, tok):
+                    t = jnp.broadcast_to(schedule_.timesteps[i] / 1000.0, (tok.shape[0],))
+                    if scaled:
+                        with lora_lib.lora_overlay(sites_, lp, row_scale):
+                            v = apply_fn(base_params, tok, t, text, pooled, txt_ids, img_ids, **gkw)
+                    else:
+                        v = apply_fn(base_params, tok, t, text, pooled, txt_ids, img_ids, **gkw)
+                    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler as _F
+
+                    return _F.step(schedule_, v, i, tok)
+
+                return body
+
+            if flip_ > 0:
+                tokens = jax.lax.fori_loop(0, flip_, make_body(False), tokens)
+            if flip_ < schedule_.num_inference_steps:
+                tokens = jax.lax.fori_loop(
+                    flip_, schedule_.num_inference_steps, make_body(True), tokens
+                )
+            return tokens
+
+        self._sample = _sample
+        self.vae = None
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(str(base), "vae")):
+            self.vae = factory._load_or_init_vae(base, "flux", jnp.float32)
+        self.load_seconds = time.time() - t0
+
+    @functools.lru_cache(maxsize=256)
+    def _encode(self, prompt: str):
+        text, pooled = self._encode_raw(prompt)
+        return text[None], pooled[None]
+
+    def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
+        import numpy as np
+
+        text, pooled = self._encode(prompt)
+        latents = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
+        )
+        tokens = self._pack(latents).astype(jnp.bfloat16)
+        final = self._sample(
+            self.transformer.params, self.lora_params,
+            jnp.full((1,), scale, jnp.float32), tokens, text, pooled,
+            jnp.float32(guidance),
+        )
+        lat = self._unpack(final, self.gh * 2, self.gw * 2)
+        from PIL import Image
+
+        if self.vae is not None:
+            from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
+
+            img = sd3_latents_to_images(self.vae.decode, lat)[0]
+        else:
+            # weightless smoke: render the first 3 latent channels normalized
+            a = np.asarray(lat, np.float32)[0, :3]
+            a = (a - a.min()) / max(float(a.max() - a.min()), 1e-6)
+            img = np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return buf.getvalue()
+
+
 def make_handler(service: SliderService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -209,11 +326,32 @@ def main():
     ap.add_argument("--slider", required=True)
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--image_size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=25)
-    ap.add_argument("--start_noise", type=float, default=750)
+    ap.add_argument("--steps", type=int, default=None, help="default 25 (xl) / 8 (flux)")
+    ap.add_argument("--start_noise", type=float, default=None, help="default 750 (xl) / 800 (flux)")
+    ap.add_argument(
+        "--family", choices=["xl", "flux"], default=None,
+        help="auto-detected from --base when omitted",
+    )
+    ap.add_argument(
+        "--quantize_base", action="store_true",
+        help="flux only: int8 frozen base — full-depth schnell serves from one 16 GB v5e",
+    )
     args = ap.parse_args()
 
-    service = SliderService(args.base, args.slider, args.image_size, args.steps, args.start_noise)
+    family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
+    if family == "flux":
+        service = FluxSliderService(
+            args.base, args.slider, args.image_size,
+            args.steps if args.steps is not None else 8,
+            args.start_noise if args.start_noise is not None else 800,
+            quantize_base=args.quantize_base,
+        )
+    else:
+        service = SliderService(
+            args.base, args.slider, args.image_size,
+            args.steps if args.steps is not None else 25,
+            args.start_noise if args.start_noise is not None else 750,
+        )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
     print(f"slider server on :{args.port} (models loaded in {service.load_seconds:.1f}s)")
     server.serve_forever()
