@@ -31,8 +31,10 @@ def run(args):
     for scale in scales:
         os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
 
+    # --quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
+    # class bases sweep on one v5e; slider via the traced-scale overlay
     tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
-        args.base, weight_dtype=jnp.bfloat16
+        args.base, weight_dtype=jnp.bfloat16, quantize_base=args.quantize_base
     )
     mm_cfg = transformer.config
     is_tiny = "tiny" in str(args.base).lower()
@@ -67,6 +69,16 @@ def run(args):
         )
     )
 
+    # quantized base: the scale is a traced (1,)-row multiplier through the
+    # apply-time overlay — one executable for every scale, nothing merged
+    @jax.jit
+    def sample_overlay_fn(base, lp, row_scale, lat, e, p):
+        return sample_flow_loop(
+            apply_fn, base, base, flip, schedule, lat, e, p,
+            guidance_scale=args.guidance_scale,
+            slider_overlay=lambda: lora_lib.lora_overlay(sites, lp, row_scale),
+        )
+
     # pre-encode every case row, then drop the text encoders — during the
     # sweep the device must hold base + merged transformer trees (2×4.1GB at
     # SD3-Medium), so the CLIP towers can't stay resident alongside them
@@ -95,11 +107,18 @@ def run(args):
             latents = jax.random.normal(
                 key, (1, mm_cfg.in_channels, latent_res, latent_res), jnp.float32
             )
-            # release the previous scale's merged tree BEFORE building the
-            # next — holding both alongside the base is 3 full param trees
-            merged = None  # noqa: F841
-            merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
-            final = sample_fn(transformer.params, merged, latents.astype(jnp.bfloat16), emb, pool)
+            if args.quantize_base:
+                final = sample_overlay_fn(
+                    transformer.params, lora_params,
+                    jnp.full((1,), scale, jnp.float32),
+                    latents.astype(jnp.bfloat16), emb, pool,
+                )
+            else:
+                # release the previous scale's merged tree BEFORE building the
+                # next — holding both alongside the base is 3 full param trees
+                merged = None  # noqa: F841
+                merged = lora_lib.merge_lora_params(transformer.params, sites, lora_params, scale)
+                final = sample_fn(transformer.params, merged, latents.astype(jnp.bfloat16), emb, pool)
             out_path = f"{args.save_path}/{name}/{scale}/{case_number}_0"
             if vae is not None:
                 from PIL import Image
@@ -127,6 +146,11 @@ def build_parser():
     parser.add_argument("--steps", type=int, default=28)
     parser.add_argument("--start_noise", type=float, default=750)
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    parser.add_argument(
+        "--quantize_base", action="store_true",
+        help="int8 frozen MMDiT (adapters/quant.py): SD3.5-Large-class bases "
+        "sweep on one 16 GB v5e; the slider runs via the apply-time overlay.",
+    )
     return parser
 
 

@@ -32,8 +32,19 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "executables mid-run)."
         )
     weight_dtype = config_util.parse_precision(config.train.precision)
+    # tpu.quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
+    # class bases fit one v5e; the student LoRA runs via the apply-time overlay
+    quantize_base = bool(getattr(config.tpu, "quantize_base", False))
+    if quantize_base and peft_type == "dora":
+        raise NotImplementedError(
+            "tpu.quantize_base requires full-precision base magnitudes for "
+            "DoRA's per-column norm init — use peft_type=lora with a "
+            "quantized base."
+        )
     tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
-        config.pretrained_model.name_or_path, weight_dtype=weight_dtype
+        config.pretrained_model.name_or_path,
+        weight_dtype=weight_dtype,
+        quantize_base=quantize_base,
     )
     mm_cfg = transformer.config
     is_tiny = "tiny" in str(config.pretrained_model.name_or_path).lower()
@@ -87,6 +98,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     step = esd_sd3.make_sd3_esd_train_step(
         transformer.apply_fn(), sites, schedule, optimizer, scfg,
         merge_fn=peft_mod.merge_lora_params,
+        student_overlay=quantize_base,
     )
 
     save_path = Path(config.save.path)

@@ -39,11 +39,18 @@ def sample_flow_loop(
     text_embeddings: jnp.ndarray,  # [2B] uncond ++ cond, or [B] cond-only
     pooled: jnp.ndarray,
     guidance_scale: float = 7.0,
+    slider_overlay: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Two-phase flow-Euler sampling with CFG (cond-only when the embedding
     batch matches the latents batch). ``guidance_scale <= 1`` statically
     disables CFG and uses the conditional rows (diffusers semantics —
-    ``v_u + 0·(v_c − v_u)`` would return the unconditional velocity)."""
+    ``v_u + 0·(v_c − v_u)`` would return the unconditional velocity).
+
+    ``slider_overlay``: zero-arg callable returning a context manager (e.g.
+    ``lambda: lora_overlay(sites, lp, row_scale)``); when given, the
+    post-flip phase runs the forward inside it over ``params_slider``
+    (pass the BASE tree there) instead of a merged tree — the
+    quantized-base path, where merging into int8 is not possible."""
     n = schedule.num_inference_steps
     b = latents.shape[0]
     use_cfg = text_embeddings.shape[0] != b
@@ -57,16 +64,22 @@ def sample_flow_loop(
             pooled = pooled[b:]
         use_cfg = False
 
-    def make_body(params):
+    def make_body(params, overlaid=False):
+        def fwd(*a):
+            if overlaid and slider_overlay is not None:
+                with slider_overlay():
+                    return apply_fn(params, *a)
+            return apply_fn(params, *a)
+
         def body(i, lat):
             t = schedule.timesteps[i]
             if use_cfg:
                 doubled = jnp.concatenate([lat] * 2, axis=0)
-                v = apply_fn(params, doubled, jnp.broadcast_to(t, (2 * b,)), text_embeddings, pooled)
+                v = fwd(doubled, jnp.broadcast_to(t, (2 * b,)), text_embeddings, pooled)
                 v_u, v_c = jnp.split(v, 2, axis=0)
                 guided = v_u + guidance_scale * (v_c - v_u)
             else:
-                guided = apply_fn(params, lat, jnp.broadcast_to(t, (b,)), text_embeddings, pooled)
+                guided = fwd(lat, jnp.broadcast_to(t, (b,)), text_embeddings, pooled)
             return FlowMatchScheduler.step(schedule, guided, i, lat)
 
         return body
@@ -75,7 +88,7 @@ def sample_flow_loop(
     if flip_step > 0:
         lat = jax.lax.fori_loop(0, flip_step, make_body(params_structure), lat)
     if flip_step < n:
-        lat = jax.lax.fori_loop(flip_step, n, make_body(params_slider), lat)
+        lat = jax.lax.fori_loop(flip_step, n, make_body(params_slider, overlaid=True), lat)
     return lat
 
 

@@ -450,12 +450,17 @@ class TransformerBundle:
 def load_models_sd3(
     name_or_path: str,
     weight_dtype=jnp.float32,
+    quantize_base: bool = False,
 ):
     """SD3 — reference model_util.py:217-236: StableDiffusion3Pipeline with
     the T5 encoder dropped (text_encoder_3=None); returns
     (tokenizers, text_encoders, transformer, flow scheduler). Single-file
     ``sd3_medium.safetensors``-style checkpoints (SGM MMDiT layout +
-    text_encoders.clip_l/clip_g towers) load via io/ldm_convert."""
+    text_encoders.clip_l/clip_g towers) load via io/ldm_convert.
+
+    ``quantize_base`` (tpu.quantize_base): the MMDiT's frozen Dense kernels
+    land on device as per-column int8 (adapters/quant.py) — SD3.5-Large-class
+    models (8B, 16 GB bf16) fit one v5e; same mechanism as the Flux loader."""
     from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler
     from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
 
@@ -494,9 +499,16 @@ def load_models_sd3(
             tok2,
         )
         model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
-        transformer = TransformerBundle(
-            model, tc.tree_to_jax(trees["transformer"], dtype=weight_dtype), mm_cfg
-        )
+        quant_scales = None
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            t_params, quant_scales = quant.quantize_host_tree(
+                trees["transformer"], dtype=weight_dtype
+            )
+        else:
+            t_params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
+        transformer = TransformerBundle(model, t_params, mm_cfg, quant_scales=quant_scales)
         return (
             [te1.tokenizer, te2.tokenizer],
             [te1, te2],
@@ -519,25 +531,41 @@ def load_models_sd3(
 
     sub = os.path.join(str(name_or_path), "transformer")
     model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
+    quant_scales = None
     if os.path.isdir(sub):
         sd = tc._load_safetensors_dir(sub)
-        params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            params, quant_scales = quant.quantize_host_tree(
+                tc.convert_diffusers_state_dict(sd), dtype=weight_dtype
+            )
+        else:
+            params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
     else:
         # init + precision cast fused under one jit (see _init_unet): an
         # uncast fp32 SD3-Medium tree is 8.1GB — half the v5e's HBM wasted
         # on storage the model immediately re-casts at every use
-        def init_cast():
-            p = model.init(
+        def _init_params():
+            return model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, mm_cfg.in_channels, 8, 8)),
                 jnp.zeros((1,)),
                 jnp.zeros((1, 2, mm_cfg.joint_attention_dim)),
                 jnp.zeros((1, mm_cfg.pooled_projection_dim)),
             )["params"]
-            return jax.tree.map(lambda a: a.astype(weight_dtype), p)
 
-        params = jax.jit(init_cast)()
-    transformer = TransformerBundle(model, params, mm_cfg)
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            params, quant_scales = quant.quantize_init(_init_params, dtype=weight_dtype)
+        else:
+
+            def init_cast():
+                return jax.tree.map(lambda a: a.astype(weight_dtype), _init_params())
+
+            params = jax.jit(init_cast)()
+    transformer = TransformerBundle(model, params, mm_cfg, quant_scales=quant_scales)
     scheduler = FlowMatchScheduler(shift=3.0)
     return [te1.tokenizer, te2.tokenizer], [te1, te2], transformer, scheduler
 

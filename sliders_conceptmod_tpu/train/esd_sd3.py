@@ -61,8 +61,14 @@ def make_sd3_esd_train_step(
     optimizer: optax.GradientTransformation,
     cfg: SD3ESDConfig,
     merge_fn=None,
+    student_overlay: bool = False,
 ):
+    """``student_overlay=True``: apply the student LoRA via the apply-time
+    interceptor instead of merging — required over an int8-quantized base
+    (tpu.quantize_base, adapters/quant.py); the shape-(1,) row multiplier
+    broadcasts over CFG-doubled batches."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    overlay_one = jnp.ones((1,), jnp.float32)
     student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
     b = cfg.batch_size
     gs = cfg.train_cfg_scale
@@ -114,10 +120,20 @@ def make_sd3_esd_train_step(
         )
 
         # warm-up with slider ON (multiplier 1), gradient-stopped
-        student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        if student_overlay:
+            slp = jax.lax.stop_gradient(lora_params)
 
-        def body(i, lat):
-            return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
+            def body(i, lat):
+                with lora_lib.lora_overlay(sites, slp, overlay_one):
+                    return cfg_step(
+                        transformer_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
+                    )
+
+        else:
+            student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+
+            def body(i, lat):
+                return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
 
         denoised = jax.lax.stop_gradient(
             jax.lax.fori_loop(0, timesteps_to, body, latents0)
@@ -152,8 +168,14 @@ def make_sd3_esd_train_step(
         )
 
         def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
-            tgt = cfg_step(student_apply, sp, denoised, rows(ROLE_TARGET), prows(ROLE_TARGET), t_idx)
+            if student_overlay:
+                with lora_lib.lora_overlay(sites, lp, overlay_one):
+                    tgt = cfg_step(
+                        student_apply, base_params, denoised, rows(ROLE_TARGET), prows(ROLE_TARGET), t_idx
+                    )
+            else:
+                sp = merge(base_params, sites, lp, 1.0)
+                tgt = cfg_step(student_apply, sp, denoised, rows(ROLE_TARGET), prows(ROLE_TARGET), t_idx)
             diff = tgt.astype(jnp.float32) - esd_target
             return jnp.mean(diff * diff)
 

@@ -153,6 +153,22 @@ def test_generate_images_sd3_cli_smoke(tmp_path):
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.abs(a - b).max() > 0  # the slider scale actually changes the output
 
+    # --quantize_base: traced-scale overlay sampler over the (identical at
+    # tiny scale — kernels below QUANT_MIN_ELEMS) base matches the
+    # merged-tree sweep up to bf16 merge rounding
+    qargs = build_parser().parse_args([
+        "--model_name", str(ckpt), "--prompts_path", str(csv_path),
+        "--save_path", str(tmp_path / "sweep_q"), "--base", "tiny-sd3",
+        "--image_size", "64", "--steps", "3", "--scales=-1,1",
+        "--quantize_base",
+    ])
+    run(qargs)
+    qouts = sorted((tmp_path / "sweep_q").rglob("*.npy"))
+    assert len(qouts) == 2
+    for p, qp in zip(outs, qouts):
+        ref, got = np.load(p).astype(np.float32), np.load(qp).astype(np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
 
 def test_generate_images_flux_cli_smoke(tmp_path):
     """End-to-end flux sweep CLI on tiny weightless: pre-encode → encoder

@@ -199,6 +199,50 @@ def test_flux_esd_step_over_quantized_base():
     )
 
 
+def test_sd3_esd_step_student_overlay_matches_merge():
+    """make_sd3_esd_train_step(student_overlay=True) over the full-precision
+    base reproduces the merged-student path (same seed → same loss up to
+    overlay-vs-merge float associativity) — the SD3 tpu.quantize_base route."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.train import esd, esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    _, tes, tr, scheduler = factory.load_models_sd3("tiny-sd3", weight_dtype=jnp.float32)
+    mm_cfg = tr.config
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    lp = jax.tree.map(lambda a: a + 0.02, lp)
+
+    def encode_fn(prompt):
+        text, pooled = factory.encode_prompts_sd3(
+            tes, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=4
+        )
+        return text[0], pooled[0]
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=64)], encode_fn)
+    schedule = scheduler.set_timesteps(4)
+    scfg = esd_sd3.SD3ESDConfig(
+        max_denoising_steps=4, batch_size=1, height=64, width=64,
+        latent_channels=mm_cfg.in_channels, remat=False,
+    )
+    losses = []
+    for overlay in (False, True):
+        opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+        step = esd_sd3.make_sd3_esd_train_step(
+            tr.apply_fn(), sites, schedule, opt, scfg, student_overlay=overlay
+        )
+        _, _, m = step(
+            tr.params, jax.tree.map(jnp.copy, lp),
+            opt.init(jax.tree.map(jnp.copy, lp)), jax.random.PRNGKey(7), bank,
+        )
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3, atol=1e-7)
+
+
 def test_factory_quantize_base_weightless():
     """load_models_flux(quantize_base=True) yields an int8 base whose
     apply_fn matches the full-precision bundle up to int8 rounding noise
