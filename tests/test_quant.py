@@ -199,6 +199,30 @@ def test_flux_esd_step_over_quantized_base():
     )
 
 
+def test_quantize_host_tree_matches_device_quantize():
+    """The host (numpy, pre-transfer) quantizer and the device quantizer
+    produce identical int8 kernels + scales — the real-checkpoint load path
+    is bit-equivalent to the tested device path."""
+    rng = np.random.default_rng(0)
+    host = {
+        "blk": {"kernel": rng.normal(size=(64, 1024)).astype(np.float32) * 0.05,
+                "bias": rng.normal(size=(1024,)).astype(np.float32)},
+        "small": {"kernel": rng.normal(size=(4, 4)).astype(np.float32)},
+    }
+    q_host, s_host = quant.quantize_host_tree(host, dtype=jnp.float32, min_elems=65536)
+    q_dev, s_dev = quant.quantize_params(
+        jax.tree.map(jnp.asarray, host), min_elems=65536
+    )
+    assert set(s_host) == set(s_dev) == {("blk",)}
+    np.testing.assert_array_equal(np.asarray(q_host["blk"]["kernel"]),
+                                  np.asarray(q_dev["blk"]["kernel"]))
+    np.testing.assert_allclose(np.asarray(s_host[("blk",)]),
+                               np.asarray(s_dev[("blk",)]), rtol=1e-6)
+    # non-quantized leaves transfer at the requested dtype
+    assert q_host["small"]["kernel"].dtype == jnp.float32
+    assert q_host["blk"]["bias"].dtype == jnp.float32
+
+
 def test_sd3_esd_step_student_overlay_matches_merge():
     """make_sd3_esd_train_step(student_overlay=True) over the full-precision
     base reproduces the merged-student path (same seed → same loss up to
