@@ -91,8 +91,15 @@ def run(args):
     for scale in scales:
         os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
 
+    quantize_base = bool(getattr(args, "quantize_base", False))
+    if quantize_base and not args.batch_scales:
+        # the sequential path merges the slider into the base per scale —
+        # impossible over int8; the overlay path is the batched one
+        raise SystemExit("--quantize_base requires --batch_scales (the slider "
+                         "runs via the apply-time overlay, never merged)")
     tokenizers, text_encoders, unet, scheduler, vae = factory.load_models_xl(
-        args.base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True
+        args.base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True,
+        quantize_base=quantize_base,
     )
 
     train_method, network_type, rank, alpha = infer_network_settings(args.model_name)
@@ -273,6 +280,11 @@ def build_parser():
         "--batch_scales", action="store_true",
         help="Run the whole scale grid as ONE batched trajectory via the "
         "per-row LoRA overlay (latency-bound chips: ~S× sweep throughput).",
+    )
+    parser.add_argument(
+        "--quantize_base", action="store_true",
+        help="int8 UNet Dense kernels (adapters/quant.py): ~1.5 GB more v5e "
+        "HBM headroom for big batched sweeps. Requires --batch_scales.",
     )
     return parser
 

@@ -61,6 +61,9 @@ class UNetBundle:
     model: UNet2DConditionModel
     params: dict
     config: UNetConfig
+    # non-None => params carries int8 Dense kernels (adapters/quant.py);
+    # apply_fn dequantizes at the point of use. Convs stay full precision.
+    quant_scales: Optional[dict] = None
 
     def apply_fn(self) -> Callable:
         model = self.model
@@ -68,6 +71,10 @@ class UNetBundle:
         def unet_apply(params, sample, t, ctx, added_cond_kwargs=None):
             return model.apply({"params": params}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
+        if self.quant_scales is not None:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            return quant.wrap_apply(unet_apply, self.quant_scales, self.model.dtype)
         return unet_apply
 
 
@@ -114,7 +121,7 @@ def _is_local_diffusers_dir(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "unet"))
 
 
-def _init_unet(config: UNetConfig, dtype, seed: int = 0) -> UNetBundle:
+def _init_unet(config: UNetConfig, dtype, seed: int = 0, quantize_base: bool = False) -> UNetBundle:
     model = UNet2DConditionModel(config, dtype=dtype)
     sample = jnp.zeros((1, config.in_channels, 8, 8))
     ctx = jnp.zeros((1, 2, config.cross_attention_dim))
@@ -127,21 +134,36 @@ def _init_unet(config: UNetConfig, dtype, seed: int = 0) -> UNetBundle:
     # a 16GB v5e. Fused, XLA frees each fp32 leaf as its cast completes.
     # (Storage at the configured precision mirrors the reference's
     # unet.to(device, dtype=weight_dtype), train_lora_xl.py:82.)
-    def init_cast():
-        p = model.init(
+    def _init_params():
+        return model.init(
             jax.random.PRNGKey(seed), sample, jnp.zeros((1,)), ctx, added_cond_kwargs=added
         )["params"]
-        return jax.tree.map(lambda a: a.astype(dtype), p)
+
+    if quantize_base:
+        from sliders_conceptmod_tpu.adapters import quant
+
+        params, quant_scales = quant.quantize_init(_init_params, dtype=dtype)
+        return UNetBundle(model, params, config, quant_scales=quant_scales)
+
+    def init_cast():
+        return jax.tree.map(lambda a: a.astype(dtype), _init_params())
 
     params = jax.jit(init_cast)()
     return UNetBundle(model, params, config)
 
 
-def _load_or_init_unet(name_or_path: str, family: str, dtype) -> UNetBundle:
+def _load_or_init_unet(
+    name_or_path: str, family: str, dtype, quantize_base: bool = False
+) -> UNetBundle:
     if _is_local_diffusers_dir(name_or_path):
         tree, cfg_json = tc.load_unet_params(name_or_path)
         config = _unet_config_from_json(cfg_json)
         model = UNet2DConditionModel(config, dtype=dtype)
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            params, quant_scales = quant.quantize_host_tree(tree, dtype=dtype)
+            return UNetBundle(model, params, config, quant_scales=quant_scales)
         return UNetBundle(model, tc.tree_to_jax(tree, dtype=dtype), config)
     config = {
         "sd15": UNetConfig.sd15,
@@ -150,7 +172,7 @@ def _load_or_init_unet(name_or_path: str, family: str, dtype) -> UNetBundle:
         "tiny": UNetConfig.tiny,
         "tiny-xl": UNetConfig.tiny_xl,
     }[family]()
-    return _init_unet(config, dtype)
+    return _init_unet(config, dtype, quantize_base=quantize_base)
 
 
 def _load_or_init_text_encoder(
@@ -337,12 +359,18 @@ def load_models_xl(
     scheduler_name: str = "euler_a",
     weight_dtype=jnp.float32,
     with_vae: bool = False,
+    quantize_base: bool = False,
 ):
     """SDXL — reference model_util.py:358-385: two tokenizers (te2 pads with
     id 0), two encoders, UNet, scheduler. Single-file .ckpt/.safetensors
     checkpoints (SGM layout: conditioner.embedders.{0,1} towers) load via
     io/ldm_convert, matching the reference's from_single_file path
-    (model_util.py:387-403)."""
+    (model_util.py:387-403).
+
+    ``quantize_base``: the UNet's frozen 2-D Dense kernels (attention +
+    time/text embeds, ~60% of SDXL's params) land as per-column int8
+    (adapters/quant.py) — frees ~1.5 GB of v5e HBM for bigger batched
+    sweeps (e.g. the 5-scale 1024px grid). Convs stay full precision."""
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
@@ -369,11 +397,20 @@ def load_models_xl(
             tc.tree_to_jax(trees.get("text_encoder_2", {}), dtype=weight_dtype),
             tok2,
         )
-        unet = UNetBundle(
-            UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
-            tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
-            unet_cfg,
-        )
+        if quantize_base:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            u_params, u_scales = quant.quantize_host_tree(trees["unet"], dtype=weight_dtype)
+            unet = UNetBundle(
+                UNet2DConditionModel(unet_cfg, dtype=weight_dtype), u_params, unet_cfg,
+                quant_scales=u_scales,
+            )
+        else:
+            unet = UNetBundle(
+                UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
+                tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
+                unet_cfg,
+            )
         scheduler = create_noise_scheduler(scheduler_name)
         out = ([tok1, tok2], [te1, te2], unet, scheduler)
         if with_vae:
@@ -410,7 +447,7 @@ def load_models_xl(
     te2 = _load_or_init_text_encoder(
         name_or_path, "text_encoder_2", te2_cfg, weight_dtype, "tokenizer_2", pad_token_id=0
     )
-    unet = _load_or_init_unet(name_or_path, family, weight_dtype)
+    unet = _load_or_init_unet(name_or_path, family, weight_dtype, quantize_base=quantize_base)
     scheduler = create_noise_scheduler(scheduler_name)
     out = ([te1.tokenizer, te2.tokenizer], [te1, te2], unet, scheduler)
     if with_vae:

@@ -99,3 +99,43 @@ def test_batched_scales_scale0_row_equals_base(setup):
     # batch-2 vs batch-1 matmul reduction order gives ~3e-5 drift; the
     # scale-0 row is semantically the slider-off model
     np.testing.assert_allclose(got[0], base[0], atol=1e-4, rtol=1e-4)
+
+
+def test_batched_scales_over_quantized_base(setup):
+    """sample_loop_scales over a make_quant_apply-wrapped UNet (int8 Dense
+    kernels) matches the dequantized-base batched run — the XL
+    --quantize_base --batch_scales sweep path."""
+    from sliders_conceptmod_tpu.adapters import quant
+
+    apply, params, sites, lp = setup
+    qtree, scales_d = quant.quantize_params(params, min_elems=1)
+    assert scales_d  # tiny UNet has Dense kernels to quantize at min_elems=1
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+
+    model = UNet2DConditionModel(UNetConfig.tiny())
+
+    def q_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(scales_d, compute_dtype=jnp.float32):
+            return model.apply({"params": p}, sample, t, ctx)
+
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(3)
+    flip = 1
+    scales = jnp.asarray([-1.0, 1.0])
+    lat0 = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 16, 16)) * schedule.init_noise_sigma
+    lat_b = jnp.tile(lat0, (2, 1, 1, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(9), (1, 7, 32)) * 0.1
+    emb_b = jnp.concatenate([jnp.zeros((2, 7, 32)), jnp.tile(cond, (2, 1, 1))], axis=0)
+    key = jax.random.PRNGKey(10)
+
+    got = np.asarray(
+        sample_loop_scales(q_apply, qtree, sites, lp, scales, flip, scheduler,
+                           schedule, lat_b, emb_b, key)
+    )
+    deq = quant.dequantize_params(qtree, scales_d, jnp.float32)
+    want = np.asarray(
+        sample_loop_scales(apply, deq, sites, lp, scales, flip, scheduler,
+                           schedule, lat_b, emb_b, key)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    assert np.abs(got[0] - got[1]).max() > 1e-4  # slider still bites
