@@ -43,6 +43,12 @@ def train(
     on_step_complete=None,
     resume_from=None,
 ):
+    if getattr(config.tpu, "quantize_base", False):
+        raise NotImplementedError(
+            "tpu.quantize_base quantizes a frozen diffusion transformer; the "
+            "notrigger trainer touches only text encoders — set "
+            "quantize_base: false."
+        )
     weight_dtype = config_util.parse_precision(config.train.precision)
     is_flux = model in ("FLUX.1", "tiny-flux")
     is_sd3 = model in ("SD3-Medium", "tiny-sd3")

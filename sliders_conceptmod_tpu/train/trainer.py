@@ -73,6 +73,15 @@ def train(
     resume_from: Optional[str] = None,
 ) -> TrainResult:
     tpu_cfg = config.tpu
+    if getattr(tpu_cfg, "quantize_base", False):
+        # fail loudly rather than silently ignore the knob (the
+        # dynamic_resolution lesson): the UNet ESD step merges the student
+        # into the base, which an int8 base cannot host
+        raise NotImplementedError(
+            "tpu.quantize_base is supported by the SD3/Flux trainers (whose "
+            "bases exceed one v5e); the SD1/SD2/SDXL UNets fit one chip at "
+            "bf16 — set quantize_base: false for this family."
+        )
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)

@@ -294,6 +294,29 @@ def test_factory_quantize_base_weightless():
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
 
 
+def test_unsupported_trainers_reject_quantize_base():
+    """Families whose step merges into the base refuse tpu.quantize_base
+    loudly instead of silently ignoring the knob."""
+    import pytest
+
+    from sliders_conceptmod_tpu.core import config as config_util
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+
+    cfg = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg.tpu.quantize_base = True
+    prompts = [PromptSettings(target="person", resolution=64)]
+
+    from sliders_conceptmod_tpu.train import trainer as sd_trainer
+
+    with pytest.raises(NotImplementedError, match="quantize_base"):
+        sd_trainer.train(cfg, prompts, rank=2, save_file=False)
+
+    from sliders_conceptmod_tpu.cli import train_lora_cascade
+
+    with pytest.raises(NotImplementedError, match="quantize_base"):
+        train_lora_cascade.train(cfg, prompts, rank=2, save_file=False)
+
+
 def test_weightless_quantized_tree():
     shapes = {
         "blk": {"kernel": jax.ShapeDtypeStruct((256, 512), jnp.float32)},
