@@ -97,6 +97,9 @@ def run(args):
         # impossible over int8; the overlay path is the batched one
         raise SystemExit("--quantize_base requires --batch_scales (the slider "
                          "runs via the apply-time overlay, never merged)")
+    if getattr(args, "mesh_data", 1) > 1 and not args.batch_scales:
+        raise SystemExit("--mesh_data shards the batched scale grid — it "
+                         "requires --batch_scales")
     tokenizers, text_encoders, unet, scheduler, vae = factory.load_models_xl(
         args.base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True,
         quantize_base=quantize_base,
@@ -151,6 +154,21 @@ def run(args):
 
         scales_vec = jnp.asarray(scales, jnp.float32)
 
+        # --mesh_data N: shard the scale×sample rows over the mesh data axis
+        # (SURVEY §7.1 L7 — sweep sharded across chips). Rows are fully
+        # independent trajectories; params replicate, XLA partitions the
+        # batch dim from the input shardings alone.
+        sweep_mesh = None
+        if args.mesh_data > 1:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            if (len(scales) * args.num_samples) % args.mesh_data:
+                raise SystemExit(
+                    f"scales*num_samples ({len(scales)}*{args.num_samples}) must "
+                    f"divide --mesh_data={args.mesh_data}"
+                )
+            sweep_mesh = mesh_lib.make_mesh(data=args.mesh_data)
+
         @jax.jit
         def sample_scales_fn(params_base, lp, latents, text_emb, added):
             return sample_loop_scales(
@@ -201,6 +219,13 @@ def run(args):
                     )
                     for k_, v in added.items()
                 }
+                if sweep_mesh is not None:
+                    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+                    shard = mesh_lib.data_sharded(sweep_mesh)
+                    lat_b = jax.device_put(lat_b, shard)
+                    emb_b = jax.device_put(emb_b, shard)
+                    added_b = {k_: jax.device_put(v, shard) for k_, v in added_b.items()}
                 final_b = sample_scales_fn(
                     unet.params, lora_params, lat_b.astype(jnp.bfloat16), emb_b, added_b
                 )
@@ -285,6 +310,12 @@ def build_parser():
         "--quantize_base", action="store_true",
         help="int8 UNet Dense kernels (adapters/quant.py): ~1.5 GB more v5e "
         "HBM headroom for big batched sweeps. Requires --batch_scales.",
+    )
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="Shard the batched scale grid over N mesh data-axis devices "
+        "(rows are independent trajectories; needs --batch_scales and "
+        "scales*num_samples divisible by N).",
     )
     return parser
 

@@ -139,3 +139,42 @@ def test_batched_scales_over_quantized_base(setup):
     )
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
     assert np.abs(got[0] - got[1]).max() > 1e-4  # slider still bites
+
+
+def test_batched_scales_sharded_matches_unsharded(setup):
+    """DP-sharded sweep (rows over the mesh data axis, SURVEY §7.1 L7):
+    placing the batched inputs with a data-axis sharding reproduces the
+    unsharded trajectories — sharding is pure placement, no math change."""
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh (conftest)")
+    apply, params, sites, lp = setup
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(3)
+    scales = jnp.asarray([-2.0, -1.0, 0.0, 0.5, 1.0, 1.5, 2.0, 3.0])  # 8 rows
+    S = scales.shape[0]
+    lat0 = jax.random.normal(jax.random.PRNGKey(11), (1, 4, 16, 16)) * schedule.init_noise_sigma
+    lat_b = jnp.tile(lat0, (S, 1, 1, 1))
+    cond = jax.random.normal(jax.random.PRNGKey(12), (1, 7, 32)) * 0.1
+    emb_b = jnp.concatenate([jnp.zeros((S, 7, 32)), jnp.tile(cond, (S, 1, 1))], axis=0)
+    key = jax.random.PRNGKey(13)
+
+    fn = jax.jit(
+        lambda p, l, lat, emb: sample_loop_scales(
+            apply, p, sites, l, scales, 1, scheduler, schedule, lat, emb, key
+        )
+    )
+    want = np.asarray(fn(params, lp, lat_b, emb_b))
+
+    m = mesh_lib.make_mesh(data=8)
+    shard = mesh_lib.data_sharded(m)
+    got = np.asarray(fn(
+        mesh_lib.replicate_tree(params, m),
+        mesh_lib.replicate_tree(lp, m),
+        jax.device_put(lat_b, shard),
+        jax.device_put(emb_b, shard),
+    ))
+    # partitioned matmul reduction order drifts ~4e-5 on a handful of
+    # elements; the trajectories are semantically identical
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
