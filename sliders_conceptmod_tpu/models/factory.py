@@ -502,6 +502,34 @@ def load_models_sd3(
     from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
 
     is_tiny = "tiny" in str(name_or_path).lower()
+    if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith(".safetensors"):
+        from sliders_conceptmod_tpu.io import quant_cache
+
+        if quant_cache.is_quantized_artifact(name_or_path):
+            # int8 artifact (cli/quantize_checkpoint): transformer only —
+            # text towers init weightless (pass a checkpoint dir for real
+            # ones; the artifact mirrors the BFL-style transformer-only file)
+            if is_tiny:
+                te1_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+                te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=16)
+                mm_cfg = MMDiTConfig.tiny()
+            else:
+                te1_cfg = CLIPTextConfig(projection_dim=768)
+                te2_cfg = CLIPTextConfig.sdxl_te2()
+                mm_cfg = MMDiTConfig.sd3_medium()
+            q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
+            te1 = _load_or_init_text_encoder("", "text_encoder", te1_cfg, weight_dtype, "tokenizer")
+            te2 = _load_or_init_text_encoder(
+                "", "text_encoder_2", te2_cfg, weight_dtype, "tokenizer_2", pad_token_id=0
+            )
+            model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
+            transformer = TransformerBundle(model, q_params, mm_cfg, quant_scales=q_scales)
+            return (
+                [te1.tokenizer, te2.tokenizer],
+                [te1, te2],
+                transformer,
+                FlowMatchScheduler(shift=3.0),
+            )
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
@@ -729,8 +757,17 @@ def load_models_flux(
 
     is_tiny = "tiny" in str(name_or_path).lower()
     is_local = os.path.isdir(os.path.join(str(name_or_path), "transformer"))
-    is_single_file = os.path.isfile(str(name_or_path)) and str(name_or_path).endswith(
-        (".ckpt", ".safetensors")
+    is_quant_artifact = False
+    if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith(".safetensors"):
+        from sliders_conceptmod_tpu.io import quant_cache
+
+        # int8 artifact (cli/quantize_checkpoint) — loads pre-quantized,
+        # implies quantize_base regardless of the caller's flag
+        is_quant_artifact = quant_cache.is_quantized_artifact(name_or_path)
+    is_single_file = (
+        not is_quant_artifact
+        and os.path.isfile(str(name_or_path))
+        and str(name_or_path).endswith((".ckpt", ".safetensors"))
     )
     flux_cfg = FluxConfig.tiny() if is_tiny else FluxConfig.schnell()
     if is_single_file:
@@ -823,6 +860,25 @@ def load_models_flux(
             return text.astype(weight_dtype), pooled.astype(weight_dtype)
 
     gh = gw = 4
+    if is_quant_artifact:
+        from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler as _FMS
+        from sliders_conceptmod_tpu.io import quant_cache
+
+        q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
+        # dev vs schnell from the tree itself (like the single-file sniff)
+        if not is_tiny:
+            has_guidance = "guidance_embedder" in q_params
+            if has_guidance != flux_cfg.guidance_embeds:
+                flux_cfg = FluxConfig.dev() if has_guidance else FluxConfig.schnell()
+                model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
+        transformer = TransformerBundle(
+            model, q_params, flux_cfg,
+            default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
+            quant_scales=q_scales,
+        )
+        # like the BFL single file, the artifact carries no text stack — the
+        # stub encode_fn keeps the graph identical until T5/CLIP dirs arrive
+        return [tok], encode_fn, transformer, _FMS(use_dynamic_shifting=True)
     if is_single_file:
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler as _FMS
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint

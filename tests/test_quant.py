@@ -317,6 +317,75 @@ def test_unsupported_trainers_reject_quantize_base():
         train_lora_cascade.train(cfg, prompts, rank=2, save_file=False)
 
 
+def test_quantize_checkpoint_artifact_roundtrip(tmp_path):
+    """cli/quantize_checkpoint → io/quant_cache → factory reload: the int8
+    artifact loads as a quantized bundle whose forward matches the
+    directly-quantized weightless family bit-for-bit (same init seed)."""
+    from sliders_conceptmod_tpu.cli.quantize_checkpoint import build_parser, run
+    from sliders_conceptmod_tpu.io import quant_cache
+    from sliders_conceptmod_tpu.models import factory
+
+    out = tmp_path / "tiny-flux.int8.safetensors"
+    run(build_parser().parse_args([
+        "--base", "tiny", "--family", "flux", "--out", str(out),
+        "--precision", "float32",
+    ]))
+    assert quant_cache.is_quantized_artifact(str(out))
+
+    # "tiny" in the artifact filename keeps the tiny-config escape active
+    _, _, got, _ = factory.load_models_flux(str(out), weight_dtype=jnp.float32)
+    _, _, want, _ = factory.load_models_flux("tiny", weight_dtype=jnp.float32,
+                                             quantize_base=True)
+    assert got.quant_scales is not None
+
+    cfg = got.config
+    gh = gw = 4
+    args = (
+        jnp.ones((1, gh * gw, cfg.in_channels)) * 0.1,
+        jnp.zeros((1,)),
+        jnp.ones((1, 2, cfg.joint_attention_dim)) * 0.1,
+        jnp.ones((1, cfg.pooled_projection_dim)) * 0.1,
+        jnp.zeros((2, 3)),
+        jnp.zeros((gh * gw, 3)),
+    )
+    a = np.asarray(got.apply_fn()(got.params, *args), np.float32)
+    b = np.asarray(want.apply_fn()(want.params, *args), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+    # a NON-artifact safetensors must be rejected loudly by the cache loader
+    import pytest
+    from safetensors.numpy import save_file
+
+    plain = tmp_path / "plain.safetensors"
+    save_file({"x": np.zeros((2, 2), np.float32)}, str(plain))
+    with pytest.raises(ValueError, match="not a"):
+        quant_cache.load_quantized(str(plain))
+
+
+def test_quant_cache_int8_roundtrip(tmp_path):
+    """save_quantized/load_quantized preserve int8 kernels, scales, and
+    bf16 side leaves exactly (tiny models dodge the threshold, so pin the
+    int8 path directly)."""
+    from sliders_conceptmod_tpu.io import quant_cache
+
+    tree = {
+        "blk": {"kernel": jax.random.normal(jax.random.PRNGKey(0), (64, 1024)) * 0.05,
+                "bias": jnp.ones((1024,), jnp.bfloat16)},
+        "norm": {"scale": jnp.ones((64,), jnp.bfloat16) * 2},
+    }
+    qtree, scales = quant.quantize_params(tree, min_elems=1)
+    assert qtree["blk"]["kernel"].dtype == jnp.int8
+    path = tmp_path / "q.int8.safetensors"
+    quant_cache.save_quantized(str(path), qtree, scales)
+    got_tree, got_scales = quant_cache.load_quantized(str(path), dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got_tree["blk"]["kernel"]),
+                                  np.asarray(qtree["blk"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(got_scales[("blk",)], np.float32),
+                                  np.asarray(scales[("blk",)], np.float32))
+    assert got_tree["blk"]["bias"].dtype == jnp.bfloat16
+    assert float(got_tree["norm"]["scale"][0]) == 2.0
+
+
 def test_weightless_quantized_tree():
     shapes = {
         "blk": {"kernel": jax.ShapeDtypeStruct((256, 512), jnp.float32)},
