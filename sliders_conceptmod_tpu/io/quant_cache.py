@@ -80,24 +80,35 @@ def load_quantized(path: str, dtype=jnp.bfloat16):
     checkpoint is never silently misread as a quantized one)."""
     import safetensors
 
-    flat: Dict[str, np.ndarray] = {}
-    scales: Dict[Tuple[str, ...], jnp.ndarray] = {}
+    # the metadata/format check stays on the python reader (the native one
+    # is tensor-oriented); the BULK reads go through the C++ mmap reader
+    # (native/safetensors_reader.cpp) when it builds — zero host copies,
+    # each view transfers straight to device
     with safetensors.safe_open(str(path), framework="np") as f:
         meta = f.metadata() or {}
-        if meta.get(FORMAT_KEY) != FORMAT_V1:
-            raise ValueError(
-                f"{path} is not a {FORMAT_V1} artifact "
-                f"(metadata {FORMAT_KEY!r} = {meta.get(FORMAT_KEY)!r}); "
-                "produce one with cli/quantize_checkpoint"
-            )
-        for key in f.keys():
-            a = f.get_tensor(key)
+    if meta.get(FORMAT_KEY) != FORMAT_V1:
+        raise ValueError(
+            f"{path} is not a {FORMAT_V1} artifact "
+            f"(metadata {FORMAT_KEY!r} = {meta.get(FORMAT_KEY)!r}); "
+            "produce one with cli/quantize_checkpoint"
+        )
+    from sliders_conceptmod_tpu.io.native import load_safetensors_native
+
+    tensors = load_safetensors_native(str(path), copy=False)
+    reader = tensors.pop("__reader__", None)
+    flat: Dict[str, np.ndarray] = {}
+    scales: Dict[Tuple[str, ...], jnp.ndarray] = {}
+    try:
+        for key, a in tensors.items():
             if key.startswith(SCALE_PREFIX):
                 scales[tuple(key[len(SCALE_PREFIX):].split("/"))] = jnp.asarray(a, jnp.float32)
             elif a.dtype == np.int8:
                 flat[key] = jnp.asarray(a)
             else:
                 flat[key] = jnp.asarray(a, dtype)
+    finally:
+        if reader is not None:
+            reader.close()
     return _unflatten(flat), scales
 
 
