@@ -550,10 +550,23 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
             added_cond_kwargs=added,
         )
     )
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
+    if quantized:
+        # int8 UNet Dense kernels (adapters/quant.py): ~1.5 GB HBM headroom —
+        # the lever that fits the 5-scale 1024px batched sweep on one v5e
+        from sliders_conceptmod_tpu.adapters import quant
 
-    def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
-        return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+        params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
+
+        def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+            with quant.quant_overlay(q_scales, compute_dtype=dtype):
+                return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    else:
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+        def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+            return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
     scheduler = create_noise_scheduler("ddim")
     schedule = scheduler.set_timesteps(steps)
@@ -621,6 +634,8 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
         tag += f"_sweep{batch}scales"
     elif batch > 1:
         tag += f"_b{batch}"
+    if quantized:
+        tag += "_int8"
     f_row = fwd_flops(
         unet_apply,
         params,

@@ -27,7 +27,7 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
 def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True, resume_from=None):
-    if getattr(config.tpu, "quantize_base", False):
+    if getattr(getattr(config, "tpu", None), "quantize_base", False):
         raise NotImplementedError(
             "tpu.quantize_base is supported by the SD3/Flux trainers; this "
             "family fits one v5e at bf16 — set quantize_base: false."

@@ -43,7 +43,7 @@ def train(
     on_step_complete=None,
     resume_from=None,
 ):
-    if getattr(config.tpu, "quantize_base", False):
+    if getattr(getattr(config, "tpu", None), "quantize_base", False):
         raise NotImplementedError(
             "tpu.quantize_base quantizes a frozen diffusion transformer; the "
             "notrigger trainer touches only text encoders — set "
