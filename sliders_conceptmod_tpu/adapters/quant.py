@@ -91,6 +91,7 @@ def quantize_host_tree(np_tree, dtype=jnp.bfloat16, min_elems: int = QUANT_MIN_E
                 q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
                 scales[prefix] = jnp.asarray(scale, jnp.float32)
                 out[k] = jnp.asarray(q)
+                out["kernel_scale"] = scales[prefix]
             else:
                 out[k] = jnp.asarray(arr, dtype)
         return out
@@ -101,12 +102,17 @@ def quantize_host_tree(np_tree, dtype=jnp.bfloat16, min_elems: int = QUANT_MIN_E
 def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS, cast_rest=None):
     """Quantize every large 2-D ``kernel`` leaf; return ``(qtree, scales)``.
 
-    ``scales`` maps the owning MODULE path (the kernel path minus its last
-    component) to the per-column fp32 scale vector — the lookup key
-    :func:`quant_overlay` uses. Quantization runs eagerly per leaf, so the
-    peak transient is one fp32 leaf (~150 MB for Flux's largest), never the
-    full tree. ``cast_rest``: storage dtype for the NON-quantized leaves
-    (None = leave untouched). Traceable — see :func:`quantize_init`.
+    The per-column fp32 scale is stored IN-TREE as a ``kernel_scale`` leaf
+    next to each quantized ``kernel`` (flax ignores extra param leaves), so
+    scales flow through jitted-step ARGUMENTS with the rest of the frozen
+    tree — never closure-captured into executables as constants (CLAUDE.md
+    convention; a closure-captured scale tree would also fork the compile
+    cache per checkpoint). ``scales`` additionally maps the owning MODULE
+    path to the same vectors — the membership set :func:`quant_overlay`
+    uses. Quantization runs eagerly per leaf, so the peak transient is one
+    fp32 leaf (~150 MB for Flux's largest), never the full tree.
+    ``cast_rest``: storage dtype for the NON-quantized leaves (None = leave
+    untouched). Traceable — see :func:`quantize_init`.
     """
     scales: ScaleDict = {}
 
@@ -119,6 +125,7 @@ def quantize_params(params, min_elems: int = QUANT_MIN_ELEMS, cast_rest=None):
                 q, scale = quantize_leaf(v)
                 scales[prefix] = scale
                 out[k] = q
+                out["kernel_scale"] = scale
             elif cast_rest is not None:
                 out[k] = v.astype(cast_rest)
             else:
@@ -144,15 +151,19 @@ def quantize_init(init_fn, min_elems: int = QUANT_MIN_ELEMS, dtype=jnp.bfloat16)
 
 def dequantize_params(qtree, scales: ScaleDict, dtype=jnp.bfloat16):
     """Inverse of :func:`quantize_params` (up to rounding) — for tests and
-    for exporting a merged full-precision tree."""
+    for exporting a merged full-precision tree. Drops the in-tree
+    ``kernel_scale`` leaves."""
 
     def rebuild(tree, prefix=()):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict):
                 out[k] = rebuild(v, prefix + (k,))
+            elif k == "kernel_scale":
+                continue
             elif k == "kernel" and prefix in scales:
-                out[k] = (v.astype(jnp.float32) * scales[prefix]).astype(dtype)
+                scale = tree.get("kernel_scale", scales[prefix])
+                out[k] = (v.astype(jnp.float32) * scale).astype(dtype)
             else:
                 out[k] = v
         return out
@@ -164,7 +175,12 @@ def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
     """flax ``intercept_methods`` context: inside it, every Dense whose
     module path appears in ``scales`` computes
     ``((x @ q) * scale + bias)`` with the int8 kernel dequantized in-graph
-    (fused by XLA into the matmul — int8 is what HBM holds)."""
+    (fused by XLA into the matmul — int8 is what HBM holds).
+
+    The scale VALUES come from the tree's own ``kernel_scale`` leaves when
+    present (the quantizers always insert them) so they are jit ARGUMENTS,
+    not baked constants; the ``scales`` dict supplies membership and the
+    fallback for hand-built trees."""
 
     def interceptor(next_fun, args, kwargs, context):
         if context.method_name != "__call__":
@@ -174,6 +190,7 @@ def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
             return next_fun(*args, **kwargs)
         variables = context.module.variables["params"]
         kernel = variables["kernel"]
+        scale = variables.get("kernel_scale", scale)
         x = args[0]
         y = jnp.einsum(
             "...i,io->...o", x.astype(compute_dtype), kernel.astype(compute_dtype)
@@ -222,9 +239,15 @@ def weightless_quantized(shapes, min_elems: int = QUANT_MIN_ELEMS, dtype=jnp.bfl
             if isinstance(v, dict):
                 out[k] = rebuild(v, prefix + (k,))
             elif k == "kernel" and len(v.shape) == 2 and v.size >= min_elems:
-                key = jax.random.PRNGKey((hash(prefix + (k, seed))) % (2**31))
+                # zlib.crc32, not hash(): python string hashes are salted
+                # per process — same-seed weightless runs must be identical
+                import zlib
+
+                digest = zlib.crc32("/".join(prefix + (k,)).encode())
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), digest % (2**31))
                 out[k] = jax.random.randint(key, v.shape, -127, 128, jnp.int8)
                 scales[prefix] = jnp.full(v.shape[-1:], 0.02 / 127.0, jnp.float32)
+                out["kernel_scale"] = scales[prefix]
             else:
                 out[k] = jnp.full(v.shape, 0.02, dtype)
         return out

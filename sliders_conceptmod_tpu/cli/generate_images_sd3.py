@@ -123,7 +123,7 @@ def run(args):
             if vae is not None:
                 from PIL import Image
 
-                img = sd3_latents_to_images(vae.decode, final)[0]
+                img = sd3_latents_to_images(vae.decode, final, vae.config.scaling_factor, vae.config.shift_factor)[0]
                 Image.fromarray(img).save(out_path + ".png")
             else:  # weightless smoke: persist raw latents (fp32 — numpy
                 # cannot round-trip ml_dtypes bf16 through .npy)

@@ -164,8 +164,8 @@ def run(args):
 
             if (len(scales) * args.num_samples) % args.mesh_data:
                 raise SystemExit(
-                    f"scales*num_samples ({len(scales)}*{args.num_samples}) must "
-                    f"divide --mesh_data={args.mesh_data}"
+                    f"--mesh_data={args.mesh_data} must divide scales*num_samples "
+                    f"({len(scales)}*{args.num_samples}={len(scales) * args.num_samples})"
                 )
             sweep_mesh = mesh_lib.make_mesh(data=args.mesh_data)
 

@@ -82,8 +82,10 @@ def load_quantized(path: str, dtype=jnp.bfloat16):
 
     # the metadata/format check stays on the python reader (the native one
     # is tensor-oriented); the BULK reads go through the C++ mmap reader
-    # (native/safetensors_reader.cpp) when it builds — zero host copies,
-    # each view transfers straight to device
+    # (native/safetensors_reader.cpp) when it builds. copy=True is load-
+    # bearing: with copy=False jnp.asarray may zero-copy ALIAS an aligned
+    # mapped view (CPU) or still be transferring it (TPU) when the mapping
+    # is closed — freed-page reads. One host copy per leaf is the price.
     with safetensors.safe_open(str(path), framework="np") as f:
         meta = f.metadata() or {}
     if meta.get(FORMAT_KEY) != FORMAT_V1:
@@ -94,21 +96,19 @@ def load_quantized(path: str, dtype=jnp.bfloat16):
         )
     from sliders_conceptmod_tpu.io.native import load_safetensors_native
 
-    tensors = load_safetensors_native(str(path), copy=False)
-    reader = tensors.pop("__reader__", None)
+    tensors = load_safetensors_native(str(path), copy=True)
     flat: Dict[str, np.ndarray] = {}
     scales: Dict[Tuple[str, ...], jnp.ndarray] = {}
-    try:
-        for key, a in tensors.items():
-            if key.startswith(SCALE_PREFIX):
-                scales[tuple(key[len(SCALE_PREFIX):].split("/"))] = jnp.asarray(a, jnp.float32)
-            elif a.dtype == np.int8:
-                flat[key] = jnp.asarray(a)
-            else:
-                flat[key] = jnp.asarray(a, dtype)
-    finally:
-        if reader is not None:
-            reader.close()
+    for key, a in tensors.items():
+        if key.startswith(SCALE_PREFIX):
+            scales[tuple(key[len(SCALE_PREFIX):].split("/"))] = jnp.asarray(a, jnp.float32)
+        elif a.dtype == np.int8:
+            flat[key] = jnp.asarray(a)
+        elif key.endswith("/kernel_scale") or key == "kernel_scale":
+            # in-tree scales stay fp32 — they ride the params signature
+            flat[key] = jnp.asarray(a, jnp.float32)
+        else:
+            flat[key] = jnp.asarray(a, dtype)
     return _unflatten(flat), scales
 
 

@@ -236,6 +236,9 @@ def _load_or_init_vae(name_or_path: str, family: str, dtype) -> VAEBundle:
             layers_per_block=cfg_json.get("layers_per_block", 2),
             norm_num_groups=cfg_json.get("norm_num_groups", 32),
             scaling_factor=cfg_json.get("scaling_factor", 0.18215),
+            # flow-family VAEs declare it (SD3 0.0609 / Flux 0.1159); the
+            # epsilon families ship no key → 0.0
+            shift_factor=cfg_json.get("shift_factor") or 0.0,
             # SD3/Flux VAE dirs declare use_quant_conv=false and ship no
             # quant convs; missing keys default to the SD1/XL layout
             use_quant_conv=cfg_json.get("use_quant_conv", True),
@@ -865,9 +868,18 @@ def load_models_flux(
         from sliders_conceptmod_tpu.io import quant_cache
 
         q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
-        # dev vs schnell from the tree itself (like the single-file sniff)
+
+        # dev vs schnell from the tree itself — RECURSIVE: the guidance
+        # embedder nests under time_text_embed (models/flux.py), a top-level
+        # membership test would silently drop a dev model's conditioning
+        def _tree_has_q(t, name):
+            return any(
+                k == name or (isinstance(v, dict) and _tree_has_q(v, name))
+                for k, v in t.items()
+            )
+
         if not is_tiny:
-            has_guidance = "guidance_embedder" in q_params
+            has_guidance = _tree_has_q(q_params, "guidance_embedder")
             if has_guidance != flux_cfg.guidance_embeds:
                 flux_cfg = FluxConfig.dev() if has_guidance else FluxConfig.schnell()
                 model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)

@@ -37,6 +37,9 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # flow-matching VAEs (SD3 0.0609, Flux 0.1159): x = z/scaling + shift
+    # before decode; 0.0 for the epsilon families
+    shift_factor: float = 0.0
     # SD3/Flux VAEs ship no (post_)quant_conv (diffusers use_quant_conv=false)
     use_quant_conv: bool = True
     use_post_quant_conv: bool = True
@@ -57,6 +60,7 @@ class VAEConfig:
         return cls(
             latent_channels=16,
             scaling_factor=1.5305,
+            shift_factor=0.0609,
             use_quant_conv=False,
             use_post_quant_conv=False,
         )

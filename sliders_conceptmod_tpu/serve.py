@@ -193,6 +193,11 @@ class FluxSliderService:
             train_method="full", delimiter="-",
         )
         self.sites = lora_lib.filter_sites_to_checkpoint(slider_path, sites)
+        if not self.sites:
+            raise ValueError(
+                f"No matching LoRA keys between transformer and {slider_path} "
+                "(is this a '-'-delimited Flux slider checkpoint?)"
+            )
         self.lora_params = lora_lib.load_weights(slider_path, self.sites)
 
         self.schedule = scheduler.set_timesteps(steps, mu=calculate_shift(self.gh * self.gw))
@@ -264,7 +269,7 @@ class FluxSliderService:
         if self.vae is not None:
             from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
 
-            img = sd3_latents_to_images(self.vae.decode, lat)[0]
+            img = sd3_latents_to_images(self.vae.decode, lat, self.vae.config.scaling_factor, self.vae.config.shift_factor)[0]
         else:
             # weightless smoke: render the first 3 latent channels normalized
             a = np.asarray(lat, np.float32)[0, :3]
