@@ -89,28 +89,13 @@ def run(args):
             tokens = jax.lax.fori_loop(flip, schedule.num_inference_steps, make_body(params_b), tokens)
         return tokens
 
-    @jax.jit  # quantized base: scale is a traced [B] row multiplier —
-    def sample_overlay(base, lp, row_scale, tokens, text, pooled):
-        # ONE executable covers every scale (incl. 0 == slider off)
-        txt_ids = jnp.zeros((text.shape[1], 3))
+    # quantized base: scale is a traced [B] row multiplier — one executable
+    # covers every scale (incl. 0 == slider off); shared with serve/bench
+    from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
 
-        def make_body(scaled):
-            def body(i, tok):
-                t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
-                if scaled:
-                    with lora_lib.lora_overlay(sites, lp, row_scale):
-                        v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **guidance_kw)
-                else:
-                    v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **guidance_kw)
-                return FlowMatchScheduler.step(schedule, v, i, tok)
-
-            return body
-
-        if flip > 0:
-            tokens = jax.lax.fori_loop(0, flip, make_body(False), tokens)
-        if flip < schedule.num_inference_steps:
-            tokens = jax.lax.fori_loop(flip, schedule.num_inference_steps, make_body(True), tokens)
-        return tokens
+    sample_overlay = make_packed_overlay_sampler(
+        apply_fn, sites, schedule, flip, img_ids, flux_cfg.guidance_embeds
+    )
 
     vae = None
     if os.path.isdir(os.path.join(str(args.base), "vae")):
@@ -138,7 +123,7 @@ def run(args):
                 final_tokens = sample_overlay(
                     transformer.params, lora_params,
                     jnp.full((tokens.shape[0],), scale, jnp.float32),
-                    tokens, text, pooled,
+                    tokens, text, pooled, jnp.float32(args.guidance_scale),
                 )
             else:
                 # release the previous merged tree before building the next —

@@ -92,6 +92,48 @@ def sample_flow_loop(
     return lat
 
 
+def make_packed_overlay_sampler(apply_fn, sites, schedule: FlowSchedule, flip_step: int,
+                                img_ids, guidance_embeds: bool):
+    """Jitted two-phase sampler over PACKED Flux tokens with the slider as a
+    traced per-row overlay multiplier — ONE executable serves every float
+    scale, and the base tree (int8 or bf16) is never merged into. Shared by
+    the Flux sweep CLI, ``serve.FluxSliderService``, and the bench.
+
+    ``sample(base, lp, row_scale, tokens, text, pooled, guidance)`` —
+    ``guidance`` feeds the dev variant's distilled-guidance embedding and is
+    ignored for schnell (``guidance_embeds=False``)."""
+    import jax
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    n = schedule.num_inference_steps
+
+    @jax.jit
+    def sample(base, lp, row_scale, tokens, text, pooled, guidance):
+        txt_ids = jnp.zeros((text.shape[1], 3))
+        gkw = {"guidance": guidance} if guidance_embeds else {}
+
+        def make_body(scaled):
+            def body(i, tok):
+                t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
+                if scaled:
+                    with lora_lib.lora_overlay(sites, lp, row_scale):
+                        v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **gkw)
+                else:
+                    v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **gkw)
+                return FlowMatchScheduler.step(schedule, v, i, tok)
+
+            return body
+
+        if flip_step > 0:
+            tokens = jax.lax.fori_loop(0, flip_step, make_body(False), tokens)
+        if flip_step < n:
+            tokens = jax.lax.fori_loop(flip_step, n, make_body(True), tokens)
+        return tokens
+
+    return sample
+
+
 def sd3_latents_to_images(vae_decode: Callable, latents: jnp.ndarray,
                           scaling_factor: float = 1.5305, shift_factor: float = 0.0609) -> np.ndarray:
     """SD3 VAE conventions: x = z / scaling + shift before decode."""

@@ -121,6 +121,25 @@ def _is_local_diffusers_dir(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "unet"))
 
 
+def _tree_has(tree, name: str) -> bool:
+    """Recursive key-membership over a nested param tree (e.g. sniffing
+    Flux's ``guidance_embedder``, which nests under ``time_text_embed``)."""
+    return any(
+        k == name or (isinstance(v, dict) and _tree_has(v, name)) for k, v in tree.items()
+    )
+
+
+def _host_params(host_tree, dtype, quantize_base: bool):
+    """Host tree → device params: either a plain dtype-cast transfer or the
+    int8-quantize-before-transfer path (adapters/quant.py — the bf16 tree
+    never has to fit in HBM). Returns ``(params, quant_scales-or-None)``."""
+    if quantize_base:
+        from sliders_conceptmod_tpu.adapters import quant
+
+        return quant.quantize_host_tree(host_tree, dtype=dtype)
+    return tc.tree_to_jax(host_tree, dtype=dtype), None
+
+
 def _init_unet(config: UNetConfig, dtype, seed: int = 0, quantize_base: bool = False) -> UNetBundle:
     model = UNet2DConditionModel(config, dtype=dtype)
     sample = jnp.zeros((1, config.in_channels, 8, 8))
@@ -159,12 +178,8 @@ def _load_or_init_unet(
         tree, cfg_json = tc.load_unet_params(name_or_path)
         config = _unet_config_from_json(cfg_json)
         model = UNet2DConditionModel(config, dtype=dtype)
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            params, quant_scales = quant.quantize_host_tree(tree, dtype=dtype)
-            return UNetBundle(model, params, config, quant_scales=quant_scales)
-        return UNetBundle(model, tc.tree_to_jax(tree, dtype=dtype), config)
+        params, quant_scales = _host_params(tree, dtype, quantize_base)
+        return UNetBundle(model, params, config, quant_scales=quant_scales)
     config = {
         "sd15": UNetConfig.sd15,
         "sd21": UNetConfig.sd21,
@@ -401,20 +416,11 @@ def load_models_xl(
             tc.tree_to_jax(trees.get("text_encoder_2", {}), dtype=weight_dtype),
             tok2,
         )
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            u_params, u_scales = quant.quantize_host_tree(trees["unet"], dtype=weight_dtype)
-            unet = UNetBundle(
-                UNet2DConditionModel(unet_cfg, dtype=weight_dtype), u_params, unet_cfg,
-                quant_scales=u_scales,
-            )
-        else:
-            unet = UNetBundle(
-                UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
-                tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
-                unet_cfg,
-            )
+        u_params, u_scales = _host_params(trees["unet"], weight_dtype, quantize_base)
+        unet = UNetBundle(
+            UNet2DConditionModel(unet_cfg, dtype=weight_dtype), u_params, unet_cfg,
+            quant_scales=u_scales,
+        )
         scheduler = create_noise_scheduler(scheduler_name)
         out = ([tok1, tok2], [te1, te2], unet, scheduler)
         if with_vae:
@@ -568,15 +574,7 @@ def load_models_sd3(
             tok2,
         )
         model = SD3Transformer2DModel(mm_cfg, dtype=weight_dtype)
-        quant_scales = None
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            t_params, quant_scales = quant.quantize_host_tree(
-                trees["transformer"], dtype=weight_dtype
-            )
-        else:
-            t_params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
+        t_params, quant_scales = _host_params(trees["transformer"], weight_dtype, quantize_base)
         transformer = TransformerBundle(model, t_params, mm_cfg, quant_scales=quant_scales)
         return (
             [te1.tokenizer, te2.tokenizer],
@@ -603,14 +601,9 @@ def load_models_sd3(
     quant_scales = None
     if os.path.isdir(sub):
         sd = tc._load_safetensors_dir(sub)
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            params, quant_scales = quant.quantize_host_tree(
-                tc.convert_diffusers_state_dict(sd), dtype=weight_dtype
-            )
-        else:
-            params = tc.tree_to_jax(tc.convert_diffusers_state_dict(sd), dtype=weight_dtype)
+        params, quant_scales = _host_params(
+            tc.convert_diffusers_state_dict(sd), weight_dtype, quantize_base
+        )
     else:
         # init + precision cast fused under one jit (see _init_unet): an
         # uncast fp32 SD3-Medium tree is 8.1GB — half the v5e's HBM wasted
@@ -870,17 +863,10 @@ def load_models_flux(
 
         q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
 
-        # dev vs schnell from the tree itself — RECURSIVE: the guidance
-        # embedder nests under time_text_embed (models/flux.py), a top-level
-        # membership test would silently drop a dev model's conditioning
-        def _tree_has_q(t, name):
-            return any(
-                k == name or (isinstance(v, dict) and _tree_has_q(v, name))
-                for k, v in t.items()
-            )
-
+        # dev vs schnell from the tree itself (module-level _tree_has — the
+        # guidance embedder nests under time_text_embed, models/flux.py)
         if not is_tiny:
-            has_guidance = _tree_has_q(q_params, "guidance_embedder")
+            has_guidance = _tree_has(q_params, "guidance_embedder")
             if has_guidance != flux_cfg.guidance_embeds:
                 flux_cfg = FluxConfig.dev() if has_guidance else FluxConfig.schnell()
                 model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
@@ -898,11 +884,6 @@ def load_models_flux(
 
         trees = load_ldm_checkpoint(str(name_or_path))
 
-        def _tree_has(t, name):
-            return any(
-                k == name or (isinstance(v, dict) and _tree_has(v, name)) for k, v in t.items()
-            )
-
         # the converted tree is authoritative for dev-vs-schnell — the
         # safe_open header sniff above fails on .ckpt files and would
         # silently drop a dev model's guidance conditioning
@@ -911,15 +892,7 @@ def load_models_flux(
             if tree_guidance != flux_cfg.guidance_embeds:
                 flux_cfg = FluxConfig.dev() if tree_guidance else FluxConfig.schnell()
                 model = FluxTransformer2DModel(flux_cfg, dtype=weight_dtype)
-        quant_scales = None
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            params, quant_scales = quant.quantize_host_tree(
-                trees["transformer"], dtype=weight_dtype
-            )
-        else:
-            params = tc.tree_to_jax(trees["transformer"], dtype=weight_dtype)
+        params, quant_scales = _host_params(trees["transformer"], weight_dtype, quantize_base)
         transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,
@@ -933,15 +906,7 @@ def load_models_flux(
 
         sub = os.path.join(str(name_or_path), "transformer")
         sd = tc._load_safetensors_dir(sub)
-        quant_scales = None
-        if quantize_base:
-            from sliders_conceptmod_tpu.adapters import quant
-
-            params, quant_scales = quant.quantize_host_tree(
-                convert_flux_state_dict(sd), dtype=weight_dtype
-            )
-        else:
-            params = tc.tree_to_jax(convert_flux_state_dict(sd), dtype=weight_dtype)
+        params, quant_scales = _host_params(convert_flux_state_dict(sd), weight_dtype, quantize_base)
         transformer = TransformerBundle(
         model, params, flux_cfg,
         default_kwargs={"guidance": 3.5} if flux_cfg.guidance_embeds else None,

@@ -204,39 +204,12 @@ class FluxSliderService:
         from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
 
         self.flip = _flow_flip(self.schedule, start_noise)
-        apply_fn = self.transformer.apply_fn()
-        sites_, schedule_, flip_ = self.sites, self.schedule, self.flip
-        img_ids = jnp.asarray(prepare_latent_image_ids(self.gh, self.gw))
-        guidance_embeds = cfg.guidance_embeds
+        from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
 
-        @jax.jit
-        def _sample(base_params, lp, row_scale, tokens, text, pooled, guidance):
-            txt_ids = jnp.zeros((text.shape[1], 3))
-            gkw = {"guidance": guidance} if guidance_embeds else {}
-
-            def make_body(scaled):
-                def body(i, tok):
-                    t = jnp.broadcast_to(schedule_.timesteps[i] / 1000.0, (tok.shape[0],))
-                    if scaled:
-                        with lora_lib.lora_overlay(sites_, lp, row_scale):
-                            v = apply_fn(base_params, tok, t, text, pooled, txt_ids, img_ids, **gkw)
-                    else:
-                        v = apply_fn(base_params, tok, t, text, pooled, txt_ids, img_ids, **gkw)
-                    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler as _F
-
-                    return _F.step(schedule_, v, i, tok)
-
-                return body
-
-            if flip_ > 0:
-                tokens = jax.lax.fori_loop(0, flip_, make_body(False), tokens)
-            if flip_ < schedule_.num_inference_steps:
-                tokens = jax.lax.fori_loop(
-                    flip_, schedule_.num_inference_steps, make_body(True), tokens
-                )
-            return tokens
-
-        self._sample = _sample
+        self._sample = make_packed_overlay_sampler(
+            self.transformer.apply_fn(), self.sites, self.schedule, self.flip,
+            jnp.asarray(prepare_latent_image_ids(self.gh, self.gw)), cfg.guidance_embeds,
+        )
         self.vae = None
         import os as _os
 
