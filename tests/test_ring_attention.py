@@ -117,3 +117,29 @@ def test_sequence_parallel_from_config():
         mesh, axis, min_seq = attn_lib._SP_CTX
         assert axis == "data" and min_seq == 16 and mesh.shape["data"] == 8
     assert attn_lib._SP_CTX is None
+
+
+def test_sequence_parallel_composes_with_quantized_base():
+    """Ring attention (SP context) over an int8-quantized MMDiT matches the
+    quantized dense forward — the interceptor dequant and the shard_map ring
+    compose (tpu.sequence_parallel + tpu.quantize_base)."""
+    from sliders_conceptmod_tpu.adapters import quant
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+    from sliders_conceptmod_tpu.ops import attention as attn_lib
+
+    cfg = MMDiTConfig.tiny()
+    model = SD3Transformer2DModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, cfg.in_channels, 8, 8)) * 0.2
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 16, cfg.joint_attention_dim)) * 0.2
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.pooled_projection_dim)) * 0.2
+    t = jnp.full((2,), 500.0)
+    params = model.init(jax.random.PRNGKey(3), x, t, ctx, pooled)["params"]
+    qtree, scales = quant.quantize_params(params, min_elems=1)
+    q_apply = quant.make_quant_apply(model, scales, compute_dtype=jnp.float32)
+
+    dense_q = np.asarray(q_apply(qtree, x, t, ctx, pooled))
+
+    m = mesh_lib.make_mesh(data=8, model=1)
+    with attn_lib.sequence_parallel(m, min_seq=8):
+        ringed_q = jax.jit(q_apply)(qtree, x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(ringed_q), dense_q, atol=3e-5, rtol=3e-5)
