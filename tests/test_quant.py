@@ -395,3 +395,60 @@ def test_weightless_quantized_tree():
     assert qtree["blk"]["kernel"].dtype == jnp.int8
     assert qtree["norm"]["scale"].dtype == jnp.bfloat16
     assert scales[("blk",)].shape == (512,)
+
+
+def test_packed_overlay_sampler_matches_merged_trajectory():
+    """make_packed_overlay_sampler (shared by the Flux sweep CLI, serving,
+    and bench) reproduces the merged-params two-phase trajectory at a
+    uniform scale, and its scale-0 rows are exactly the slider-off model."""
+    from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
+    from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids
+
+    _, _, tr, scheduler = factory.load_models_flux("tiny-flux", weight_dtype=jnp.float32)
+    cfg = tr.config
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lp = jax.tree.map(lambda a: a + 0.05, lp)
+
+    gh = gw = 4
+    s_txt = 8
+    schedule = scheduler.set_timesteps(3, mu=calculate_shift(gh * gw))
+    img_ids = jnp.asarray(prepare_latent_image_ids(gh, gw))
+    apply_fn = tr.apply_fn()
+    flip = 1
+    sample = make_packed_overlay_sampler(apply_fn, sites, schedule, flip, img_ids,
+                                         cfg.guidance_embeds)
+
+    k = jax.random.PRNGKey(1)
+    tokens = pack_latents(
+        jax.random.normal(k, (1, cfg.in_channels // 4, gh * 2, gw * 2))
+    ).astype(jnp.float32)
+    text = jax.random.normal(jax.random.fold_in(k, 1), (1, s_txt, cfg.joint_attention_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.fold_in(k, 2), (1, cfg.pooled_projection_dim)) * 0.1
+    g = jnp.float32(3.5)
+
+    got = sample(tr.params, lp, jnp.full((1,), 1.5, jnp.float32), tokens, text, pooled, g)
+
+    # merged reference: base until flip, merged-at-1.5 after
+    merged = lora_lib.merge_lora_params(tr.params, sites, lp, 1.5)
+
+    def body(params):
+        def f(i, tok):
+            t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (1,))
+            v = apply_fn(params, tok, t, text, pooled, jnp.zeros((s_txt, 3)), img_ids)
+            return FlowMatchScheduler.step(schedule, v, i, tok)
+        return f
+
+    want = jax.lax.fori_loop(0, flip, body(tr.params), tokens)
+    want = jax.lax.fori_loop(flip, 3, body(merged), want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # scale 0 == slider off for the whole trajectory
+    base_only = jax.lax.fori_loop(0, 3, body(tr.params), tokens)
+    got0 = sample(tr.params, lp, jnp.zeros((1,), jnp.float32), tokens, text, pooled, g)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(base_only), rtol=1e-5, atol=1e-5)
