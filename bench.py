@@ -36,6 +36,18 @@ import jax.numpy as jnp
 BASELINE_STEPS_PER_SEC_PER_CHIP = 500 / 600 / 8  # north-star v5e-8 budget
 
 
+def quant_mode() -> str:
+    """BENCH_QUANT: '0' off, '1' int8 frozen base (weight-only), 'w8a8'
+    weight + per-token dynamic int8 activations (inference benches only —
+    the int8×int8 MXU path, adapters/quant.py)."""
+    v = os.environ.get("BENCH_QUANT", "0").lower()
+    if v in ("0", "", "off"):
+        return "off"
+    if v == "w8a8":
+        return "w8a8"
+    return "w8"
+
+
 def device_peak_flops():
     """bf16 peak FLOP/s of device 0, or None off-TPU (MFU meaningless on CPU).
 
@@ -324,8 +336,10 @@ def bench_flux(n_steps, res, dtype):
 
     # BENCH_QUANT=1: int8-quantized frozen base (adapters/quant.py) — full
     # depth fits one v5e (11.9 GB int8 vs 23.8 GB bf16), so default to the
-    # REAL schnell depth and measure it directly instead of projecting
-    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
+    # REAL schnell depth and measure it directly instead of projecting.
+    # (Training path: always weight-only — activation rounding has zero
+    # gradient, so 'w8a8' degrades to 'w8' here.)
+    quantized = quant_mode() != "off"
     layers = int(os.environ.get("BENCH_FLUX_LAYERS", "19" if quantized else "5"))
     single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "38" if quantized else "10"))
     full_cfg = FluxConfig.schnell()
@@ -430,7 +444,8 @@ def bench_flux_infer(res, steps, dtype, n_rounds=4):
         prepare_latent_image_ids,
     )
 
-    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
+    qmode = quant_mode()
+    quantized = qmode != "off"
     layers = int(os.environ.get("BENCH_FLUX_LAYERS", "19" if quantized else "5"))
     single = int(os.environ.get("BENCH_FLUX_SINGLE_LAYERS", "38" if quantized else "10"))
     scales = [float(s) for s in os.environ.get("BENCH_SWEEP_SCALES", "-2,-1,0,1,2").split(",")]
@@ -455,7 +470,9 @@ def bench_flux_infer(res, steps, dtype, n_rounds=4):
         from sliders_conceptmod_tpu.adapters import quant
 
         params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
-        apply = quant.make_quant_apply(model, q_scales, compute_dtype=dtype)
+        apply = quant.make_quant_apply(
+            model, q_scales, compute_dtype=dtype, act_quant=(qmode == "w8a8")
+        )
     else:
         params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
 
@@ -515,6 +532,7 @@ def bench_flux_infer(res, steps, dtype, n_rounds=4):
             "layers": layers,
             "single_layers": single,
             "int8_base": quantized,
+            "quant": qmode,
             "scales": len(scales),
             "flow_steps": steps,
         },
@@ -550,16 +568,17 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
             added_cond_kwargs=added,
         )
     )
-    quantized = os.environ.get("BENCH_QUANT", "0") == "1"
-    if quantized:
+    qmode = quant_mode()
+    if qmode != "off":
         # int8 UNet Dense kernels (adapters/quant.py): 2.1 GiB HBM headroom (87% of SDXL params are Dense) —
-        # the lever that fits the 5-scale 1024px batched sweep on one v5e
+        # the lever that fits the 5-scale 1024px batched sweep on one v5e.
+        # BENCH_QUANT=w8a8 also quantizes activations (int8×int8 MXU path).
         from sliders_conceptmod_tpu.adapters import quant
 
         params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
 
         def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
-            with quant.quant_overlay(q_scales, compute_dtype=dtype):
+            with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=(qmode == "w8a8")):
                 return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
     else:
@@ -634,8 +653,8 @@ def bench_infer(n_images, res, steps, dtype, guidance=7.5, batch=1, sweep_scales
         tag += f"_sweep{batch}scales"
     elif batch > 1:
         tag += f"_b{batch}"
-    if quantized:
-        tag += "_int8"
+    if qmode != "off":
+        tag += "_int8" if qmode == "w8" else "_w8a8"
     f_row = fwd_flops(
         unet_apply,
         params,

@@ -171,11 +171,47 @@ def dequantize_params(qtree, scales: ScaleDict, dtype=jnp.bfloat16):
     return rebuild(qtree)
 
 
-def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
+def quantize_activations(x):
+    """Symmetric per-token (last-axis) dynamic int8: ``x ≈ xq · sx`` with
+    ``sx = max_k |x[..., k]| / 127`` kept per row. The W8A8 activation side —
+    per-token scaling bounds the error of each token by its own amplitude,
+    which is what makes dynamic quantization usable on transformer
+    activations (per-tensor scales would be destroyed by outlier tokens)."""
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def int8_matmul(xq: jnp.ndarray, kernel_q: jnp.ndarray) -> jnp.ndarray:
+    """``int8 × int8 → int32`` matmul over the last/first axes. On TPU v5e
+    the MXU runs int8 at 2× the bf16 rate (394 TOPS vs 197 TFLOPS), so this
+    is the FLOP-side half of the W8A8 win (the int8 weights are already the
+    HBM-side half). ``preferred_element_type=int32`` keeps the systolic-array
+    accumulation exact — the product of two int8 inputs never overflows i32
+    at any contraction depth that fits HBM."""
+    return jax.lax.dot_general(
+        xq,
+        kernel_q,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16, act_quant: bool = False):
     """flax ``intercept_methods`` context: inside it, every Dense whose
     module path appears in ``scales`` computes
     ``((x @ q) * scale + bias)`` with the int8 kernel dequantized in-graph
     (fused by XLA into the matmul — int8 is what HBM holds).
+
+    ``act_quant=True`` (W8A8, inference only): the activation is ALSO
+    quantized — per-token dynamic int8 — and the matmul runs int8×int8→int32
+    on the MXU at 2× the bf16 rate, then rescales by the rank-1 outer
+    product of the per-token and per-column scales:
+    ``(xq @ q) · sx · scale``. Rounding has zero gradient in JAX, so this
+    mode is for inference paths only; trainers must keep ``act_quant=False``
+    (weight-only — adapter math identical to full precision up to base
+    rounding).
 
     The scale VALUES come from the tree's own ``kernel_scale`` leaves when
     present (the quantizers always insert them) so they are jit ARGUMENTS,
@@ -192,9 +228,13 @@ def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
         kernel = variables["kernel"]
         scale = variables.get("kernel_scale", scale)
         x = args[0]
-        y = jnp.einsum(
-            "...i,io->...o", x.astype(compute_dtype), kernel.astype(compute_dtype)
-        ).astype(jnp.float32) * scale
+        if act_quant and kernel.dtype == jnp.int8:
+            xq, sx = quantize_activations(x)
+            y = int8_matmul(xq, kernel).astype(jnp.float32) * sx * scale
+        else:
+            y = jnp.einsum(
+                "...i,io->...o", x.astype(compute_dtype), kernel.astype(compute_dtype)
+            ).astype(jnp.float32) * scale
         bias = variables.get("bias")
         if bias is not None:
             y = y + bias.astype(jnp.float32)
@@ -203,24 +243,24 @@ def quant_overlay(scales: ScaleDict, compute_dtype=jnp.bfloat16):
     return nn.intercept_methods(interceptor)
 
 
-def make_quant_apply(model, scales: ScaleDict, compute_dtype=jnp.bfloat16):
+def make_quant_apply(model, scales: ScaleDict, compute_dtype=jnp.bfloat16, act_quant: bool = False):
     """``apply_fn(qparams, *args, **kwargs)`` running ``model.apply`` under
     the dequant overlay — a drop-in for the trainers' ``transformer_apply``."""
 
     def apply_fn(qparams, *args, **kwargs):
-        with quant_overlay(scales, compute_dtype):
+        with quant_overlay(scales, compute_dtype, act_quant=act_quant):
             return model.apply({"params": qparams}, *args, **kwargs)
 
     return apply_fn
 
 
-def wrap_apply(apply_fn, scales: ScaleDict, compute_dtype=jnp.bfloat16):
+def wrap_apply(apply_fn, scales: ScaleDict, compute_dtype=jnp.bfloat16, act_quant: bool = False):
     """Wrap an arbitrary ``apply_fn(params, *args, **kwargs)`` (e.g. a
     ``TransformerBundle.apply_fn``) so it runs under the dequant overlay —
     the loader-facing sibling of :func:`make_quant_apply`."""
 
     def apply(params, *args, **kwargs):
-        with quant_overlay(scales, compute_dtype):
+        with quant_overlay(scales, compute_dtype, act_quant=act_quant):
             return apply_fn(params, *args, **kwargs)
 
     return apply

@@ -35,9 +35,14 @@ def run(args):
     # through the apply-time LoRA overlay with the scale as a TRACED [B]
     # multiplier, so all scales share one executable and the int8 base is
     # never merged into.
+    # --w8a8 additionally quantizes activations per token so the base
+    # matmuls run int8×int8 on the MXU at 2× the bf16 rate (inference only).
+    if getattr(args, "w8a8", False):
+        args.quantize_base = True
     tokenizers, encode_fn, transformer, scheduler = factory.load_models_flux(
         args.base, weight_dtype=jnp.bfloat16, quantize_base=args.quantize_base
     )
+    transformer.act_quant = bool(getattr(args, "w8a8", False))
     flux_cfg = transformer.config
     is_tiny = "tiny" in str(args.base).lower()
     vae_scale = 2 if is_tiny else 8
@@ -164,6 +169,11 @@ def build_parser():
         "--quantize_base", action="store_true",
         help="int8 frozen base (adapters/quant.py): full-depth schnell sweeps "
         "on one 16 GB v5e; the slider runs via the apply-time overlay.",
+    )
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="W8A8: per-token dynamic int8 activations on top of the int8 "
+        "base — MXU matmuls at 2× the bf16 rate (implies --quantize_base).",
     )
     return parser
 

@@ -32,10 +32,15 @@ def run(args):
         os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
 
     # --quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
-    # class bases sweep on one v5e; slider via the traced-scale overlay
+    # class bases sweep on one v5e; slider via the traced-scale overlay.
+    # --w8a8 additionally quantizes activations per token so the base
+    # matmuls run int8×int8 on the MXU at 2× the bf16 rate (inference only).
+    if getattr(args, "w8a8", False):
+        args.quantize_base = True
     tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
         args.base, weight_dtype=jnp.bfloat16, quantize_base=args.quantize_base
     )
+    transformer.act_quant = bool(getattr(args, "w8a8", False))
     mm_cfg = transformer.config
     is_tiny = "tiny" in str(args.base).lower()
 
@@ -150,6 +155,11 @@ def build_parser():
         "--quantize_base", action="store_true",
         help="int8 frozen MMDiT (adapters/quant.py): SD3.5-Large-class bases "
         "sweep on one 16 GB v5e; the slider runs via the apply-time overlay.",
+    )
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="W8A8: per-token dynamic int8 activations on top of the int8 "
+        "base — MXU matmuls at 2× the bf16 rate (implies --quantize_base).",
     )
     return parser
 

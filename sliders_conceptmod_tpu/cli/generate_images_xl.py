@@ -91,6 +91,10 @@ def run(args):
     for scale in scales:
         os.makedirs(f"{args.save_path}/{name}/{scale}", exist_ok=True)
 
+    # --w8a8 additionally quantizes activations per token so the quantized
+    # Dense matmuls run int8×int8 on the MXU at 2× the bf16 rate
+    if getattr(args, "w8a8", False):
+        args.quantize_base = True
     quantize_base = bool(getattr(args, "quantize_base", False))
     if quantize_base and not args.batch_scales:
         # the sequential path merges the slider into the base per scale —
@@ -104,6 +108,7 @@ def run(args):
         args.base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True,
         quantize_base=quantize_base,
     )
+    unet.act_quant = bool(getattr(args, "w8a8", False))
 
     train_method, network_type, rank, alpha = infer_network_settings(args.model_name)
     exact = settings_from_checkpoint(args.model_name)
@@ -310,6 +315,11 @@ def build_parser():
         "--quantize_base", action="store_true",
         help="int8 UNet Dense kernels (adapters/quant.py): 2.1 GiB more v5e "
         "HBM headroom for big batched sweeps. Requires --batch_scales.",
+    )
+    parser.add_argument(
+        "--w8a8", action="store_true",
+        help="W8A8: per-token dynamic int8 activations on top of the int8 "
+        "kernels — MXU matmuls at 2× the bf16 rate (implies --quantize_base).",
     )
     parser.add_argument(
         "--mesh_data", type=int, default=1,

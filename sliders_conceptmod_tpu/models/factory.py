@@ -64,6 +64,9 @@ class UNetBundle:
     # non-None => params carries int8 Dense kernels (adapters/quant.py);
     # apply_fn dequantizes at the point of use. Convs stay full precision.
     quant_scales: Optional[dict] = None
+    # W8A8 (inference only): per-token dynamic int8 activations + int8×int8
+    # MXU matmuls at 2× the bf16 rate (adapters/quant.py)
+    act_quant: bool = False
 
     def apply_fn(self) -> Callable:
         model = self.model
@@ -74,7 +77,9 @@ class UNetBundle:
         if self.quant_scales is not None:
             from sliders_conceptmod_tpu.adapters import quant
 
-            return quant.wrap_apply(unet_apply, self.quant_scales, self.model.dtype)
+            return quant.wrap_apply(
+                unet_apply, self.quant_scales, self.model.dtype, act_quant=self.act_quant
+            )
         return unet_apply
 
 
@@ -477,6 +482,9 @@ class TransformerBundle:
     # non-None => self.params is an int8-quantized base (adapters/quant.py,
     # tpu.quantize_base) and apply_fn dequantizes at the point of use
     quant_scales: Optional[dict] = None
+    # W8A8 (inference only): per-token dynamic int8 activations + int8×int8
+    # MXU matmuls at 2× the bf16 rate (adapters/quant.py)
+    act_quant: bool = False
 
     def apply_fn(self) -> Callable:
         model = self.model
@@ -490,7 +498,9 @@ class TransformerBundle:
         if self.quant_scales is not None:
             from sliders_conceptmod_tpu.adapters import quant
 
-            return quant.wrap_apply(apply, self.quant_scales, self.model.dtype)
+            return quant.wrap_apply(
+                apply, self.quant_scales, self.model.dtype, act_quant=self.act_quant
+            )
         return apply
 
 

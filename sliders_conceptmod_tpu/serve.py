@@ -167,16 +167,19 @@ class FluxSliderService:
     (int8 frozen base, adapters/quant.py)."""
 
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
-                 start_noise: float = 800, quantize_base: bool = False):
+                 start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
+        # w8a8: per-token dynamic int8 activations — base matmuls run
+        # int8×int8 on the MXU at 2× the bf16 rate (implies quantize_base)
         _, self._encode_raw, self.transformer, scheduler = factory.load_models_flux(
-            base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base
+            base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
         )
+        self.transformer.act_quant = bool(w8a8)
         cfg = self.transformer.config
         is_tiny = "tiny" in str(base).lower()
         self.vae_scale = 2 if is_tiny else 8
@@ -314,6 +317,11 @@ def main():
         "--quantize_base", action="store_true",
         help="flux only: int8 frozen base — full-depth schnell serves from one 16 GB v5e",
     )
+    ap.add_argument(
+        "--w8a8", action="store_true",
+        help="flux only: W8A8 — per-token dynamic int8 activations on top of "
+        "the int8 base; MXU matmuls at 2× the bf16 rate (implies --quantize_base)",
+    )
     args = ap.parse_args()
 
     family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
@@ -322,7 +330,7 @@ def main():
             args.base, args.slider, args.image_size,
             args.steps if args.steps is not None else 8,
             args.start_noise if args.start_noise is not None else 800,
-            quantize_base=args.quantize_base,
+            quantize_base=args.quantize_base, w8a8=args.w8a8,
         )
     else:
         service = SliderService(

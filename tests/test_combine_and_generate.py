@@ -219,3 +219,18 @@ def test_generate_images_flux_cli_smoke(tmp_path):
     for p, qp in zip(outs, qouts):
         ref, got = np.load(p).astype(np.float32), np.load(qp).astype(np.float32)
         np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
+    # --w8a8 (implies --quantize_base): the W8A8 serving fast path drives the
+    # same sweep end-to-end; at tiny scale the kernels sit below
+    # QUANT_MIN_ELEMS so the activation-quant interceptor has no members --
+    # this smokes the flag plumbing from argparse through the bundle
+    wargs = build_parser().parse_args([
+        "--model_name", str(ckpt), "--prompts_path", str(csv_path),
+        "--save_path", str(tmp_path / "sweep_w8a8"), "--base", "tiny-flux",
+        "--image_size", "16", "--steps", "2", "--scales=-1,1",
+        "--w8a8",
+    ])
+    run(wargs)
+    wouts = sorted((tmp_path / "sweep_w8a8").rglob("*.npy"))
+    assert len(wouts) == 2
+    assert all(np.isfinite(np.load(p).astype(np.float32)).all() for p in wouts)

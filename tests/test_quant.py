@@ -452,3 +452,102 @@ def test_packed_overlay_sampler_matches_merged_trajectory():
     base_only = jax.lax.fori_loop(0, 3, body(tr.params), tokens)
     got0 = sample(tr.params, lp, jnp.zeros((1,), jnp.float32), tokens, text, pooled, g)
     np.testing.assert_allclose(np.asarray(got0), np.asarray(base_only), rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_activations_roundtrip_error_bound():
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 7, 96), jnp.float32)
+    xq, sx = quant.quantize_activations(x)
+    assert xq.dtype == jnp.int8 and sx.shape == (4, 7, 1)
+    err = np.abs(np.asarray(xq, np.float32) * np.asarray(sx) - np.asarray(x))
+    # per-token round-to-nearest: error ≤ sx/2 per element
+    assert np.all(err <= np.asarray(sx) * 0.5 + 1e-9)
+    # zero rows must not divide by zero
+    xq0, sx0 = quant.quantize_activations(jnp.zeros((2, 8)))
+    assert np.all(np.asarray(xq0) == 0) and np.all(np.isfinite(np.asarray(sx0)))
+
+
+def test_int8_matmul_exact_integer_accumulation():
+    """int8×int8→int32 on the contraction is EXACT — the scaled result must
+    equal the fp64 computation on the dequantized operands to fp32 rounding."""
+    kx = jax.random.PRNGKey(12)
+    xq = jax.random.randint(kx, (5, 256), -127, 128, jnp.int8)
+    wq = jax.random.randint(jax.random.fold_in(kx, 1), (256, 64), -127, 128, jnp.int8)
+    acc = quant.int8_matmul(xq, wq)
+    assert acc.dtype == jnp.int32
+    want = np.asarray(xq, np.int64) @ np.asarray(wq, np.int64)
+    np.testing.assert_array_equal(np.asarray(acc, np.int64), want)
+
+
+def test_w8a8_overlay_matches_dense():
+    """act_quant=True output ≈ the full-precision model (weight + activation
+    rounding only), and exactly equals the manual W8A8 computation."""
+    model = _TwoDense()
+    x = jax.random.normal(jax.random.PRNGKey(13), (3, 32))
+    params = model.init(jax.random.PRNGKey(14), x)["params"]
+    qtree, scales = quant.quantize_params(params, min_elems=1)
+
+    apply_w8a8 = quant.make_quant_apply(
+        model, scales, compute_dtype=jnp.float32, act_quant=True
+    )
+    got = np.asarray(apply_w8a8(qtree, x))
+
+    # manual layer-by-layer W8A8 reference
+    h = x
+    for name in ("d1", "d2"):
+        xq, sx = quant.quantize_activations(h)
+        y = (
+            quant.int8_matmul(xq, qtree[name]["kernel"]).astype(jnp.float32)
+            * sx
+            * qtree[name]["kernel_scale"]
+            + params[name]["bias"]
+        )
+        h = jax.nn.gelu(y) if name == "d1" else y
+    np.testing.assert_allclose(got, np.asarray(h), rtol=1e-5, atol=1e-6)
+
+    # close to full precision: W8A8 adds per-token activation rounding on top
+    # of the weight rounding — tolerance is looser than weight-only
+    ref = np.asarray(model.apply({"params": params}, x))
+    np.testing.assert_allclose(got, ref, rtol=0.15, atol=0.05)
+
+
+def test_w8a8_tighter_than_random_baseline():
+    """Sanity on usefulness: W8A8 relative error on a realistic-width matmul
+    stays small (<2%) — the mode is a serving fast path, not a toy."""
+    k = jax.random.PRNGKey(15)
+    x = jax.random.normal(k, (16, 1024), jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(k, 1), (1024, 1024), jnp.float32) * 0.02
+    q, scale = quant.quantize_leaf(w)
+    xq, sx = quant.quantize_activations(x)
+    got = np.asarray(quant.int8_matmul(xq, q).astype(jnp.float32) * sx * scale)
+    want = np.asarray(x) @ np.asarray(w)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+
+
+def test_bundle_act_quant_flag_routes_w8a8():
+    """A TransformerBundle with act_quant=True produces the W8A8 forward
+    (different from weight-only by the activation rounding), finite output.
+    The tiny MMDiT's kernels sit below QUANT_MIN_ELEMS, so quantize at
+    min_elems=1 and build the bundle directly."""
+    from sliders_conceptmod_tpu.models.factory import TransformerBundle
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+
+    cfg = MMDiTConfig.tiny()
+    model = SD3Transformer2DModel(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(20), (1, cfg.in_channels, 8, 8)) * 0.3
+    t = jnp.asarray([0.5])
+    ctx = jax.random.normal(jax.random.PRNGKey(21), (1, 2, cfg.joint_attention_dim)) * 0.1
+    pooled = jax.random.normal(jax.random.PRNGKey(22), (1, cfg.pooled_projection_dim)) * 0.1
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, pooled)["params"]
+    qtree, scales = quant.quantize_params(params, min_elems=1)
+    assert scales  # something actually quantized
+
+    bundle = TransformerBundle(model, qtree, cfg, quant_scales=scales)
+    w_only = np.asarray(bundle.apply_fn()(bundle.params, x, t, ctx, pooled))
+    bundle.act_quant = True
+    w8a8 = np.asarray(bundle.apply_fn()(bundle.params, x, t, ctx, pooled))
+    assert np.all(np.isfinite(w8a8))
+    assert not np.allclose(w8a8, w_only)  # activation rounding is visible
+    # but close: same model up to int8 activation rounding
+    rel = np.linalg.norm(w8a8 - w_only) / max(np.linalg.norm(w_only), 1e-9)
+    assert rel < 0.2, rel

@@ -140,6 +140,23 @@ def test_batched_scales_over_quantized_base(setup):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
     assert np.abs(got[0] - got[1]).max() > 1e-4  # slider still bites
 
+    # W8A8 (--w8a8): the same sweep with per-token int8 activations on the
+    # quantized Dense sites — int8×int8→int32 matmuls. Activation rounding
+    # accumulates over the 3-step trajectory, so the tolerance is loose; the
+    # result must stay finite, close to weight-only, and scale-sensitive.
+    def w8a8_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(scales_d, compute_dtype=jnp.float32, act_quant=True):
+            return model.apply({"params": p}, sample, t, ctx)
+
+    got_w = np.asarray(
+        sample_loop_scales(w8a8_apply, qtree, sites, lp, scales, flip, scheduler,
+                           schedule, lat_b, emb_b, key)
+    )
+    assert np.isfinite(got_w).all()
+    rel = np.linalg.norm(got_w - got) / max(np.linalg.norm(got), 1e-9)
+    assert rel < 0.25, rel
+    assert np.abs(got_w[0] - got_w[1]).max() > 1e-4  # slider still bites
+
 
 def test_batched_scales_sharded_matches_unsharded(setup):
     """DP-sharded sweep (rows over the mesh data axis, SURVEY §7.1 L7):
