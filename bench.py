@@ -760,12 +760,30 @@ def main():
     # random-ish deterministic params without per-leaf RNG compile cost.
     # Stored in bf16 (the reference casts the whole model to the train
     # precision, train_lora_xl.py:82) — fp32 storage alone overflows v5e HBM.
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+    # BENCH_QUANT=1: int8 UNet Dense kernels — the ESD step is weight-
+    # streaming bound (BASELINE.md phase table), so halving the streamed
+    # bytes on the Dense majority (87% of SDXL params) is a train-perf A/B.
+    # Student through the overlay (ESDConfig.student_overlay), matching the
+    # tpu.quantize_base trainer path. w8a8 degrades to weight-only (training).
+    qmode = quant_mode()
+    if qmode != "off":
+        from sliders_conceptmod_tpu.adapters import quant
 
-    def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
-        return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+        params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
+
+        def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+            with quant.quant_overlay(q_scales, compute_dtype=dtype):
+                return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    else:
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+        def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+            return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
     peft = os.environ.get("BENCH_PEFT", "lora")
+    if peft == "dora" and qmode != "off":
+        raise SystemExit("BENCH_QUANT needs full-precision base magnitudes — BENCH_PEFT=lora only")
     if peft == "dora":
         from sliders_conceptmod_tpu.adapters import dora as peft_mod
 
@@ -806,6 +824,7 @@ def main():
         remat_unet=os.environ.get("BENCH_REMAT", "1" if res > 512 else "0") == "1",
         pipeline_warmup=pipeline,
         fuse_teacher_student=os.environ.get("BENCH_FUSE_TS", "0") == "1",
+        student_overlay=(qmode != "off"),
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -855,6 +874,8 @@ def main():
         metric += f"_b{batch}"
     if pipeline:
         metric += "_pipelined"
+    if qmode != "off":
+        metric += "_int8base"
     if peft != "lora":
         metric += f"_{peft}"
     if os.environ.get("BENCH_FUSE_TS", "0") == "1":

@@ -34,8 +34,9 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
     if getattr(getattr(config, "tpu", None), "quantize_base", False):
         raise NotImplementedError(
-            "tpu.quantize_base is supported by the SD3/Flux trainers; this "
-            "family fits one v5e at bf16 — set quantize_base: false."
+            "tpu.quantize_base is supported by the text-slider trainers "
+            "(train_lora/_xl/_sd3/_flux); the cascade step merges into the "
+            "base — set quantize_base: false."
         )
     if any(getattr(p, "dynamic_resolution", False) for p in prompts):
         raise NotImplementedError(

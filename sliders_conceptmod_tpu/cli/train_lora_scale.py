@@ -29,8 +29,9 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True, resume_from=None):
     if getattr(getattr(config, "tpu", None), "quantize_base", False):
         raise NotImplementedError(
-            "tpu.quantize_base is supported by the SD3/Flux trainers; this "
-            "family fits one v5e at bf16 — set quantize_base: false."
+            "tpu.quantize_base is supported by the text-slider trainers "
+            "(train_lora/_xl/_sd3/_flux); the image-pair trainer merges ±scale "
+            "into the base per step — set quantize_base: false."
         )
     scales = np.asarray(scales)
     folders = np.asarray(folders)

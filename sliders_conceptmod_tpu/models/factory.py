@@ -305,11 +305,14 @@ def load_models(
     v_pred: bool = False,
     weight_dtype=jnp.float32,
     with_vae: bool = False,
+    quantize_base: bool = False,
 ):
     """SD1/2 — reference model_util.py:112-137 (imagesliders variant returns
     the VAE too, trainscripts/imagesliders/model_util.py:75,108-133).
     Single-file .ckpt/.safetensors checkpoints (LDM layout) load via
-    io/ldm_convert, matching model_util.py:37-109."""
+    io/ldm_convert, matching model_util.py:37-109.
+    ``quantize_base``: int8 UNet Dense kernels (tpu.quantize_base — a
+    weight-streaming perf knob on this family; see UNetBundle)."""
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
@@ -331,10 +334,12 @@ def load_models(
             tc.tree_to_jax(trees.get("text_encoder", {}), dtype=weight_dtype),
             tok,
         )
+        u_params, u_scales = _host_params(trees["unet"], weight_dtype, quantize_base)
         unet = UNetBundle(
             UNet2DConditionModel(unet_cfg, dtype=weight_dtype),
-            tc.tree_to_jax(trees["unet"], dtype=weight_dtype),
+            u_params,
             unet_cfg,
+            quant_scales=u_scales,
         )
         scheduler = create_noise_scheduler(
             scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
@@ -367,7 +372,7 @@ def load_models(
     else:
         clip_cfg = CLIPTextConfig.sd15_te()
     te = _load_or_init_text_encoder(name_or_path, "text_encoder", clip_cfg, weight_dtype, "tokenizer")
-    unet = _load_or_init_unet(name_or_path, family, weight_dtype)
+    unet = _load_or_init_unet(name_or_path, family, weight_dtype, quantize_base=quantize_base)
     scheduler = create_noise_scheduler(
         scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
     )

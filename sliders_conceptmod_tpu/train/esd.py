@@ -158,6 +158,12 @@ class ESDConfig:
     # prompt_pair.dynamic_crops): time_ids drawn in-graph from the step key
     # (draw_time_ids), per sample on the DP/fused paths
     dynamic_crops: bool = False
+    # apply the student LoRA via the apply-time interceptor instead of
+    # merging — required over an int8-quantized base (tpu.quantize_base,
+    # adapters/quant.py): an int8 tree cannot host a merge. Identical math
+    # to the merged path up to matmul re-association (equivalence-tested).
+    # LoRA only (DoRA's magnitude decomposition needs the merged tree).
+    student_overlay: bool = False
     # software-pipeline the warm-up across step boundaries: step k's graph
     # computes the teacher/student/update from a CARRIED warm-up state and
     # the warm-up for step k+1 from the *pre-update* LoRA params — the two
@@ -210,6 +216,20 @@ def make_esd_train_step(
             raise ValueError("fuse_teacher_student supports the LoRA overlay only")
         if cfg.samples_per_step != 1:
             raise ValueError("fuse_teacher_student supports samples_per_step == 1 only")
+
+    if cfg.student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
+        raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
+    overlay_one = jnp.ones((1,), jnp.float32)
+
+    def _overlay_apply(apply, lp):
+        """apply under the slider-ON LoRA overlay (the int8-base student path;
+        the (1,)-shaped multiplier broadcasts over CFG-doubled batches)."""
+
+        def fn(p, *a, **kw):
+            with lora_lib.lora_overlay(sites, lp, overlay_one):
+                return apply(p, *a, **kw)
+
+        return fn
 
     def fused_teacher_student_loss(
         base_params, denoised, current_t, role_text, role_pooled, g_pair, sign, tids=None
@@ -292,9 +312,12 @@ def make_esd_train_step(
         )
 
         def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
+            if cfg.student_overlay:
+                s_apply, sp = _overlay_apply(student_apply, lp), base_params
+            else:
+                s_apply, sp = student_apply, merge(base_params, sites, lp, 1.0)
             student_eps = predict_noise(
-                student_apply,
+                s_apply,
                 sp,
                 scheduler,
                 schedule,
@@ -353,10 +376,15 @@ def make_esd_train_step(
         cfg_rows, xl_kwargs = _pair_closures(text, pooled, tids)
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
-        student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        if cfg.student_overlay:
+            warm_apply = _overlay_apply(unet_apply, jax.lax.stop_gradient(lora_params))
+            warm_params = base_params
+        else:
+            warm_apply = unet_apply
+            warm_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
         denoised = denoise_partial(
-            unet_apply,
-            student_params_sg,
+            warm_apply,
+            warm_params,
             scheduler,
             schedule,
             latents0,
@@ -462,10 +490,15 @@ def make_esd_train_step(
                 "time_ids": jnp.tile(tids_s, (2, 1)),
             }
 
-        student_params_sg = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        if cfg.student_overlay:
+            warm_apply = _overlay_apply(unet_apply, jax.lax.stop_gradient(lora_params))
+            warm_params = base_params
+        else:
+            warm_apply = unet_apply
+            warm_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
         denoised = denoise_partial_per_row(
-            unet_apply,
-            student_params_sg,
+            warm_apply,
+            warm_params,
             scheduler,
             schedule,
             latents0,

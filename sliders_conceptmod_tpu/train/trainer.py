@@ -73,14 +73,17 @@ def train(
     resume_from: Optional[str] = None,
 ) -> TrainResult:
     tpu_cfg = config.tpu
-    if getattr(tpu_cfg, "quantize_base", False):
-        # fail loudly rather than silently ignore the knob (the
-        # dynamic_resolution lesson): the UNet ESD step merges the student
-        # into the base, which an int8 base cannot host
+    # tpu.quantize_base: int8 frozen UNet Dense kernels (adapters/quant.py) —
+    # here a PERF knob, not a fit knob: the ESD step is weight-streaming
+    # bound (BASELINE.md phase table), and int8 halves the bytes every UNet
+    # pass streams. The student runs through the apply-time overlay
+    # (ESDConfig.student_overlay — an int8 base cannot host a merge).
+    quantize_base = bool(getattr(tpu_cfg, "quantize_base", False))
+    if quantize_base and peft_type == "dora":
         raise NotImplementedError(
-            "tpu.quantize_base is supported by the SD3/Flux trainers (whose "
-            "bases exceed one v5e); the SD1/SD2/SDXL UNets fit one chip at "
-            "bf16 — set quantize_base: false for this family."
+            "tpu.quantize_base requires full-precision base magnitudes for "
+            "DoRA's norm decomposition — use peft_type='lora' or "
+            "quantize_base: false."
         )
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
@@ -99,6 +102,7 @@ def train(
             config.pretrained_model.name_or_path,
             scheduler_name=config.train.noise_scheduler,
             weight_dtype=weight_dtype,
+            quantize_base=quantize_base,
         )
 
         def encode_fn(prompt: str):
@@ -112,6 +116,7 @@ def train(
             v2=config.pretrained_model.v2,
             v_pred=config.pretrained_model.v_pred,
             weight_dtype=weight_dtype,
+            quantize_base=quantize_base,
         )
 
         def encode_fn(prompt: str):
@@ -203,6 +208,9 @@ def train(
             # a host-side draw here would freeze ONE crop into the compiled
             # step for the whole run
             dynamic_crops=bool(dynamic_crops) and is_xl,
+            # int8 base: the student LoRA rides the apply-time overlay (a
+            # merge cannot land in an int8 tree)
+            student_overlay=quantize_base,
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, False)) if is_xl else None
         return esd.make_esd_train_step(

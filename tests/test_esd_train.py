@@ -436,3 +436,86 @@ def test_dynamic_crops_dp_fused_matches_vmap():
 
     assert losses[True] > 0
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+@pytest.mark.parametrize("xl", [False, True], ids=["sd", "xl"])
+@pytest.mark.parametrize("fused", [False, True], ids=["one_sample", "fused4"])
+def test_student_overlay_matches_merged_path(xl, fused):
+    """ESDConfig.student_overlay (the tpu.quantize_base UNet route): the
+    apply-time overlay step reproduces the merged-path losses up to matmul
+    re-association — on an UNQUANTIZED base both must track each other
+    closely over several steps."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(xl)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    add_tids = jnp.asarray(get_add_time_ids(64, 64)) if xl else None
+    kw = dict(samples_per_step=4, fuse_samples=True) if fused else {}
+
+    losses = {}
+    for overlay in (False, True):
+        ecfg = esd.ESDConfig(
+            max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
+            remat_unet=False, student_overlay=overlay, **kw,
+        )
+        step = esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt, ecfg, add_time_ids=add_tids
+        )
+        lp = jax.tree.map(jnp.copy, lora_params)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lora_params))
+        ls = []
+        for i in range(3):
+            lp, opt_state, metrics = step(params, lp, opt_state, jax.random.PRNGKey(7 + i), bank)
+            ls.append(float(metrics["loss"]))
+        losses[overlay] = ls
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-3, atol=1e-6)
+
+
+def test_student_overlay_over_quantized_base():
+    """The full tpu.quantize_base composition on the UNet family: int8 base
+    (dequant overlay innermost) + student LoRA (overlay outermost) trains —
+    finite losses, moving LoRA params, and losses near the dequantized-base
+    merged run."""
+    from sliders_conceptmod_tpu.adapters import quant
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    qtree, q_scales = quant.quantize_params(params, min_elems=1)
+    assert q_scales
+    model = UNet2DConditionModel(UNetConfig.tiny())
+
+    def q_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32):
+            return model.apply({"params": p}, sample, t, ctx)
+
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
+        remat_unet=False, student_overlay=True,
+    )
+    step = esd.make_esd_train_step(q_apply, sites, scheduler, schedule, opt, ecfg)
+    lp = jax.tree.map(jnp.copy, lora_params)
+    opt_state = opt.init(jax.tree.map(jnp.copy, lora_params))
+    initial = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)
+    q_losses = []
+    for i in range(3):
+        lp, opt_state, metrics = step(qtree, lp, opt_state, jax.random.PRNGKey(40 + i), bank)
+        q_losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in q_losses)
+    moved = jax.tree.reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: np.asarray(a) - b, lp, initial), 0.0,
+    )
+    assert moved > 0
+
+    # reference: merged path over the dequantized base — int8 rounding only
+    deq = quant.dequantize_params(qtree, q_scales, jnp.float32)
+    ref_ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1, remat_unet=False
+    )
+    ref_step = esd.make_esd_train_step(unet_apply, sites, scheduler, schedule, opt, ref_ecfg)
+    rlp = jax.tree.map(jnp.copy, lora_params)
+    r_opt = opt.init(jax.tree.map(jnp.copy, lora_params))
+    r_losses = []
+    for i in range(3):
+        rlp, r_opt, metrics = ref_step(deq, rlp, r_opt, jax.random.PRNGKey(40 + i), bank)
+        r_losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(q_losses, r_losses, rtol=0.05, atol=1e-6)
