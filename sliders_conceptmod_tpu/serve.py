@@ -2,9 +2,11 @@
 
 The reference has no serving story (single-GPU scripts only); this closes
 the deployment loop for the TPU build: models load once, the two-phase
-sampler compiles once, and each request pays only embedding encode + an
-adapter merge + the cached jitted sampler call. Slider scale is a merge-time
-scalar, so arbitrary float scales hit the same executable.
+sampler compiles once, and each request pays only embedding encode + the
+cached jitted sampler call. The slider scale rides the jit signature as a
+traced per-row LoRA-overlay multiplier (both families), so arbitrary float
+scales hit the same executable and no merged param tree is ever
+materialized.
 
   python -m sliders_conceptmod_tpu.serve --base tiny-xl --slider s.safetensors --port 8500
 
@@ -31,18 +33,33 @@ import jax.numpy as jnp
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.cli.generate_images_xl import infer_network_settings, settings_from_checkpoint
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
-from sliders_conceptmod_tpu.infer.generate import flip_step_for_start_noise, latents_to_images, sample_loop
+from sliders_conceptmod_tpu.infer.generate import (
+    flip_step_for_start_noise,
+    latents_to_images,
+    sample_loop_scales,
+)
 from sliders_conceptmod_tpu.models import factory
 
 
 class SliderService:
-    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25, start_noise: float = 750):
+    """SDXL slider serving: two-phase DDIM sampler with the slider applied
+    through the apply-time LoRA overlay — the scale rides the jit signature
+    as a (1,)-row multiplier, so EVERY float scale hits one executable and no
+    merged tree (5.1 GB at SDXL scale) is ever materialized. The pre-flip
+    structure-preservation phase (reference generate_images_xl.py:324-328) is
+    a traced gate inside the sampler. ``quantize_base``/``w8a8``: int8 frozen
+    UNet Dense kernels / + per-token int8 activations (adapters/quant.py)."""
+
+    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
+                 start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
         (self.tokenizers, self.text_encoders, self.unet, self.scheduler, self.vae) = factory.load_models_xl(
-            base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True
+            base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True,
+            quantize_base=quantize_base or w8a8,
         )
+        self.unet.act_quant = bool(w8a8)
         train_method, network_type, rank, alpha = infer_network_settings(slider_path)
         exact = settings_from_checkpoint(slider_path)
         if exact is not None:
@@ -60,14 +77,18 @@ class SliderService:
         self.flip = flip_step_for_start_noise(self.schedule, start_noise)
         unet_apply = self.unet.apply_fn()
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
+        sites = self.sites
 
         @jax.jit
-        def _sample(params_base, params_slider, latents, text_emb, added, key, guidance):
+        def _sample(params_base, lp, scale_vec, latents, text_emb, added, key, guidance):
             # base params through the SIGNATURE: closure capture baked the
             # 5.13GB frozen UNet into the executable as constants (repo
-            # convention — see CLAUDE.md)
-            return sample_loop(
-                unet_apply, params_base, params_slider, flip, scheduler, schedule,
+            # convention — see CLAUDE.md). The slider scale is a traced (1,)
+            # row multiplier — overlay ≡ merge up to bf16 rounding
+            # (tests/test_lora_overlay.py), so any float scale reuses this
+            # one executable with no merged-tree materialization.
+            return sample_loop_scales(
+                unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
                 latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
             )
 
@@ -91,34 +112,7 @@ class SliderService:
 
         self._encode_jit = _encode_jit
         self._embed_cache = {}
-        # merged-params LRU: the per-request adapter merge materializes a full
-        # bf16 copy of the UNet (5.1 GB at SDXL scale) — sweep workloads reuse
-        # a handful of scales, so cache the most recent merges. Capacity 2
-        # keeps base + 2 merged trees inside v5e HBM.
-        import threading
-
-        self._merged_cache: "dict[float, object]" = {}
-        self._merged_capacity = 2
-        self._merged_lock = threading.Lock()  # ThreadingHTTPServer workers share the cache
         self.load_seconds = time.time() - t0
-
-    def _merged_for_scale(self, scale: float):
-        if scale == 0.0:
-            return self.unet.params  # scale 0 ≡ base — skip the merge entirely
-        with self._merged_lock:
-            if scale in self._merged_cache:
-                merged = self._merged_cache.pop(scale)
-            else:
-                merged = lora_lib.merge_lora_params(
-                    self.unet.params, self.sites, self.lora_params, scale
-                )
-                while len(self._merged_cache) >= self._merged_capacity:
-                    # evict the least-recently-used entry (dict order = insert
-                    # order; adapted leaves are freed by GC — unadapted leaves
-                    # alias the base tree, so never delete() explicitly)
-                    self._merged_cache.pop(next(iter(self._merged_cache)))
-            self._merged_cache[scale] = merged  # reinsert = most-recent
-            return merged
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
@@ -146,9 +140,9 @@ class SliderService:
             jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
             * self.schedule.init_noise_sigma
         ).astype(jnp.bfloat16)
-        merged = self._merged_for_scale(scale)
         final = self._sample(
-            self.unet.params, merged, latents, emb, added, jax.random.PRNGKey(seed), guidance
+            self.unet.params, self.lora_params, jnp.asarray([scale], jnp.float32),
+            latents, emb, added, jax.random.PRNGKey(seed), guidance,
         )
         img = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)[0]
         from PIL import Image
@@ -315,12 +309,13 @@ def main():
     )
     ap.add_argument(
         "--quantize_base", action="store_true",
-        help="flux only: int8 frozen base — full-depth schnell serves from one 16 GB v5e",
+        help="int8 frozen base (adapters/quant.py) — full-depth flux-schnell "
+        "serves from one 16 GB v5e; on xl it frees ~2.1 GiB HBM",
     )
     ap.add_argument(
         "--w8a8", action="store_true",
-        help="flux only: W8A8 — per-token dynamic int8 activations on top of "
-        "the int8 base; MXU matmuls at 2× the bf16 rate (implies --quantize_base)",
+        help="W8A8 — per-token dynamic int8 activations on top of the int8 "
+        "base; MXU matmuls at 2× the bf16 rate (implies --quantize_base)",
     )
     args = ap.parse_args()
 
@@ -337,6 +332,7 @@ def main():
             args.base, args.slider, args.image_size,
             args.steps if args.steps is not None else 25,
             args.start_noise if args.start_noise is not None else 750,
+            quantize_base=args.quantize_base, w8a8=args.w8a8,
         )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
     print(f"slider server on :{args.port} (models loaded in {service.load_seconds:.1f}s)")

@@ -1,8 +1,11 @@
-"""SliderService — load-once serving with the merged-params LRU (serve.py).
+"""SliderService — load-once serving via the traced-scale overlay (serve.py).
 
-Tiny weightless family end-to-end: PNG bytes out, scale-0 fast path aliases
-the base tree, LRU insert/evict order, and cache hits skip the merge.
+Tiny weightless family end-to-end: PNG bytes out, every float scale reuses
+ONE executable (no merged trees), scale actually changes the image, and the
+W8A8 flag plumbs through.
 """
+
+import numpy as np
 
 import jax
 import pytest
@@ -18,8 +21,11 @@ def service(tmp_path_factory):
     _, _, unet, _ = factory.load_models_xl("tiny-xl")
     sites = lora_lib.create_sites(unet.params, rank=2, alpha=1.0, train_method="full")
     lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    # fresh init has zero up-factors (delta ≡ 0 at any scale) — shift them so
+    # the slider visibly bites; start_noise above t0 keeps it on all steps
+    lp = jax.tree.map(lambda a: a + 0.1, lp)
     lora_lib.save_weights(path, sites, lp)
-    return SliderService("tiny-xl", str(path), image_size=64, steps=2)
+    return SliderService("tiny-xl", str(path), image_size=64, steps=2, start_noise=1100)
 
 
 def test_generate_returns_png(service):
@@ -27,21 +33,35 @@ def test_generate_returns_png(service):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
-def test_scale_zero_fast_path(service):
-    assert service._merged_for_scale(0.0) is service.unet.params
-    assert 0.0 not in service._merged_cache
+def test_xl_scale_changes_output_one_executable(service):
+    """The traced-scale overlay: arbitrary float scales hit the SAME compiled
+    sampler (no merged trees, no per-scale recompiles) and still change the
+    image."""
+    n0 = service._sample._cache_size()
+    a = service.generate("a cat", scale=-3.0, seed=3, guidance=7.5)
+    b = service.generate("a cat", scale=3.0, seed=3, guidance=7.5)
+    c = service.generate("a cat", scale=0.7321, seed=3, guidance=7.5)
+    assert a != b  # same seed, different slider scale -> different image
+    assert c[:8] == b"\x89PNG\r\n\x1a\n"
+    assert service._sample._cache_size() == max(n0, 1)  # one executable for all scales
 
 
-def test_lru_insert_and_evict(service):
-    service._merged_cache.clear()
-    for s in (1.0, -1.0, 2.0):
-        service._merged_for_scale(s)
-    # capacity 2: 1.0 evicted, order oldest->newest
-    assert list(service._merged_cache) == [-1.0, 2.0]
-    # hit refreshes recency
-    cached = service._merged_cache[-1.0]
-    assert service._merged_for_scale(-1.0) is cached
-    assert list(service._merged_cache) == [2.0, -1.0]
+def test_xl_w8a8_service_smoke(tmp_path_factory):
+    """--w8a8 on the XL service: flag plumbs to the bundle; tiny kernels sit
+    below QUANT_MIN_ELEMS so this smokes the wiring end-to-end."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.serve import SliderService
+
+    path = tmp_path_factory.mktemp("serve_w8a8") / "slider.safetensors"
+    _, _, unet, _ = factory.load_models_xl("tiny-xl")
+    sites = lora_lib.create_sites(unet.params, rank=2, alpha=1.0, train_method="full")
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lora_lib.save_weights(path, sites, lp)
+    svc = SliderService("tiny-xl", str(path), image_size=64, steps=2, w8a8=True)
+    assert svc.unet.act_quant
+    png = svc.generate("a cat", scale=1.0, seed=3, guidance=7.5)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
 @pytest.fixture(scope="module")
