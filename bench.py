@@ -764,8 +764,11 @@ def main():
     # streaming bound (BASELINE.md phase table), so halving the streamed
     # bytes on the Dense majority (87% of SDXL params) is a train-perf A/B.
     # Student through the overlay (ESDConfig.student_overlay), matching the
-    # tpu.quantize_base trainer path. w8a8 degrades to weight-only (training).
+    # tpu.quantize_base trainer path. BENCH_QUANT=w8a8 additionally runs the
+    # GRADIENT-STOPPED warm-up chain with int8 activations (int8×int8 MXU at
+    # 2× bf16 — tpu.w8a8_warmup); teacher/student stay weight-only.
     qmode = quant_mode()
+    warm_apply = None
     if qmode != "off":
         from sliders_conceptmod_tpu.adapters import quant
 
@@ -774,6 +777,12 @@ def main():
         def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
             with quant.quant_overlay(q_scales, compute_dtype=dtype):
                 return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+        if qmode == "w8a8":
+
+            def warm_apply(p, sample, t, ctx, added_cond_kwargs=None):
+                with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=True):
+                    return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
     else:
         params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
@@ -838,6 +847,7 @@ def main():
         ecfg,
         add_time_ids=None if pooled_dim is None else jnp.asarray(get_add_time_ids(res, res)),
         merge_fn=merge_fn,
+        warm_apply=warm_apply,
     )
     opt_state = opt.init(lora_params)
 
@@ -875,7 +885,7 @@ def main():
     if pipeline:
         metric += "_pipelined"
     if qmode != "off":
-        metric += "_int8base"
+        metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
     if peft != "lora":
         metric += f"_{peft}"
     if os.environ.get("BENCH_FUSE_TS", "0") == "1":

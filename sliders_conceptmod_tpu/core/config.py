@@ -113,10 +113,18 @@ class TPUConfig(BaseModel):
     # stream; LoRA + guidance==1 + samples_per_step==1 only)
     fuse_teacher_student: bool = False
     # store the FROZEN base as symmetric per-column int8 (adapters/quant.py,
-    # QLoRA-style): full-depth Flux-schnell (23.8 GB bf16) fits one 16 GB
-    # v5e at 11.9 GB. Flux trainer only; the student LoRA runs through the
-    # apply-time overlay so the int8 base is never merged into.
+    # QLoRA-style). Flux/SD3: full-depth Flux-schnell (23.8 GB bf16) fits one
+    # 16 GB v5e at 11.9 GB. SD1/SDXL text sliders: a weight-streaming perf
+    # lever (the ESD step is streaming-bound — BASELINE.md). The student LoRA
+    # runs through the apply-time overlay so the int8 base is never merged
+    # into; trainers that must merge (image-pair, cascade) refuse the knob.
     quantize_base: bool = False
+    # W8A8 on the GRADIENT-STOPPED warm-up chain only (requires
+    # quantize_base; SD1/SDXL trainers): per-token int8 activations +
+    # int8×int8 MXU matmuls at 2× the bf16 rate on the latency-bound warm-up
+    # section. DEVIATION when on: warm-up context latents carry ~1-2 %
+    # per-layer rounding noise; teacher and student stay weight-only exact.
+    w8a8_warmup: bool = False
 
 
 class RootConfig(BaseModel):

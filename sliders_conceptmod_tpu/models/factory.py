@@ -68,7 +68,7 @@ class UNetBundle:
     # MXU matmuls at 2× the bf16 rate (adapters/quant.py)
     act_quant: bool = False
 
-    def apply_fn(self) -> Callable:
+    def apply_fn(self, act_quant: Optional[bool] = None) -> Callable:
         model = self.model
 
         def unet_apply(params, sample, t, ctx, added_cond_kwargs=None):
@@ -78,7 +78,10 @@ class UNetBundle:
             from sliders_conceptmod_tpu.adapters import quant
 
             return quant.wrap_apply(
-                unet_apply, self.quant_scales, self.model.dtype, act_quant=self.act_quant
+                unet_apply,
+                self.quant_scales,
+                self.model.dtype,
+                act_quant=self.act_quant if act_quant is None else act_quant,
             )
         return unet_apply
 

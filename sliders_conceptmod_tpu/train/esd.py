@@ -184,9 +184,21 @@ def make_esd_train_step(
     cfg: ESDConfig,
     add_time_ids: Optional[jnp.ndarray] = None,  # [1, 6] for XL
     merge_fn=None,  # adapter merge (LoRA default; DoRA passes its own)
+    warm_apply: Optional[Callable] = None,
 ):
     """Build the jitted step: (base_params, lora_params, opt_state, key,
-    bank) → (lora_params, opt_state, metrics)."""
+    bank) → (lora_params, opt_state, metrics).
+
+    ``warm_apply``: alternative UNet apply for the GRADIENT-STOPPED warm-up
+    chain only (reference :209-231 — it just synthesizes the partially
+    denoised context latents). The tpu.w8a8_warmup knob passes a W8A8
+    (per-token int8 activations, int8×int8 MXU) apply here: the warm-up is
+    the latency-bound section of the step (BASELINE.md phase table) and
+    carries no gradients, so activation rounding is legal — while the
+    teacher (sets the regression target) and student (takes the grads) keep
+    the exact weight-only path. DEVIATION: warm-up context latents then
+    carry ~1-2 % per-layer rounding noise vs the reference's fp trajectory;
+    opt-in only."""
 
     is_xl = add_time_ids is not None
     b = cfg.batch_size
@@ -219,6 +231,11 @@ def make_esd_train_step(
 
     if cfg.student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
         raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
+    if warm_apply is not None and not cfg.student_overlay:
+        # a distinct warm-up apply implies a quantized base — the merged-tree
+        # warm-up would hand it full-precision params it can't interpret
+        raise ValueError("warm_apply requires student_overlay=True (quantized base)")
+    warmup_apply = warm_apply if warm_apply is not None else unet_apply
     overlay_one = jnp.ones((1,), jnp.float32)
 
     def _overlay_apply(apply, lp):
@@ -377,14 +394,14 @@ def make_esd_train_step(
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
         if cfg.student_overlay:
-            warm_apply = _overlay_apply(unet_apply, jax.lax.stop_gradient(lora_params))
-            warm_params = base_params
+            w_apply = _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params))
+            w_params = base_params
         else:
-            warm_apply = unet_apply
-            warm_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+            w_apply = unet_apply
+            w_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
         denoised = denoise_partial(
-            warm_apply,
-            warm_params,
+            w_apply,
+            w_params,
             scheduler,
             schedule,
             latents0,
@@ -491,14 +508,14 @@ def make_esd_train_step(
             }
 
         if cfg.student_overlay:
-            warm_apply = _overlay_apply(unet_apply, jax.lax.stop_gradient(lora_params))
-            warm_params = base_params
+            w_apply = _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params))
+            w_params = base_params
         else:
-            warm_apply = unet_apply
-            warm_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+            w_apply = unet_apply
+            w_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
         denoised = denoise_partial_per_row(
-            warm_apply,
-            warm_params,
+            w_apply,
+            w_params,
             scheduler,
             schedule,
             latents0,

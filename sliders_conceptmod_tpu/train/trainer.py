@@ -85,6 +85,11 @@ def train(
             "DoRA's norm decomposition — use peft_type='lora' or "
             "quantize_base: false."
         )
+    # tpu.w8a8_warmup: W8A8 (int8 MXU matmuls) on the gradient-stopped
+    # warm-up chain only — teacher/student stay weight-only exact
+    w8a8_warmup = bool(getattr(tpu_cfg, "w8a8_warmup", False))
+    if w8a8_warmup and not quantize_base:
+        raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)
@@ -222,6 +227,8 @@ def train(
             ecfg,
             add_time_ids=add_tids,
             merge_fn=merge_fn,
+            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup)
+            warm_apply=unet.apply_fn(act_quant=True) if w8a8_warmup else None,
         )
 
     if dynamic_resolution:

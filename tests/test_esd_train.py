@@ -519,3 +519,58 @@ def test_student_overlay_over_quantized_base():
         rlp, r_opt, metrics = ref_step(deq, rlp, r_opt, jax.random.PRNGKey(40 + i), bank)
         r_losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(q_losses, r_losses, rtol=0.05, atol=1e-6)
+
+
+def test_w8a8_warmup_step():
+    """tpu.w8a8_warmup: the gradient-stopped warm-up runs W8A8 (int8
+    activations over the int8 base) while teacher/student stay weight-only —
+    the step trains (finite, moving params) and losses stay near the
+    weight-only quantized run (warm-up rounding shifts the context latents
+    only)."""
+    from sliders_conceptmod_tpu.adapters import quant
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    qtree, q_scales = quant.quantize_params(params, min_elems=1)
+    model = UNet2DConditionModel(UNetConfig.tiny())
+
+    def q_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32):
+            return model.apply({"params": p}, sample, t, ctx)
+
+    def w_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32, act_quant=True):
+            return model.apply({"params": p}, sample, t, ctx)
+
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
+        remat_unet=False, student_overlay=True,
+    )
+    losses = {}
+    for warm in (None, w_apply):
+        step = esd.make_esd_train_step(
+            q_apply, sites, scheduler, schedule, opt, ecfg, warm_apply=warm
+        )
+        lp = jax.tree.map(jnp.copy, lora_params)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lora_params))
+        ls = []
+        for i in range(3):
+            lp, opt_state, metrics = step(qtree, lp, opt_state, jax.random.PRNGKey(60 + i), bank)
+            ls.append(float(metrics["loss"]))
+        losses["w8a8" if warm is not None else "w8"] = ls
+    assert all(np.isfinite(l) for l in losses["w8a8"])
+    # warm-up rounding perturbs the denoised context, not the loss formula —
+    # per-step losses must stay the same order of magnitude
+    a, b = np.asarray(losses["w8a8"]), np.asarray(losses["w8"])
+    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
+
+
+def test_warm_apply_requires_student_overlay():
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+    ecfg = esd.ESDConfig(max_denoising_steps=MAX_STEPS, height=64, width=64, remat_unet=False)
+    with pytest.raises(ValueError, match="student_overlay"):
+        esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt, ecfg, warm_apply=unet_apply
+        )
