@@ -27,9 +27,11 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
 def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, save_file: bool = True, resume_from=None):
-    if getattr(getattr(config, "tpu", None), "quantize_base", False):
+    if getattr(getattr(config, "tpu", None), "quantize_base", False) or getattr(
+        getattr(config, "tpu", None), "w8a8_warmup", False
+    ):
         raise NotImplementedError(
-            "tpu.quantize_base is supported by the text-slider trainers "
+            "tpu.quantize_base / tpu.w8a8_warmup are supported by the text-slider trainers "
             "(train_lora/_xl/_sd3/_flux); the image-pair trainer merges ±scale "
             "into the base per step — set quantize_base: false."
         )

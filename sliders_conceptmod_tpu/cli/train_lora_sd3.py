@@ -35,6 +35,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     # tpu.quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
     # class bases fit one v5e; the student LoRA runs via the apply-time overlay
     quantize_base = bool(getattr(config.tpu, "quantize_base", False))
+    if getattr(config.tpu, "w8a8_warmup", False):
+        raise NotImplementedError(
+            "tpu.w8a8_warmup is a SD1/SDXL text-slider lever (train/esd.py "
+            "warm_apply); this trainer's step has no W8A8 warm-up path — set "
+            "w8a8_warmup: false."
+        )
     if quantize_base and peft_type == "dora":
         raise NotImplementedError(
             "tpu.quantize_base requires full-precision base magnitudes for "

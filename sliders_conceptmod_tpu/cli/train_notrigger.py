@@ -43,9 +43,11 @@ def train(
     on_step_complete=None,
     resume_from=None,
 ):
-    if getattr(getattr(config, "tpu", None), "quantize_base", False):
+    if getattr(getattr(config, "tpu", None), "quantize_base", False) or getattr(
+        getattr(config, "tpu", None), "w8a8_warmup", False
+    ):
         raise NotImplementedError(
-            "tpu.quantize_base quantizes a frozen diffusion transformer; the "
+            "tpu.quantize_base / tpu.w8a8_warmup quantize a frozen diffusion transformer; the "
             "notrigger trainer touches only text encoders — set "
             "quantize_base: false."
         )

@@ -111,7 +111,6 @@ class SliderService:
             return text, pooled
 
         self._encode_jit = _encode_jit
-        self._embed_cache = {}
         self.load_seconds = time.time() - t0
 
     @functools.lru_cache(maxsize=256)

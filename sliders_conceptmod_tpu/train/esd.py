@@ -248,6 +248,14 @@ def make_esd_train_step(
 
         return fn
 
+    def _warmup_apply_params(base_params, lora_params):
+        """(apply, params) for the gradient-stopped warm-up — ONE place so the
+        per-sample and fused paths cannot desync (the same rule that keeps
+        teacher_and_loss shared)."""
+        if cfg.student_overlay:
+            return _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params)), base_params
+        return unet_apply, jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+
     def fused_teacher_student_loss(
         base_params, denoised, current_t, role_text, role_pooled, g_pair, sign, tids=None
     ):
@@ -393,12 +401,7 @@ def make_esd_train_step(
         cfg_rows, xl_kwargs = _pair_closures(text, pooled, tids)
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
-        if cfg.student_overlay:
-            w_apply = _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params))
-            w_params = base_params
-        else:
-            w_apply = unet_apply
-            w_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        w_apply, w_params = _warmup_apply_params(base_params, lora_params)
         denoised = denoise_partial(
             w_apply,
             w_params,
@@ -507,12 +510,7 @@ def make_esd_train_step(
                 "time_ids": jnp.tile(tids_s, (2, 1)),
             }
 
-        if cfg.student_overlay:
-            w_apply = _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params))
-            w_params = base_params
-        else:
-            w_apply = unet_apply
-            w_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        w_apply, w_params = _warmup_apply_params(base_params, lora_params)
         denoised = denoise_partial_per_row(
             w_apply,
             w_params,

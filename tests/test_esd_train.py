@@ -574,3 +574,39 @@ def test_warm_apply_requires_student_overlay():
         esd.make_esd_train_step(
             unet_apply, sites, scheduler, schedule, opt, ecfg, warm_apply=unet_apply
         )
+
+
+def test_student_overlay_grads_under_remat():
+    """The production SDXL>512px quantize_base configuration: grads flow
+    through lora_overlay's closed-over lp INSIDE jax.checkpoint (remat_unet
+    with the dots-saveable policy). Equivalent losses to the no-remat overlay
+    step and non-zero movement (remat must not silence the closure grads)."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(True)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    add_tids = jnp.asarray(get_add_time_ids(64, 64))
+
+    losses = {}
+    moved = {}
+    for remat in (False, True):
+        ecfg = esd.ESDConfig(
+            max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
+            remat_unet=remat, student_overlay=True,
+        )
+        step = esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt, ecfg, add_time_ids=add_tids
+        )
+        lp = jax.tree.map(jnp.copy, lora_params)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lora_params))
+        initial = jax.tree.map(lambda a: np.asarray(a).copy(), lora_params)
+        ls = []
+        for i in range(2):
+            lp, opt_state, metrics = step(params, lp, opt_state, jax.random.PRNGKey(80 + i), bank)
+            ls.append(float(metrics["loss"]))
+        losses[remat] = ls
+        moved[remat] = jax.tree.reduce(
+            lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+            jax.tree.map(lambda a, b: np.asarray(a) - b, lp, initial), 0.0,
+        )
+    assert moved[True] > 0  # remat did not zero the closure grads
+    # remat recomputes, never changes math
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4, atol=1e-7)

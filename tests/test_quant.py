@@ -295,8 +295,11 @@ def test_factory_quantize_base_weightless():
 
 
 def test_unsupported_trainers_reject_quantize_base():
-    """Families whose step merges into the base refuse tpu.quantize_base
-    loudly instead of silently ignoring the knob."""
+    """Families whose step merges into the base refuse tpu.quantize_base /
+    tpu.w8a8_warmup loudly instead of silently ignoring the knobs. (The
+    SD1/SDXL text-slider trainer ACCEPTS quantize_base since r2 — it is the
+    weight-streaming perf lever there, covered by
+    tests/test_esd_train.py::test_student_overlay_over_quantized_base.)"""
     import pytest
 
     from sliders_conceptmod_tpu.core import config as config_util
@@ -308,13 +311,31 @@ def test_unsupported_trainers_reject_quantize_base():
 
     from sliders_conceptmod_tpu.train import trainer as sd_trainer
 
-    with pytest.raises(NotImplementedError, match="quantize_base"):
-        sd_trainer.train(cfg, prompts, rank=2, save_file=False)
+    # SD1/SDXL: DoRA still refuses (needs full-precision base magnitudes)
+    with pytest.raises(NotImplementedError, match="DoRA"):
+        sd_trainer.train(cfg, prompts, rank=2, save_file=False, peft_type="dora")
+    # w8a8_warmup without quantize_base refuses
+    cfg_w = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg_w.tpu.w8a8_warmup = True
+    with pytest.raises(ValueError, match="w8a8_warmup"):
+        sd_trainer.train(cfg_w, prompts, rank=2, save_file=False)
 
     from sliders_conceptmod_tpu.cli import train_lora_cascade
 
     with pytest.raises(NotImplementedError, match="quantize_base"):
         train_lora_cascade.train(cfg, prompts, rank=2, save_file=False)
+    # w8a8_warmup alone is refused just as loudly (no silent ignore)
+    with pytest.raises(NotImplementedError, match="w8a8_warmup"):
+        train_lora_cascade.train(cfg_w, prompts, rank=2, save_file=False)
+
+    # flux/sd3 trainers: w8a8_warmup has no step path — loud refusal
+    from sliders_conceptmod_tpu.cli import train_lora_flux
+
+    cfg_f = config_util.load_config_from_yaml("data/config-tiny-flux.yaml")
+    cfg_f.tpu.quantize_base = True
+    cfg_f.tpu.w8a8_warmup = True
+    with pytest.raises(NotImplementedError, match="w8a8_warmup"):
+        train_lora_flux.train(cfg_f, prompts, rank=2, save_file=False)
 
 
 def test_quantize_checkpoint_artifact_roundtrip(tmp_path):
