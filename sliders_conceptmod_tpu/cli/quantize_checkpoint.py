@@ -5,8 +5,10 @@ quantized-base path at all): host-quantizing a full-depth Flux checkpoint
 costs minutes of single-core CPU at every process start; this does it once.
 The artifact (io/quant_cache.py, int8 kernels + fp32 per-column scales in
 one safetensors file, ~half the bytes of bf16) loads directly in
-``load_models_flux`` / ``load_models_sd3`` / serving by passing it as the
-base path.
+``load_models_flux`` / ``load_models_sd3`` / ``load_models_xl`` /
+``load_models`` / serving by passing it as the base path (the UNet families
+store only the diffusion model — text towers/VAE init weightless unless you
+point the CLIs at a real checkpoint dir).
 
   python -m sliders_conceptmod_tpu.cli.quantize_checkpoint \\
       --base /ckpts/flux-schnell --family flux --out flux-schnell.int8.safetensors
@@ -28,8 +30,12 @@ def run(args):
         _, _, bundle, _ = factory.load_models_flux(args.base, weight_dtype=dtype, quantize_base=True)
     elif args.family == "sd3":
         _, _, bundle, _ = factory.load_models_sd3(args.base, weight_dtype=dtype, quantize_base=True)
+    elif args.family == "xl":
+        _, _, bundle, _ = factory.load_models_xl(args.base, weight_dtype=dtype, quantize_base=True)
+    elif args.family == "sd1":
+        _, _, bundle, _ = factory.load_models(args.base, weight_dtype=dtype, quantize_base=True)
     else:
-        raise SystemExit(f"--family must be flux or sd3, got {args.family}")
+        raise SystemExit(f"--family must be flux, sd3, xl or sd1, got {args.family}")
     if bundle.quant_scales is None:
         raise SystemExit("loader returned no quantization scales — nothing to save")
     quant_cache.save_quantized(
@@ -43,7 +49,7 @@ def run(args):
 def build_parser():
     p = argparse.ArgumentParser(prog="quantizeCheckpoint")
     p.add_argument("--base", required=True, help="checkpoint dir / single file / weightless keyword")
-    p.add_argument("--family", choices=["flux", "sd3"], required=True)
+    p.add_argument("--family", choices=["flux", "sd3", "xl", "sd1"], required=True)
     p.add_argument("--out", required=True, help="output .int8.safetensors path")
     p.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     return p

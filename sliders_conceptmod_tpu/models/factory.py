@@ -317,7 +317,31 @@ def load_models(
     ``quantize_base``: int8 UNet Dense kernels (tpu.quantize_base — a
     weight-streaming perf knob on this family; see UNetBundle)."""
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
+        from sliders_conceptmod_tpu.io import quant_cache
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
+
+        if quant_cache.is_quantized_artifact(name_or_path):
+            # int8 artifact (cli/quantize_checkpoint --family sd1): UNet only —
+            # text tower/VAE init weightless
+            tiny = "tiny" in os.path.basename(str(name_or_path)).lower()
+            unet_cfg = UNetConfig.tiny() if tiny else (UNetConfig.sd21() if v2 else UNetConfig.sd15())
+            clip_cfg = (
+                CLIPTextConfig.tiny()
+                if tiny
+                else (CLIPTextConfig.sd2_te() if v2 else CLIPTextConfig.sd15_te())
+            )
+            q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
+            unet = UNetBundle(
+                UNet2DConditionModel(unet_cfg, dtype=weight_dtype), q_params, unet_cfg,
+                quant_scales=q_scales,
+            )
+            te = _load_or_init_text_encoder("", "text_encoder", clip_cfg, weight_dtype, "tokenizer")
+            scheduler = create_noise_scheduler(
+                scheduler_name, prediction_type="v_prediction" if v_pred else "epsilon"
+            )
+            if with_vae:
+                return te.tokenizer, te, _load_or_init_vae("", "sd", weight_dtype), unet, scheduler
+            return te.tokenizer, te, unet, scheduler
 
         trees = load_ldm_checkpoint(str(name_or_path))
         if "tiny" in os.path.basename(str(name_or_path)).lower():
@@ -404,10 +428,38 @@ def load_models_xl(
     are int8-eligible, BASELINE.md table) for bigger batched
     sweeps (e.g. the 5-scale 1024px grid). Convs stay full precision."""
     if os.path.isfile(str(name_or_path)) and str(name_or_path).endswith((".ckpt", ".safetensors")):
+        from sliders_conceptmod_tpu.io import quant_cache
         from sliders_conceptmod_tpu.io.ldm_convert import load_ldm_checkpoint
 
-        trees = load_ldm_checkpoint(str(name_or_path))
         tiny = "tiny" in os.path.basename(str(name_or_path)).lower()
+        if quant_cache.is_quantized_artifact(name_or_path):
+            # int8 artifact (cli/quantize_checkpoint --family xl): UNet only —
+            # text towers + VAE init weightless (point --base at a directory
+            # or SGM single file for real towers)
+            unet_cfg = UNetConfig.tiny_xl() if tiny else UNetConfig.sdxl()
+            q_params, q_scales = quant_cache.load_quantized(str(name_or_path), dtype=weight_dtype)
+            unet = UNetBundle(
+                UNet2DConditionModel(unet_cfg, dtype=weight_dtype), q_params, unet_cfg,
+                quant_scales=q_scales,
+            )
+            te1_cfg = CLIPTextConfig.tiny(hidden_size=16) if tiny else CLIPTextConfig.sdxl_te1()
+            te2_cfg = (
+                CLIPTextConfig.tiny(hidden_size=16, projection_dim=32)
+                if tiny
+                else CLIPTextConfig.sdxl_te2()
+            )
+            te1 = _load_or_init_text_encoder("", "text_encoder", te1_cfg, weight_dtype, "tokenizer")
+            te2 = _load_or_init_text_encoder(
+                "", "text_encoder_2", te2_cfg, weight_dtype, "tokenizer_2", pad_token_id=0
+            )
+            out = ([te1.tokenizer, te2.tokenizer], [te1, te2], unet,
+                   create_noise_scheduler(scheduler_name))
+            if with_vae:
+                # same weightless choice as the dir path below (line ~504)
+                return out + (_load_or_init_vae("", "sdxl", weight_dtype),)
+            return out
+
+        trees = load_ldm_checkpoint(str(name_or_path))
         if tiny:
             te1_cfg = CLIPTextConfig.tiny(hidden_size=16)
             te2_cfg = CLIPTextConfig.tiny(hidden_size=16, projection_dim=32)

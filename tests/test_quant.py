@@ -572,3 +572,39 @@ def test_bundle_act_quant_flag_routes_w8a8():
     # but close: same model up to int8 activation rounding
     rel = np.linalg.norm(w8a8 - w_only) / max(np.linalg.norm(w_only), 1e-9)
     assert rel < 0.2, rel
+
+
+def test_quantize_checkpoint_artifact_xl_sd1(tmp_path):
+    """cli/quantize_checkpoint --family xl/sd1: the int8 UNet artifact
+    reloads through load_models_xl / load_models as a quantized bundle whose
+    kernels match the directly-quantized weightless family bit-for-bit
+    (same init seed). Filenames carry 'tiny' for the factory escape."""
+    from sliders_conceptmod_tpu.cli.quantize_checkpoint import build_parser, run
+    from sliders_conceptmod_tpu.models import factory
+
+    for family, base, loader in (
+        ("xl", "tiny-xl", lambda p: factory.load_models_xl(p, weight_dtype=jnp.bfloat16)),
+        ("sd1", "tiny", lambda p: factory.load_models(p, weight_dtype=jnp.bfloat16)),
+    ):
+        out = tmp_path / f"tiny-{family}.int8.safetensors"
+        run(build_parser().parse_args([
+            "--base", base, "--family", family, "--out", str(out)
+        ]))
+        assert out.exists()
+        _, _, unet_art, _ = loader(str(out))
+        assert unet_art.quant_scales is not None
+        # direct weightless quantized load for comparison
+        if family == "xl":
+            _, _, unet_ref, _ = factory.load_models_xl(
+                base, weight_dtype=jnp.bfloat16, quantize_base=True
+            )
+        else:
+            _, _, unet_ref, _ = factory.load_models(
+                base, weight_dtype=jnp.bfloat16, quantize_base=True
+            )
+        ref_flat = jax.tree.leaves(unet_ref.params)
+        art_flat = jax.tree.leaves(unet_art.params)
+        assert len(ref_flat) == len(art_flat)
+        for a, b in zip(ref_flat, art_flat):
+            assert a.shape == b.shape and a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
