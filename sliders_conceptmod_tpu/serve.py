@@ -41,6 +41,59 @@ from sliders_conceptmod_tpu.infer.generate import (
 from sliders_conceptmod_tpu.models import factory
 
 
+class MicroBatcher:
+    """Dynamic request micro-batching: concurrent requests that arrive within
+    a short window ride ONE batched sampler call. The v5e is latency-bound at
+    batch 1 (BASELINE.md phase table: batch-4 UNet fwd ≈ batch-1 cost), so
+    under concurrent load this approaches ``max_batch``× the single-stream
+    throughput for free. Single-request latency cost is bounded by
+    ``window_ms`` (paid only when a second request doesn't show up).
+
+    ``run_batch(items) -> results`` executes a whole batch; failures fan the
+    exception out to every waiting caller in the batch."""
+
+    def __init__(self, run_batch, max_batch: int = 4, window_ms: float = 8.0):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._run = run_batch
+        self.max_batch = int(max_batch)
+        self.window = float(window_ms) / 1000.0
+        self.batch_sizes: list = []  # observability: size of every batch run
+        threading.Thread(target=self._worker, daemon=True, name="microbatcher").start()
+
+    def submit(self, item):
+        from concurrent.futures import Future
+
+        fut: "Future" = Future()
+        self._q.put((item, fut))
+        return fut.result()
+
+    def _worker(self):
+        import queue
+
+        while True:
+            batch = [self._q.get()]  # block for the first request
+            deadline = time.time() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.batch_sizes.append(len(batch))
+            try:
+                results = self._run([item for item, _ in batch])
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # noqa: BLE001 — fan out to all waiters
+                for _, fut in batch:
+                    fut.set_exception(e)
+
+
 class SliderService:
     """SDXL slider serving: two-phase DDIM sampler with the slider applied
     through the apply-time LoRA overlay — the scale rides the jit signature
@@ -48,10 +101,14 @@ class SliderService:
     merged tree (5.1 GB at SDXL scale) is ever materialized. The pre-flip
     structure-preservation phase (reference generate_images_xl.py:324-328) is
     a traced gate inside the sampler. ``quantize_base``/``w8a8``: int8 frozen
-    UNet Dense kernels / + per-token int8 activations (adapters/quant.py)."""
+    UNet Dense kernels / + per-token int8 activations (adapters/quant.py).
+    ``microbatch``: concurrent requests ride one batched sampler call
+    (:class:`MicroBatcher`; rows are padded to {1,2,4}-size buckets so at
+    most three executables ever compile)."""
 
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
-                 start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False):
+                 start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
@@ -111,6 +168,11 @@ class SliderService:
             return text, pooled
 
         self._encode_jit = _encode_jit
+        self._batcher = (
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            if microbatch
+            else None
+        )
         self.load_seconds = time.time() - t0
 
     @functools.lru_cache(maxsize=256)
@@ -125,30 +187,64 @@ class SliderService:
         return text, pooled
 
     def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
-        text, pooled = self._encode(prompt)
-        text_u, pooled_u = self._encode("")
-        emb = jnp.concatenate([text_u, text], axis=0)
-        added = {
-            "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
-            "time_ids": jnp.tile(
-                jnp.asarray(get_add_time_ids(self.image_size, self.image_size)), (2, 1)
-            ),
-        }
-        res = self.image_size // 8
-        latents = (
-            jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
-            * self.schedule.init_noise_sigma
-        ).astype(jnp.bfloat16)
-        final = self._sample(
-            self.unet.params, self.lora_params, jnp.asarray([scale], jnp.float32),
-            latents, emb, added, jax.random.PRNGKey(seed), guidance,
-        )
-        img = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)[0]
+        if self._batcher is not None:
+            return self._batcher.submit((prompt, float(scale), int(seed), float(guidance)))
+        return self._generate_batch([(prompt, float(scale), int(seed), float(guidance))])[0]
+
+    # rows pad to the next bucket so at most len(_BUCKETS) executables compile
+    _BUCKETS = (1, 2, 4)
+
+    def _generate_batch(self, reqs) -> list:
+        """Run a list of (prompt, scale, seed, guidance) requests. Rows with
+        the SAME guidance ride one sampler call (guidance is a traced scalar
+        shared by the batch — the CFG combine is per-batch); mixed-guidance
+        batches split into sub-batches, which under real traffic (one default
+        guidance) almost never happens."""
         from PIL import Image
 
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
-        return buf.getvalue()
+        out: dict = {}
+        by_g: dict = {}
+        for i, r in enumerate(reqs):
+            by_g.setdefault(r[3], []).append((i, r))
+        for guidance, group in by_g.items():
+            n = len(group)
+            bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
+            padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
+
+            text_u, pooled_u = self._encode("")
+            conds = [self._encode(p) for p, _, _, _ in padded]
+            emb = jnp.concatenate(
+                [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
+            )
+            added = {
+                "text_embeds": jnp.concatenate(
+                    [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
+                ),
+                "time_ids": jnp.tile(
+                    jnp.asarray(get_add_time_ids(self.image_size, self.image_size)),
+                    (2 * bucket, 1),
+                ),
+            }
+            res = self.image_size // 8
+            latents = jnp.concatenate(
+                [
+                    jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
+                    for _, _, seed, _ in padded
+                ],
+                axis=0,
+            ) * self.schedule.init_noise_sigma
+            scales = jnp.asarray([s for _, s, _, _ in padded], jnp.float32)
+            final = self._sample(
+                self.unet.params, self.lora_params, scales,
+                latents.astype(jnp.bfloat16), emb, added,
+                jax.random.PRNGKey(padded[0][2]), guidance,
+            )
+            imgs = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
+            for (i, _), img in zip(group, imgs[:n]):
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                out[i] = buf.getvalue()
+        return [out[i] for i in range(len(reqs))]
 
 
 class FluxSliderService:
@@ -316,6 +412,16 @@ def main():
         help="W8A8 — per-token dynamic int8 activations on top of the int8 "
         "base; MXU matmuls at 2× the bf16 rate (implies --quantize_base)",
     )
+    ap.add_argument(
+        "--no_microbatch", action="store_true",
+        help="xl only: disable dynamic request micro-batching (concurrent "
+        "requests riding one batched sampler call; batch-4 ≈ batch-1 cost)",
+    )
+    ap.add_argument(
+        "--batch_window_ms", type=float, default=8.0,
+        help="xl only: micro-batch gather window — the max extra latency a "
+        "lone request pays waiting for company",
+    )
     args = ap.parse_args()
 
     family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
@@ -332,6 +438,7 @@ def main():
             args.steps if args.steps is not None else 25,
             args.start_noise if args.start_noise is not None else 750,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
+            microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
         )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
     print(f"slider server on :{args.port} (models loaded in {service.load_seconds:.1f}s)")

@@ -96,3 +96,77 @@ def test_flux_scale_changes_output(flux_service):
     a = flux_service.generate("a cat", scale=-4.0, seed=3, guidance=3.5)
     b = flux_service.generate("a cat", scale=4.0, seed=3, guidance=3.5)
     assert a != b  # same seed, different slider scale -> different image
+
+
+def test_microbatcher_gathers_and_routes():
+    """Concurrent submits within the window ride ONE run_batch call; results
+    route back to their callers in order; exceptions fan out."""
+    import threading
+    import time as _time
+
+    from sliders_conceptmod_tpu.serve import MicroBatcher
+
+    calls = []
+
+    def run_batch(items):
+        calls.append(list(items))
+        _time.sleep(0.02)
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run_batch, max_batch=4, window_ms=150.0)
+    results = {}
+
+    def client(x):
+        results[x] = mb.submit(x)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {1: 10, 2: 20, 3: 30}
+    assert len(calls) <= 2  # 3 concurrent submits gathered into 1 (rarely 2) runs
+    assert sum(len(c) for c in calls) == 3
+
+    def boom(items):
+        raise RuntimeError("sampler exploded")
+
+    mb2 = MicroBatcher(boom, max_batch=2, window_ms=1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="exploded"):
+        mb2.submit(1)
+
+
+def test_xl_batched_requests_match_solo(service):
+    """Three concurrent requests (mixed scales, same guidance) through the
+    micro-batched service return valid PNGs, and the batched path's padding
+    buckets never leak padded rows (each caller gets its own image)."""
+    import threading
+
+    outs = {}
+
+    def client(scale, seed):
+        outs[(scale, seed)] = service.generate("a cat", scale=scale, seed=seed, guidance=7.5)
+
+    threads = [
+        threading.Thread(target=client, args=args)
+        for args in ((-2.0, 3), (2.0, 3), (0.0, 9))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(v[:8] == b"\x89PNG\r\n\x1a\n" for v in outs.values())
+    # different scales at the same seed differ; so do different seeds
+    assert outs[(-2.0, 3)] != outs[(2.0, 3)]
+    assert outs[(0.0, 9)] != outs[(2.0, 3)]
+
+
+def test_xl_mixed_guidance_splits_groups(service):
+    """Mixed guidance values cannot share one CFG combine — the batch splits
+    into per-guidance sub-batches, each caller still gets a valid PNG."""
+    reqs = [("a cat", 1.0, 3, 7.5), ("a dog", 1.0, 4, 5.0), ("a cow", -1.0, 5, 7.5)]
+    outs = service._generate_batch(reqs)
+    assert len(outs) == 3
+    assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
