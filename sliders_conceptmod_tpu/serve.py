@@ -256,7 +256,8 @@ class FluxSliderService:
     (int8 frozen base, adapters/quant.py)."""
 
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
-                 start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False):
+                 start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
@@ -307,6 +308,11 @@ class FluxSliderService:
 
         if _os.path.isdir(_os.path.join(str(base), "vae")):
             self.vae = factory._load_or_init_vae(base, "flux", jnp.float32)
+        self._batcher = (
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            if microbatch
+            else None
+        )
         self.load_seconds = time.time() - t0
 
     @functools.lru_cache(maxsize=256)
@@ -315,34 +321,67 @@ class FluxSliderService:
         return text[None], pooled[None]
 
     def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
-        import numpy as np
+        if self._batcher is not None:
+            return self._batcher.submit((prompt, float(scale), int(seed), float(guidance)))
+        return self._generate_batch([(prompt, float(scale), int(seed), float(guidance))])[0]
 
-        text, pooled = self._encode(prompt)
-        latents = jax.random.normal(
-            jax.random.PRNGKey(seed),
-            (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
-        )
-        tokens = self._pack(latents).astype(jnp.bfloat16)
-        final = self._sample(
-            self.transformer.params, self.lora_params,
-            jnp.full((1,), scale, jnp.float32), tokens, text, pooled,
-            jnp.float32(guidance),
-        )
-        lat = self._unpack(final, self.gh * 2, self.gw * 2)
+    _BUCKETS = (1, 2, 4)
+
+    def _generate_batch(self, reqs) -> list:
+        """Micro-batched flow sampling: rows share the packed sampler call
+        (per-row slider scales); guidance is a traced per-batch scalar (the
+        dev distilled-guidance embedding value), so mixed guidances split
+        into sub-batches — see :meth:`SliderService._generate_batch`."""
+        import numpy as np
         from PIL import Image
 
-        if self.vae is not None:
-            from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
+        out: dict = {}
+        by_g: dict = {}
+        for i, r in enumerate(reqs):
+            by_g.setdefault(r[3], []).append((i, r))
+        for guidance, group in by_g.items():
+            n = len(group)
+            bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
+            padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
 
-            img = sd3_latents_to_images(self.vae.decode, lat, self.vae.config.scaling_factor, self.vae.config.shift_factor)[0]
-        else:
-            # weightless smoke: render the first 3 latent channels normalized
-            a = np.asarray(lat, np.float32)[0, :3]
-            a = (a - a.min()) / max(float(a.max() - a.min()), 1e-6)
-            img = np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="PNG")
-        return buf.getvalue()
+            conds = [self._encode(p) for p, _, _, _ in padded]
+            text = jnp.concatenate([t for t, _ in conds], axis=0)
+            pooled = jnp.concatenate([p for _, p in conds], axis=0)
+            latents = jnp.concatenate(
+                [
+                    jax.random.normal(
+                        jax.random.PRNGKey(seed),
+                        (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
+                    )
+                    for _, _, seed, _ in padded
+                ],
+                axis=0,
+            )
+            tokens = self._pack(latents).astype(jnp.bfloat16)
+            scales = jnp.asarray([s for _, s, _, _ in padded], jnp.float32)
+            final = self._sample(
+                self.transformer.params, self.lora_params, scales, tokens, text, pooled,
+                jnp.float32(guidance),
+            )
+            lat = self._unpack(final, self.gh * 2, self.gw * 2)
+            if self.vae is not None:
+                from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
+
+                imgs = sd3_latents_to_images(
+                    self.vae.decode, lat, self.vae.config.scaling_factor,
+                    self.vae.config.shift_factor,
+                )
+            else:
+                # weightless smoke: render the first 3 latent channels normalized
+                imgs = []
+                for row in np.asarray(lat, np.float32)[:, :3]:
+                    a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
+                    imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
+            for (i, _), img in zip(group, imgs[:n]):
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG")
+                out[i] = buf.getvalue()
+        return [out[i] for i in range(len(reqs))]
 
 
 def make_handler(service: SliderService):
@@ -414,13 +453,13 @@ def main():
     )
     ap.add_argument(
         "--no_microbatch", action="store_true",
-        help="xl only: disable dynamic request micro-batching (concurrent "
-        "requests riding one batched sampler call; batch-4 ≈ batch-1 cost)",
+        help="disable dynamic request micro-batching (concurrent requests "
+        "riding one batched sampler call; batch-4 ≈ batch-1 cost)",
     )
     ap.add_argument(
         "--batch_window_ms", type=float, default=8.0,
-        help="xl only: micro-batch gather window — the max extra latency a "
-        "lone request pays waiting for company",
+        help="micro-batch gather window — the max extra latency a lone "
+        "request pays waiting for company",
     )
     args = ap.parse_args()
 
@@ -431,6 +470,7 @@ def main():
             args.steps if args.steps is not None else 8,
             args.start_noise if args.start_noise is not None else 800,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
+            microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
         )
     else:
         service = SliderService(

@@ -170,3 +170,25 @@ def test_xl_mixed_guidance_splits_groups(service):
     outs = service._generate_batch(reqs)
     assert len(outs) == 3
     assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
+
+
+def test_flux_batched_requests(flux_service):
+    """Micro-batched flux service: concurrent requests (mixed scales) return
+    valid, per-caller-distinct PNGs through one packed sampler call."""
+    import threading
+
+    outs = {}
+
+    def client(scale, seed):
+        outs[(scale, seed)] = flux_service.generate("a cat", scale=scale, seed=seed, guidance=3.5)
+
+    threads = [
+        threading.Thread(target=client, args=args)
+        for args in ((-4.0, 3), (4.0, 3), (0.0, 9))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(v[:8] == b"\x89PNG\r\n\x1a\n" for v in outs.values())
+    assert outs[(-4.0, 3)] != outs[(4.0, 3)]
