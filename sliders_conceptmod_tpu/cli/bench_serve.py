@@ -1,0 +1,161 @@
+"""Load-bench the slider service: concurrent request throughput + latency.
+
+TPU deployment extension (no reference counterpart — the reference has no
+serving story at all). Fires ``--requests`` generations from
+``--concurrency`` client threads at an in-process service (default) or an
+already-running server (``--url``), and prints ONE JSON line with request
+throughput, latency percentiles, and the micro-batcher's observed batch
+sizes — the number that shows whether concurrent load actually rides the
+batched sampler call (BASELINE.md: batch-4 UNet fwd ≈ batch-1 cost on v5e,
+so the expected effect is ~``max_batch``× the single-stream req/s).
+
+  # in-process, tiny smoke (CPU):
+  PYTHONPATH= JAX_PLATFORMS=cpu python -m sliders_conceptmod_tpu.cli.bench_serve \\
+      --base tiny-xl --slider /tmp/slider.safetensors --image_size 64 --steps 2 \\
+      --requests 8 --concurrency 4
+
+  # against a running server:
+  python -m sliders_conceptmod_tpu.cli.bench_serve --url http://localhost:8500 \\
+      --requests 32 --concurrency 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+
+def _percentile(sorted_vals, q):
+    if not sorted_vals:
+        return 0.0
+    i = min(int(q * (len(sorted_vals) - 1) + 0.5), len(sorted_vals) - 1)
+    return sorted_vals[i]
+
+
+def run(args):
+    prompts = ["a photo of a person", "a photo of a car", "a photo of a room", "a photo of the sky"]
+    scales = [-2.0, -1.0, 0.0, 1.0, 2.0]
+
+    if args.slider == "synth" and not args.url:
+        # synthesize a random rank-4 slider matching --base (shape-only work:
+        # sites come from eval_shape'd params, only the small LoRA factors
+        # materialize) so the bench needs no pre-trained checkpoint
+        import tempfile
+
+        import jax
+        import jax.numpy as jnp
+
+        from sliders_conceptmod_tpu.adapters import lora as lora_lib
+        from sliders_conceptmod_tpu.models import factory
+
+        family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
+        if family == "flux":
+            _, _, bundle, _ = factory.load_models_flux(args.base, weight_dtype=jnp.bfloat16)
+            sites = lora_lib.create_sites(
+                bundle.params, rank=4, alpha=1.0, target_replace=["Attention"],
+                train_method="full", delimiter="-",
+            )
+        else:
+            _, _, bundle, _, _ = factory.load_models_xl(
+                args.base, weight_dtype=jnp.bfloat16, with_vae=True
+            )
+            sites = lora_lib.create_sites(
+                bundle.params, rank=4, alpha=1.0,
+                target_replace=lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER,
+                train_method="full",
+            )
+        lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+        lp = jax.tree.map(lambda a: a + 0.01, lp)
+        path = tempfile.mktemp(suffix="_bench_slider.safetensors")
+        lora_lib.save_weights(path, sites, lp)
+        del bundle, lp
+        args.slider = path
+
+    if args.url:
+        from urllib.parse import quote
+        from urllib.request import urlopen
+
+        def one(i):
+            p, s = prompts[i % len(prompts)], scales[i % len(scales)]
+            t0 = time.time()
+            body = urlopen(
+                f"{args.url}/generate?prompt={quote(p)}&scale={s}&seed={i}"
+                f"&guidance={args.guidance}",
+                timeout=600,
+            ).read()
+            assert body[:8] == b"\x89PNG\r\n\x1a\n", "non-PNG response"
+            return time.time() - t0
+
+        service = None
+    else:
+        family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
+        from sliders_conceptmod_tpu.serve import FluxSliderService, SliderService
+
+        cls = FluxSliderService if family == "flux" else SliderService
+        service = cls(
+            args.base, args.slider, args.image_size, args.steps,
+            microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+        )
+
+        def one(i):
+            p, s = prompts[i % len(prompts)], scales[i % len(scales)]
+            t0 = time.time()
+            png = service.generate(p, scale=s, seed=i, guidance=args.guidance)
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            return time.time() - t0
+
+    # warm-up: compile every padding bucket the run will hit (and the text
+    # towers) outside the timed window
+    with ThreadPoolExecutor(args.concurrency) as pool:
+        list(pool.map(one, range(min(args.concurrency, args.requests))))
+
+    t0 = time.time()
+    with ThreadPoolExecutor(args.concurrency) as pool:
+        lat = sorted(pool.map(one, range(args.requests)))
+    wall = time.time() - t0
+
+    out = {
+        "metric": "serve_requests_per_sec",
+        "value": round(args.requests / wall, 4),
+        "unit": "req/s",
+        "vs_baseline": 0.0,
+        "requests": args.requests,
+        "concurrency": args.concurrency,
+        "p50_s": round(_percentile(lat, 0.50), 3),
+        "p95_s": round(_percentile(lat, 0.95), 3),
+        "microbatch": not args.no_microbatch and not args.url,
+    }
+    if service is not None and getattr(service, "_batcher", None) is not None:
+        sizes = service._batcher.batch_sizes
+        out["mean_batch"] = round(sum(sizes) / max(len(sizes), 1), 2)
+    print(json.dumps(out))
+    return out
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="benchServe")
+    p.add_argument("--base", default="tiny-xl")
+    p.add_argument(
+        "--slider", default=None,
+        help="slider checkpoint; 'synth' synthesizes a random rank-4 slider "
+        "for --base (required unless --url)",
+    )
+    p.add_argument("--url", default=None, help="bench a running server instead of in-process")
+    p.add_argument("--family", choices=["xl", "flux"], default=None)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--guidance", type=float, default=7.5)
+    p.add_argument("--requests", type=int, default=16)
+    p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument("--no_microbatch", action="store_true")
+    p.add_argument("--batch_window_ms", type=float, default=8.0)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    if not args.url and not args.slider:
+        raise SystemExit("--slider is required for in-process mode")
+    run(args)

@@ -192,3 +192,25 @@ def test_flux_batched_requests(flux_service):
         t.join()
     assert all(v[:8] == b"\x89PNG\r\n\x1a\n" for v in outs.values())
     assert outs[(-4.0, 3)] != outs[(4.0, 3)]
+
+
+def test_bench_serve_cli_smoke(tmp_path):
+    """cli/bench_serve in-process: JSON metrics out, micro-batcher actually
+    gathered concurrent requests (mean_batch > 1 at concurrency 3)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.cli.bench_serve import build_parser, run
+    from sliders_conceptmod_tpu.models import factory
+
+    path = tmp_path / "slider.safetensors"
+    _, _, unet, _ = factory.load_models_xl("tiny-xl")
+    sites = lora_lib.create_sites(unet.params, rank=2, alpha=1.0, train_method="full")
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lora_lib.save_weights(path, sites, lp)
+
+    out = run(build_parser().parse_args([
+        "--base", "tiny-xl", "--slider", str(path),
+        "--image_size", "64", "--steps", "2",
+        "--requests", "6", "--concurrency", "3", "--batch_window_ms", "200",
+    ]))
+    assert out["value"] > 0 and out["requests"] == 6
+    assert out["mean_batch"] > 1.0  # concurrency rode the batched sampler
