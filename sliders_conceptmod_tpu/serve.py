@@ -117,39 +117,19 @@ class SliderService:
             quantize_base=quantize_base or w8a8,
         )
         self.unet.act_quant = bool(w8a8)
-        train_method, network_type, rank, alpha = infer_network_settings(slider_path)
-        exact = settings_from_checkpoint(slider_path)
-        if exact is not None:
-            rank, alpha = exact
-        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER + (
-            lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if network_type == "c3lier" else []
-        )
-        sites = lora_lib.create_sites(
-            self.unet.params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
-        )
-        self.sites = lora_lib.filter_sites_to_checkpoint(slider_path, sites)
-        self.lora_params = lora_lib.load_weights(slider_path, self.sites)
-
         self.schedule = self.scheduler.set_timesteps(steps)
         self.flip = flip_step_for_start_noise(self.schedule, start_noise)
-        unet_apply = self.unet.apply_fn()
-        scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
-        sites = self.sites
+        self._unet_apply = self.unet.apply_fn()
 
-        @jax.jit
-        def _sample(params_base, lp, scale_vec, latents, text_emb, added, key, guidance):
-            # base params through the SIGNATURE: closure capture baked the
-            # 5.13GB frozen UNet into the executable as constants (repo
-            # convention — see CLAUDE.md). The slider scale is a traced (1,)
-            # row multiplier — overlay ≡ merge up to bf16 rounding
-            # (tests/test_lora_overlay.py), so any float scale reuses this
-            # one executable with no merged-tree materialization.
-            return sample_loop_scales(
-                unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
-                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
-            )
-
-        self._sample = _sample
+        # multi-slider registry: the ecosystem this serves (ntc-ai publishes
+        # thousands of sliders over ONE base) wants many adapters per loaded
+        # base. Each slider gets its own jitted sampler closure (the site
+        # list is trace-static); identically-structured sliders (same rank +
+        # key set — the common case for a published collection) dedup in
+        # XLA's compile cache, and the big cost — the 5.1 GB base — is loaded
+        # exactly once. LoRA factors are ~MBs per slider.
+        self._sliders: dict = {}
+        self.add_slider("default", slider_path)
 
         te1_model, te2_model = (te.model for te in self.text_encoders)
 
@@ -175,6 +155,55 @@ class SliderService:
         )
         self.load_seconds = time.time() - t0
 
+    def add_slider(self, name: str, slider_path: str) -> None:
+        """Register a slider checkpoint under ``name`` (requests select it
+        with ``?slider=name``)."""
+        train_method, network_type, rank, alpha = infer_network_settings(slider_path)
+        exact = settings_from_checkpoint(slider_path)
+        if exact is not None:
+            rank, alpha = exact
+        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER + (
+            lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if network_type == "c3lier" else []
+        )
+        all_sites = lora_lib.create_sites(
+            self.unet.params, rank=rank, alpha=alpha, target_replace=targets,
+            train_method=train_method,
+        )
+        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
+        if not sites:
+            raise ValueError(f"No matching LoRA keys between UNet and {slider_path}")
+        lora_params = lora_lib.load_weights(slider_path, sites)
+        unet_apply = self._unet_apply
+        scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
+
+        @jax.jit
+        def _sample(params_base, lp, scale_vec, latents, text_emb, added, key, guidance):
+            # base params through the SIGNATURE: closure capture baked the
+            # 5.13GB frozen UNet into the executable as constants (repo
+            # convention — see CLAUDE.md). The slider scale is a traced row
+            # multiplier — overlay ≡ merge up to bf16 rounding
+            # (tests/test_lora_overlay.py), so any float scale reuses this
+            # one executable with no merged-tree materialization.
+            return sample_loop_scales(
+                unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
+                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+            )
+
+        self._sliders[name] = (sites, lora_params, _sample)
+
+    # single-slider conveniences (the "default" registration)
+    @property
+    def sites(self):
+        return self._sliders["default"][0]
+
+    @property
+    def lora_params(self):
+        return self._sliders["default"][1]
+
+    @property
+    def _sample(self):
+        return self._sliders["default"][2]
+
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
         te1, te2 = self.text_encoders
@@ -186,33 +215,40 @@ class SliderService:
         )
         return text, pooled
 
-    def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
+    def generate(self, prompt: str, scale: float, seed: int, guidance: float,
+                 slider: str = "default") -> bytes:
+        if slider not in self._sliders:
+            raise KeyError(f"unknown slider {slider!r} (loaded: {sorted(self._sliders)})")
+        req = (prompt, float(scale), int(seed), float(guidance), slider)
         if self._batcher is not None:
-            return self._batcher.submit((prompt, float(scale), int(seed), float(guidance)))
-        return self._generate_batch([(prompt, float(scale), int(seed), float(guidance))])[0]
+            return self._batcher.submit(req)
+        return self._generate_batch([req])[0]
 
     # rows pad to the next bucket so at most len(_BUCKETS) executables compile
     _BUCKETS = (1, 2, 4)
 
     def _generate_batch(self, reqs) -> list:
-        """Run a list of (prompt, scale, seed, guidance) requests. Rows with
-        the SAME guidance ride one sampler call (guidance is a traced scalar
-        shared by the batch — the CFG combine is per-batch); mixed-guidance
-        batches split into sub-batches, which under real traffic (one default
-        guidance) almost never happens."""
+        """Run a list of (prompt, scale, seed, guidance, slider) requests.
+        Rows with the SAME (guidance, slider) ride one sampler call (guidance
+        is a traced scalar shared by the batch — the CFG combine is
+        per-batch; the slider picks the overlay site set); mixed batches
+        split into sub-batches, which under real traffic (one default
+        guidance, hot slider) rarely happens."""
         from PIL import Image
 
         out: dict = {}
         by_g: dict = {}
         for i, r in enumerate(reqs):
-            by_g.setdefault(r[3], []).append((i, r))
-        for guidance, group in by_g.items():
+            slider_name = r[4] if len(r) > 4 else "default"
+            by_g.setdefault((r[3], slider_name), []).append((i, r))
+        for (guidance, slider_name), group in by_g.items():
+            sites, lora_params, sample_fn = self._sliders[slider_name]
             n = len(group)
             bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
             padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
 
             text_u, pooled_u = self._encode("")
-            conds = [self._encode(p) for p, _, _, _ in padded]
+            conds = [self._encode(p) for p, *_ in padded]
             emb = jnp.concatenate(
                 [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
             )
@@ -228,14 +264,14 @@ class SliderService:
             res = self.image_size // 8
             latents = jnp.concatenate(
                 [
-                    jax.random.normal(jax.random.PRNGKey(seed), (1, 4, res, res), jnp.float32)
-                    for _, _, seed, _ in padded
+                    jax.random.normal(jax.random.PRNGKey(r[2]), (1, 4, res, res), jnp.float32)
+                    for r in padded
                 ],
                 axis=0,
             ) * self.schedule.init_noise_sigma
-            scales = jnp.asarray([s for _, s, _, _ in padded], jnp.float32)
-            final = self._sample(
-                self.unet.params, self.lora_params, scales,
+            scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+            final = sample_fn(
+                self.unet.params, lora_params, scales,
                 latents.astype(jnp.bfloat16), emb, added,
                 jax.random.PRNGKey(padded[0][2]), guidance,
             )
@@ -392,7 +428,10 @@ def make_handler(service: SliderService):
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/healthz":
-                body = json.dumps({"status": "ok", "load_seconds": round(service.load_seconds, 1)}).encode()
+                info = {"status": "ok", "load_seconds": round(service.load_seconds, 1)}
+                if hasattr(service, "_sliders"):
+                    info["sliders"] = sorted(service._sliders)
+                body = json.dumps(info).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
@@ -415,8 +454,18 @@ def make_handler(service: SliderService):
                     self.end_headers()
                     self.wfile.write(b'{"error": "bad numeric parameter"}')
                     return
+                slider = q.get("slider", [None])[0]
                 t0 = time.time()
-                png = service.generate(prompt, scale, seed, guidance)
+                try:
+                    if slider is not None:
+                        png = service.generate(prompt, scale, seed, guidance, slider=slider)
+                    else:
+                        png = service.generate(prompt, scale, seed, guidance)
+                except (KeyError, TypeError) as e:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(json.dumps({"error": str(e)}).encode())
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "image/png")
                 self.send_header("X-Generate-Seconds", f"{time.time()-t0:.2f}")

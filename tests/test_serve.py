@@ -172,6 +172,29 @@ def test_xl_mixed_guidance_splits_groups(service):
     assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
 
 
+def test_xl_multi_slider_registry(service, tmp_path_factory):
+    """add_slider registers a second adapter over the SAME loaded base; requests
+    route by name, unknown names fail loudly, and the two sliders produce
+    different images at the same (prompt, scale, seed)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    path = tmp_path_factory.mktemp("serve_multi") / "other.safetensors"
+    sites = lora_lib.create_sites(
+        service.unet.params, rank=2, alpha=1.0, train_method="full"
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(7), sites)
+    lp = jax.tree.map(lambda a: a - 0.1, lp)
+    lora_lib.save_weights(path, sites, lp)
+
+    service.add_slider("other", str(path))
+    a = service.generate("a cat", scale=2.0, seed=3, guidance=7.5)
+    b = service.generate("a cat", scale=2.0, seed=3, guidance=7.5, slider="other")
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    assert a != b  # different adapter weights -> different image
+    with pytest.raises(KeyError):
+        service.generate("a cat", scale=1.0, seed=3, guidance=7.5, slider="nope")
+
+
 def test_flux_batched_requests(flux_service):
     """Micro-batched flux service: concurrent requests (mixed scales) return
     valid, per-caller-distinct PNGs through one packed sampler call."""
