@@ -313,32 +313,15 @@ class FluxSliderService:
         self.gh = self.gw = image_size // self.vae_scale // 2
         self._pack, self._unpack = pack_latents, unpack_latents
 
-        rank, alpha = 4, 1.0
-        exact = settings_from_checkpoint(slider_path)
-        if exact is not None:
-            rank, alpha = exact
-        sites = lora_lib.create_sites(
-            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
-            train_method="full", delimiter="-",
-        )
-        self.sites = lora_lib.filter_sites_to_checkpoint(slider_path, sites)
-        if not self.sites:
-            raise ValueError(
-                f"No matching LoRA keys between transformer and {slider_path} "
-                "(is this a '-'-delimited Flux slider checkpoint?)"
-            )
-        self.lora_params = lora_lib.load_weights(slider_path, self.sites)
-
         self.schedule = scheduler.set_timesteps(steps, mu=calculate_shift(self.gh * self.gw))
         from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
 
         self.flip = _flow_flip(self.schedule, start_noise)
-        from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
-
-        self._sample = make_packed_overlay_sampler(
-            self.transformer.apply_fn(), self.sites, self.schedule, self.flip,
-            jnp.asarray(prepare_latent_image_ids(self.gh, self.gw)), cfg.guidance_embeds,
-        )
+        self._image_ids = jnp.asarray(prepare_latent_image_ids(self.gh, self.gw))
+        # multi-slider registry (same design as SliderService.add_slider):
+        # one loaded base, many LoRA adapters routed per request by name
+        self._sliders: dict = {}
+        self.add_slider("default", slider_path)
         self.vae = None
         import os as _os
 
@@ -351,15 +334,56 @@ class FluxSliderService:
         )
         self.load_seconds = time.time() - t0
 
+    def add_slider(self, name: str, slider_path: str) -> None:
+        """Register a '-'-delimited Flux slider checkpoint under ``name``."""
+        from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
+
+        rank, alpha = 4, 1.0
+        exact = settings_from_checkpoint(slider_path)
+        if exact is not None:
+            rank, alpha = exact
+        all_sites = lora_lib.create_sites(
+            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+            train_method="full", delimiter="-",
+        )
+        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
+        if not sites:
+            raise ValueError(
+                f"No matching LoRA keys between transformer and {slider_path} "
+                "(is this a '-'-delimited Flux slider checkpoint?)"
+            )
+        lora_params = lora_lib.load_weights(slider_path, sites)
+        sample_fn = make_packed_overlay_sampler(
+            self.transformer.apply_fn(), sites, self.schedule, self.flip,
+            self._image_ids, self.transformer.config.guidance_embeds,
+        )
+        self._sliders[name] = (sites, lora_params, sample_fn)
+
+    @property
+    def sites(self):
+        return self._sliders["default"][0]
+
+    @property
+    def lora_params(self):
+        return self._sliders["default"][1]
+
+    @property
+    def _sample(self):
+        return self._sliders["default"][2]
+
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
         text, pooled = self._encode_raw(prompt)
         return text[None], pooled[None]
 
-    def generate(self, prompt: str, scale: float, seed: int, guidance: float) -> bytes:
+    def generate(self, prompt: str, scale: float, seed: int, guidance: float,
+                 slider: str = "default") -> bytes:
+        if slider not in self._sliders:
+            raise KeyError(f"unknown slider {slider!r} (loaded: {sorted(self._sliders)})")
+        req = (prompt, float(scale), int(seed), float(guidance), slider)
         if self._batcher is not None:
-            return self._batcher.submit((prompt, float(scale), int(seed), float(guidance)))
-        return self._generate_batch([(prompt, float(scale), int(seed), float(guidance))])[0]
+            return self._batcher.submit(req)
+        return self._generate_batch([req])[0]
 
     _BUCKETS = (1, 2, 4)
 
@@ -374,29 +398,31 @@ class FluxSliderService:
         out: dict = {}
         by_g: dict = {}
         for i, r in enumerate(reqs):
-            by_g.setdefault(r[3], []).append((i, r))
-        for guidance, group in by_g.items():
+            slider_name = r[4] if len(r) > 4 else "default"
+            by_g.setdefault((r[3], slider_name), []).append((i, r))
+        for (guidance, slider_name), group in by_g.items():
+            _, lora_params, sample_fn = self._sliders[slider_name]
             n = len(group)
             bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
             padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
 
-            conds = [self._encode(p) for p, _, _, _ in padded]
+            conds = [self._encode(p) for p, *_ in padded]
             text = jnp.concatenate([t for t, _ in conds], axis=0)
             pooled = jnp.concatenate([p for _, p in conds], axis=0)
             latents = jnp.concatenate(
                 [
                     jax.random.normal(
-                        jax.random.PRNGKey(seed),
+                        jax.random.PRNGKey(r[2]),
                         (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
                     )
-                    for _, _, seed, _ in padded
+                    for r in padded
                 ],
                 axis=0,
             )
             tokens = self._pack(latents).astype(jnp.bfloat16)
-            scales = jnp.asarray([s for _, s, _, _ in padded], jnp.float32)
-            final = self._sample(
-                self.transformer.params, self.lora_params, scales, tokens, text, pooled,
+            scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+            final = sample_fn(
+                self.transformer.params, lora_params, scales, tokens, text, pooled,
                 jnp.float32(guidance),
             )
             lat = self._unpack(final, self.gh * 2, self.gw * 2)
@@ -482,6 +508,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="stabilityai/stable-diffusion-xl-base-1.0")
     ap.add_argument("--slider", required=True)
+    ap.add_argument(
+        "--add_slider", action="append", default=[], metavar="NAME=PATH",
+        help="register extra sliders over the same base (repeatable); "
+        "requests pick one with ?slider=NAME — the production shape for a "
+        "published collection (thousands of adapters, one loaded base)",
+    )
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=None, help="default 25 (xl) / 8 (flux)")
@@ -529,6 +561,11 @@ def main():
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
         )
+    for spec in args.add_slider:
+        name, _, path = spec.partition("=")
+        if not path:
+            ap.error(f"--add_slider takes NAME=PATH, got {spec!r}")
+        service.add_slider(name, path)
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
     print(f"slider server on :{args.port} (models loaded in {service.load_seconds:.1f}s)")
     server.serve_forever()

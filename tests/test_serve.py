@@ -217,6 +217,29 @@ def test_flux_batched_requests(flux_service):
     assert outs[(-4.0, 3)] != outs[(4.0, 3)]
 
 
+def test_flux_multi_slider_registry(flux_service, tmp_path_factory):
+    """Flux service: add_slider registers a second adapter over the loaded
+    transformer; routing by name yields a different image."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    path = tmp_path_factory.mktemp("serve_flux_multi") / "other.safetensors"
+    sites = lora_lib.create_sites(
+        flux_service.transformer.params, rank=2, alpha=1.0,
+        target_replace=["Attention"], train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(11), sites)
+    lp = jax.tree.map(lambda a: a - 0.15, lp)
+    lora_lib.save_weights(path, sites, lp)
+
+    flux_service.add_slider("other", str(path))
+    a = flux_service.generate("a cat", scale=3.0, seed=3, guidance=3.5)
+    b = flux_service.generate("a cat", scale=3.0, seed=3, guidance=3.5, slider="other")
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    assert a != b
+    with pytest.raises(KeyError):
+        flux_service.generate("a cat", scale=1.0, seed=3, guidance=3.5, slider="nope")
+
+
 def test_bench_serve_cli_smoke(tmp_path):
     """cli/bench_serve in-process: JSON metrics out, micro-batcher actually
     gathered concurrent requests (mean_batch > 1 at concurrency 3)."""
