@@ -99,10 +99,32 @@ def run(args):
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
         )
 
+        # multi-slider traffic: register N-1 extra synthesized adapters (the
+        # published-collection shape); requests round-robin across them.
+        # Micro-batches group by (guidance, slider), so this measures the
+        # batching loss from adapter diversity under concurrent load.
+        slider_names = ["default"]
+        if args.num_sliders > 1:
+            import tempfile
+
+            import jax
+
+            from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+            for k in range(1, args.num_sliders):
+                lp_k = jax.tree.map(lambda a, _k=k: a + 0.01 * _k, service.lora_params)
+                path_k = tempfile.mktemp(suffix=f"_bench_slider{k}.safetensors")
+                lora_lib.save_weights(path_k, service.sites, lp_k)
+                service.add_slider(f"s{k}", path_k)
+                slider_names.append(f"s{k}")
+
         def one(i):
             p, s = prompts[i % len(prompts)], scales[i % len(scales)]
             t0 = time.time()
-            png = service.generate(p, scale=s, seed=i, guidance=args.guidance)
+            png = service.generate(
+                p, scale=s, seed=i, guidance=args.guidance,
+                slider=slider_names[i % len(slider_names)],
+            )
             assert png[:8] == b"\x89PNG\r\n\x1a\n"
             return time.time() - t0
 
@@ -126,6 +148,7 @@ def run(args):
         "p50_s": round(_percentile(lat, 0.50), 3),
         "p95_s": round(_percentile(lat, 0.95), 3),
         "microbatch": not args.no_microbatch and not args.url,
+        "num_sliders": args.num_sliders if not args.url else 1,
     }
     if service is not None and getattr(service, "_batcher", None) is not None:
         sizes = service._batcher.batch_sizes
@@ -151,6 +174,12 @@ def build_parser():
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--no_microbatch", action="store_true")
     p.add_argument("--batch_window_ms", type=float, default=8.0)
+    p.add_argument(
+        "--num_sliders", type=int, default=1,
+        help="in-process only: register N sliders (N-1 synthesized from the "
+        "first) and round-robin requests across them — the published-"
+        "collection traffic shape; batches group by (guidance, slider)",
+    )
     return p
 
 
