@@ -108,7 +108,8 @@ class SliderService:
 
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
-                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4):
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
+                 mesh_data: int = 1):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
@@ -120,6 +121,23 @@ class SliderService:
         self.schedule = self.scheduler.set_timesteps(steps)
         self.flip = flip_step_for_start_noise(self.schedule, start_noise)
         self._unet_apply = self.unet.apply_fn()
+
+        # mesh_data > 1: DP serving — micro-batched rows shard over the mesh
+        # data axis (rows are independent trajectories; params replicate, XLA
+        # partitions the batch dim from the input shardings alone, SURVEY
+        # §2.2). Buckets scale to mesh multiples so every chip carries equal
+        # rows; a lone request pads to mesh_data rows at batch-1 latency
+        # (padding rides otherwise-idle chips). Per-chip batch cap stays
+        # ``max_batch``.
+        self._mesh = None
+        self._buckets = self._BUCKETS
+        if mesh_data > 1:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            self._mesh = mesh_lib.make_mesh(data=mesh_data, devices=jax.devices()[:mesh_data])
+            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
+            self.unet.params = mesh_lib.replicate_tree(self.unet.params, self._mesh)
+            max_batch = max_batch * mesh_data
 
         # multi-slider registry: the ecosystem this serves (ntc-ai publishes
         # thousands of sliders over ONE base) wants many adapters per loaded
@@ -173,6 +191,10 @@ class SliderService:
         if not sites:
             raise ValueError(f"No matching LoRA keys between UNet and {slider_path}")
         lora_params = lora_lib.load_weights(slider_path, sites)
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            lora_params = mesh_lib.replicate_tree(lora_params, self._mesh)
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
 
@@ -244,7 +266,13 @@ class SliderService:
         for (guidance, slider_name), group in by_g.items():
             sites, lora_params, sample_fn = self._sliders[slider_name]
             n = len(group)
-            bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
+            if n <= self._buckets[-1]:
+                bucket = next(b for b in self._buckets if b >= n)
+            else:
+                # overflow: round up to a bucket-granule multiple (the granule
+                # is mesh_data when sharded) so rows stay chip-divisible
+                g = self._buckets[0]
+                bucket = -(-n // g) * g
             padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
 
             text_u, pooled_u = self._encode("")
@@ -270,6 +298,14 @@ class SliderService:
                 axis=0,
             ) * self.schedule.init_noise_sigma
             scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+            if self._mesh is not None:
+                from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+                shard = mesh_lib.data_sharded(self._mesh)
+                latents = jax.device_put(latents, shard)
+                emb = jax.device_put(emb, shard)
+                added = {k: jax.device_put(v, shard) for k, v in added.items()}
+                scales = jax.device_put(scales, shard)
             final = sample_fn(
                 self.unet.params, lora_params, scales,
                 latents.astype(jnp.bfloat16), emb, added,
@@ -293,7 +329,8 @@ class FluxSliderService:
 
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
                  start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
-                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4):
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
+                 mesh_data: int = 1):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
@@ -306,6 +343,16 @@ class FluxSliderService:
             base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
         )
         self.transformer.act_quant = bool(w8a8)
+        # DP serving over the mesh data axis — see SliderService.__init__
+        self._mesh = None
+        self._buckets = self._BUCKETS
+        if mesh_data > 1:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            self._mesh = mesh_lib.make_mesh(data=mesh_data, devices=jax.devices()[:mesh_data])
+            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
+            self.transformer.params = mesh_lib.replicate_tree(self.transformer.params, self._mesh)
+            max_batch = max_batch * mesh_data
         cfg = self.transformer.config
         is_tiny = "tiny" in str(base).lower()
         self.vae_scale = 2 if is_tiny else 8
@@ -353,6 +400,10 @@ class FluxSliderService:
                 "(is this a '-'-delimited Flux slider checkpoint?)"
             )
         lora_params = lora_lib.load_weights(slider_path, sites)
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            lora_params = mesh_lib.replicate_tree(lora_params, self._mesh)
         sample_fn = make_packed_overlay_sampler(
             self.transformer.apply_fn(), sites, self.schedule, self.flip,
             self._image_ids, self.transformer.config.guidance_embeds,
@@ -403,7 +454,11 @@ class FluxSliderService:
         for (guidance, slider_name), group in by_g.items():
             _, lora_params, sample_fn = self._sliders[slider_name]
             n = len(group)
-            bucket = next(b for b in self._BUCKETS if b >= n) if n <= self._BUCKETS[-1] else n
+            if n <= self._buckets[-1]:
+                bucket = next(b for b in self._buckets if b >= n)
+            else:
+                g = self._buckets[0]
+                bucket = -(-n // g) * g
             padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
 
             conds = [self._encode(p) for p, *_ in padded]
@@ -421,6 +476,14 @@ class FluxSliderService:
             )
             tokens = self._pack(latents).astype(jnp.bfloat16)
             scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+            if self._mesh is not None:
+                from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+                shard = mesh_lib.data_sharded(self._mesh)
+                tokens = jax.device_put(tokens, shard)
+                text = jax.device_put(text, shard)
+                pooled = jax.device_put(pooled, shard)
+                scales = jax.device_put(scales, shard)
             final = sample_fn(
                 self.transformer.params, lora_params, scales, tokens, text, pooled,
                 jnp.float32(guidance),
@@ -542,6 +605,12 @@ def main():
         help="micro-batch gather window — the max extra latency a lone "
         "request pays waiting for company",
     )
+    ap.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="DP serving: shard micro-batched rows over an N-chip mesh data "
+        "axis (params replicate; buckets scale to mesh multiples) — serving "
+        "throughput scales with chips while latency stays batch-1",
+    )
     args = ap.parse_args()
 
     family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
@@ -552,6 +621,7 @@ def main():
             args.start_noise if args.start_noise is not None else 800,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+            mesh_data=args.mesh_data,
         )
     else:
         service = SliderService(
@@ -560,6 +630,7 @@ def main():
             args.start_noise if args.start_noise is not None else 750,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+            mesh_data=args.mesh_data,
         )
     for spec in args.add_slider:
         name, _, path = spec.partition("=")

@@ -5,6 +5,8 @@ ONE executable (no merged trees), scale actually changes the image, and the
 W8A8 flag plumbs through.
 """
 
+import io
+
 import numpy as np
 
 import jax
@@ -238,6 +240,42 @@ def test_flux_multi_slider_registry(flux_service, tmp_path_factory):
     assert a != b
     with pytest.raises(KeyError):
         flux_service.generate("a cat", scale=1.0, seed=3, guidance=3.5, slider="nope")
+
+
+def test_xl_dp_serving_matches_unsharded(service, tmp_path_factory):
+    """mesh_data=2: micro-batched rows shard over the mesh data axis (params
+    replicated). Same request → same image as the unsharded service (rows are
+    independent trajectories; sharding must not change the math), buckets
+    scale to mesh multiples, and concurrent mixed-scale requests all route."""
+    import numpy as np
+    from PIL import Image
+
+    from sliders_conceptmod_tpu.serve import SliderService
+
+    # reuse the module fixture's slider checkpoint via its default registration
+    path = tmp_path_factory.mktemp("serve_dp") / "slider.safetensors"
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    lora_lib.save_weights(path, service.sites, service.lora_params)
+    dp = SliderService(
+        "tiny-xl", str(path), image_size=64, steps=2, start_noise=1100,
+        microbatch=False, mesh_data=2,
+    )
+    assert dp._buckets == (2, 4, 8)
+    a = service.generate("a cat", scale=2.0, seed=3, guidance=7.5)
+    b = dp.generate("a cat", scale=2.0, seed=3, guidance=7.5)
+    img_a = np.asarray(Image.open(io.BytesIO(a)), np.int16)
+    img_b = np.asarray(Image.open(io.BytesIO(b)), np.int16)
+    assert img_a.shape == img_b.shape
+    # bf16 trajectories under a different partitioning: allow tiny pixel drift
+    assert np.mean(np.abs(img_a - img_b)) < 2.0
+    # a 3-request batch pads to the 4-row bucket and every caller routes
+    outs = dp._generate_batch(
+        [("a cat", -2.0, 3, 7.5), ("a dog", 2.0, 4, 7.5), ("a cow", 0.5, 5, 7.5)]
+    )
+    assert len(outs) == 3
+    assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
+    assert outs[0] != outs[1]
 
 
 def test_bench_serve_cli_smoke(tmp_path):
