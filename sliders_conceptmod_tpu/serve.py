@@ -14,7 +14,9 @@ materialized.
   curl -s localhost:8500/healthz
 
 GET /generate params: prompt (required), scale (default 0), seed (default 0),
-steps (default 25), guidance (default 7.5), start_noise (default 750).
+guidance (default 7.5), slider (default "default" — pick an adapter
+registered with --add_slider). steps/start_noise/image_size are service-level
+flags (they shape the compiled sampler, not a per-request knob).
 """
 
 from __future__ import annotations
