@@ -57,3 +57,22 @@ def shard_keys(keys: jax.Array, mesh: Mesh) -> jax.Array:
 
 def replicate_tree(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def tp_shard_tree(tree, mesh: Mesh):
+    """Tensor-parallel placement: shard every weight's OUTPUT (last) dim over
+    the ``model`` axis when divisible (matmul kernels, conv O-dim, and the
+    matching 1-D bias/scale rows); everything else replicates. XLA inserts
+    the collectives from these shardings alone — the forward needs no edits
+    (validated in tests/test_tensor_parallel.py). This is how >1-chip params
+    (flux-schnell: 23.8 GB bf16, BASELINE.md HBM table) fit a v5e slice."""
+    m = mesh.shape[MODEL_AXIS]
+
+    def rule(a):
+        if a.ndim >= 2 and a.shape[-1] % m == 0:
+            return NamedSharding(mesh, P(*([None] * (a.ndim - 1) + [MODEL_AXIS])))
+        if a.ndim == 1 and a.shape[0] % m == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(lambda a: jax.device_put(a, rule(a)), tree)

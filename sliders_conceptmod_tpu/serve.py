@@ -111,7 +111,7 @@ class SliderService:
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1):
+                 mesh_data: int = 1, mesh_model: int = 1):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
@@ -125,20 +125,28 @@ class SliderService:
         self._unet_apply = self.unet.apply_fn()
 
         # mesh_data > 1: DP serving — micro-batched rows shard over the mesh
-        # data axis (rows are independent trajectories; params replicate, XLA
-        # partitions the batch dim from the input shardings alone, SURVEY
-        # §2.2). Buckets scale to mesh multiples so every chip carries equal
-        # rows; a lone request pads to mesh_data rows at batch-1 latency
-        # (padding rides otherwise-idle chips). Per-chip batch cap stays
-        # ``max_batch``.
+        # data axis (rows are independent trajectories; base + adapters
+        # replicate, XLA partitions the batch dim from the input shardings
+        # alone, SURVEY §2.2). Buckets scale to data-axis multiples so every
+        # chip carries equal rows; a lone request pads to mesh_data rows at
+        # batch-1 latency (padding rides otherwise-idle chips). Per-chip
+        # batch cap stays ``max_batch``.
+        # mesh_model > 1: TP serving — weight output dims shard over the
+        # model axis (parallel/mesh.tp_shard_tree) for params that exceed
+        # one chip's HBM. Composes with mesh_data into a (data, model) mesh.
         self._mesh = None
+        self._tp = mesh_model > 1
         self._buckets = self._BUCKETS
-        if mesh_data > 1:
+        if mesh_data > 1 or mesh_model > 1:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-            self._mesh = mesh_lib.make_mesh(data=mesh_data, devices=jax.devices()[:mesh_data])
+            self._mesh = mesh_lib.make_mesh(
+                data=mesh_data, model=mesh_model,
+                devices=jax.devices()[: mesh_data * mesh_model],
+            )
             self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
-            self.unet.params = mesh_lib.replicate_tree(self.unet.params, self._mesh)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            self.unet.params = place(self.unet.params, self._mesh)
             max_batch = max_batch * mesh_data
 
         # multi-slider registry: the ecosystem this serves (ntc-ai publishes
@@ -196,7 +204,10 @@ class SliderService:
         if self._mesh is not None:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-            lora_params = mesh_lib.replicate_tree(lora_params, self._mesh)
+            # TP: the up-factor's output column block lives with its base
+            # kernel's shard (same rule); rank dims replicate (not divisible)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            lora_params = place(lora_params, self._mesh)
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
 
@@ -332,7 +343,7 @@ class FluxSliderService:
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
                  start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1):
+                 mesh_data: int = 1, mesh_model: int = 1):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
@@ -345,15 +356,23 @@ class FluxSliderService:
             base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
         )
         self.transformer.act_quant = bool(w8a8)
-        # DP serving over the mesh data axis — see SliderService.__init__
+        # DP (mesh_data) / TP (mesh_model) serving — see SliderService.__init__.
+        # mesh_model=2 bf16 is the full-depth schnell route WITHOUT int8
+        # (23.8 GB params / 2 chips, BASELINE.md HBM table); --quantize_base
+        # remains the single-chip route.
         self._mesh = None
+        self._tp = mesh_model > 1
         self._buckets = self._BUCKETS
-        if mesh_data > 1:
+        if mesh_data > 1 or mesh_model > 1:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-            self._mesh = mesh_lib.make_mesh(data=mesh_data, devices=jax.devices()[:mesh_data])
+            self._mesh = mesh_lib.make_mesh(
+                data=mesh_data, model=mesh_model,
+                devices=jax.devices()[: mesh_data * mesh_model],
+            )
             self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
-            self.transformer.params = mesh_lib.replicate_tree(self.transformer.params, self._mesh)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            self.transformer.params = place(self.transformer.params, self._mesh)
             max_batch = max_batch * mesh_data
         cfg = self.transformer.config
         is_tiny = "tiny" in str(base).lower()
@@ -405,7 +424,10 @@ class FluxSliderService:
         if self._mesh is not None:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-            lora_params = mesh_lib.replicate_tree(lora_params, self._mesh)
+            # TP: the up-factor's output column block lives with its base
+            # kernel's shard (same rule); rank dims replicate (not divisible)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            lora_params = place(lora_params, self._mesh)
         sample_fn = make_packed_overlay_sampler(
             self.transformer.apply_fn(), sites, self.schedule, self.flip,
             self._image_ids, self.transformer.config.guidance_embeds,
@@ -608,6 +630,12 @@ def main():
         "request pays waiting for company",
     )
     ap.add_argument(
+        "--mesh_model", type=int, default=1,
+        help="TP serving: shard weight output dims over an N-chip mesh model "
+        "axis (parallel/mesh.tp_shard_tree) — serves params too big for one "
+        "chip (full-depth flux bf16 needs 2); composes with --mesh_data",
+    )
+    ap.add_argument(
         "--mesh_data", type=int, default=1,
         help="DP serving: shard micro-batched rows over an N-chip mesh data "
         "axis (params replicate; buckets scale to mesh multiples) — serving "
@@ -623,7 +651,7 @@ def main():
             args.start_noise if args.start_noise is not None else 800,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
-            mesh_data=args.mesh_data,
+            mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         )
     else:
         service = SliderService(
@@ -632,7 +660,7 @@ def main():
             args.start_noise if args.start_noise is not None else 750,
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
-            mesh_data=args.mesh_data,
+            mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         )
     for spec in args.add_slider:
         name, _, path = spec.partition("=")

@@ -276,6 +276,53 @@ def test_xl_dp_serving_matches_unsharded(service, tmp_path_factory):
     assert len(outs) == 3
     assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
     assert outs[0] != outs[1]
+    # TP on the conv-heavy UNet: kernel O-dims shard over the model axis
+    tp = SliderService(
+        "tiny-xl", str(path), image_size=64, steps=2, start_noise=1100,
+        microbatch=False, mesh_model=2,
+    )
+    c = tp.generate("a cat", scale=2.0, seed=3, guidance=7.5)
+    img_c = np.asarray(Image.open(io.BytesIO(c)), np.int16)
+    assert np.mean(np.abs(img_a - img_c)) < 2.0
+
+
+def test_flux_tp_serving_matches_unsharded(flux_service, tmp_path_factory):
+    """mesh_model=2: transformer weight output dims shard over the model axis
+    (the full-depth-schnell-without-int8 route — 23.8 GB bf16 / 2 chips).
+    Same request → same image as the unsharded service."""
+    import numpy as np
+    from PIL import Image
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.serve import FluxSliderService
+
+    path = tmp_path_factory.mktemp("serve_flux_tp") / "slider.safetensors"
+    lora_lib.save_weights(path, flux_service.sites, flux_service.lora_params)
+    # dedicated bf16 unsharded reference (the module fixture is int8-based —
+    # quantization error would contaminate the sharding-equivalence check)
+    ref = FluxSliderService(
+        "tiny-flux", str(path), image_size=16, steps=2, start_noise=1100,
+        microbatch=False,
+    )
+    tp = FluxSliderService(
+        "tiny-flux", str(path), image_size=16, steps=2, start_noise=1100,
+        microbatch=False, mesh_model=2,
+    )
+    a = ref.generate("a cat", scale=4.0, seed=3, guidance=3.5)
+    b = tp.generate("a cat", scale=4.0, seed=3, guidance=3.5)
+    img_a = np.asarray(Image.open(io.BytesIO(a)), np.int16)
+    img_b = np.asarray(Image.open(io.BytesIO(b)), np.int16)
+    assert img_a.shape == img_b.shape
+    assert np.mean(np.abs(img_a - img_b)) < 2.0
+    # hybrid 2×2 (data × model) also compiles and routes
+    hy = FluxSliderService(
+        "tiny-flux", str(path), image_size=16, steps=2, start_noise=1100,
+        microbatch=False, mesh_data=2, mesh_model=2,
+    )
+    assert hy._buckets == (2, 4, 8)
+    c = hy.generate("a cat", scale=4.0, seed=3, guidance=3.5)
+    img_c = np.asarray(Image.open(io.BytesIO(c)), np.int16)
+    assert np.mean(np.abs(img_a - img_c)) < 2.0
 
 
 def test_bench_serve_cli_smoke(tmp_path):
