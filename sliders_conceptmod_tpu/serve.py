@@ -14,9 +14,19 @@ materialized.
   curl -s localhost:8500/healthz
 
 GET /generate params: prompt (required), scale (default 0), seed (default 0),
-guidance (default 7.5), slider (default "default" — pick an adapter
-registered with --add_slider). steps/start_noise/image_size are service-level
-flags (they shape the compiled sampler, not a per-request knob).
+guidance (default 7.5), slider (default "default" — pick a registered
+adapter). steps/start_noise/image_size are service-level flags (they shape
+the compiled sampler, not a per-request knob).
+
+Adapter management at runtime (the published collection grows daily — no
+restart, the loaded base and compiled samplers stay warm):
+
+  curl -X POST localhost:8500/sliders -d '{"name": "age", "path": "age.safetensors"}'
+  curl -X DELETE localhost:8500/sliders/age
+  curl localhost:8500/sliders          # LRU-ordered listing
+
+``--max_sliders N`` bounds the registry with least-recently-used eviction
+('default' is pinned).
 """
 
 from __future__ import annotations
@@ -96,7 +106,82 @@ class MicroBatcher:
                     fut.set_exception(e)
 
 
-class SliderService:
+class _SliderRegistry:
+    """Shared multi-adapter registry: ``name → (sites, lora_params, sample_fn)``.
+
+    The collection this serves grows continuously (ntc-ai publishes new
+    sliders daily over the same handful of bases), so adapters are managed at
+    RUNTIME, not just at startup:
+
+    * :meth:`add_slider` — register or replace (startup ``--add_slider`` and
+      ``POST /sliders`` both land here);
+    * :meth:`remove_slider` — drop an adapter; dropping the last reference
+      lets JAX free its device arrays;
+    * :meth:`list_sliders` — names in LRU order (most recently used last);
+    * ``max_sliders`` — optional cap. Registering past it evicts the
+      least-recently-USED adapter (use = a generate request routed to it).
+      ``"default"`` is pinned and never evicted — requests that omit
+      ``?slider=`` must keep working. The expensive part (the loaded base) is
+      untouched by churn; LoRA factors are ~MBs each.
+
+    Thread-safety: HTTP handler threads register/remove while the
+    MicroBatcher worker resolves names — one lock guards the OrderedDict and
+    :meth:`_resolve` copies the entry out under it.
+    """
+
+    def _registry_init(self, max_sliders: int | None = None) -> None:
+        import collections
+        import threading
+
+        self._sliders: "collections.OrderedDict" = collections.OrderedDict()
+        self._registry_lock = threading.Lock()
+        self.max_sliders = max_sliders
+
+    def _register(self, name: str, entry) -> None:
+        with self._registry_lock:
+            self._sliders[name] = entry
+            self._sliders.move_to_end(name)
+            if self.max_sliders is not None:
+                evictable = [n for n in self._sliders if n not in (name, "default")]
+                while len(self._sliders) > self.max_sliders and evictable:
+                    del self._sliders[evictable.pop(0)]  # LRU order = dict order
+
+    def _resolve(self, name: str):
+        with self._registry_lock:
+            if name not in self._sliders:
+                raise KeyError(
+                    f"unknown slider {name!r} (loaded: {sorted(self._sliders)})"
+                )
+            self._sliders.move_to_end(name)  # touch: protects hot adapters
+            return self._sliders[name]
+
+    def remove_slider(self, name: str) -> None:
+        with self._registry_lock:
+            if name not in self._sliders:
+                raise KeyError(f"unknown slider {name!r}")
+            del self._sliders[name]
+
+    def list_sliders(self) -> list:
+        with self._registry_lock:
+            return [
+                {"name": n, "sites": len(entry[0])} for n, entry in self._sliders.items()
+            ]
+
+    # single-slider conveniences (the "default" registration)
+    @property
+    def sites(self):
+        return self._sliders["default"][0]
+
+    @property
+    def lora_params(self):
+        return self._sliders["default"][1]
+
+    @property
+    def _sample(self):
+        return self._sliders["default"][2]
+
+
+class SliderService(_SliderRegistry):
     """SDXL slider serving: two-phase DDIM sampler with the slider applied
     through the apply-time LoRA overlay — the scale rides the jit signature
     as a (1,)-row multiplier, so EVERY float scale hits one executable and no
@@ -111,7 +196,7 @@ class SliderService:
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1, mesh_model: int = 1):
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
@@ -156,7 +241,7 @@ class SliderService:
         # key set — the common case for a published collection) dedup in
         # XLA's compile cache, and the big cost — the 5.1 GB base — is loaded
         # exactly once. LoRA factors are ~MBs per slider.
-        self._sliders: dict = {}
+        self._registry_init(max_sliders)
         self.add_slider("default", slider_path)
 
         te1_model, te2_model = (te.model for te in self.text_encoders)
@@ -224,20 +309,7 @@ class SliderService:
                 latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
             )
 
-        self._sliders[name] = (sites, lora_params, _sample)
-
-    # single-slider conveniences (the "default" registration)
-    @property
-    def sites(self):
-        return self._sliders["default"][0]
-
-    @property
-    def lora_params(self):
-        return self._sliders["default"][1]
-
-    @property
-    def _sample(self):
-        return self._sliders["default"][2]
+        self._register(name, (sites, lora_params, _sample))
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
@@ -252,8 +324,7 @@ class SliderService:
 
     def generate(self, prompt: str, scale: float, seed: int, guidance: float,
                  slider: str = "default") -> bytes:
-        if slider not in self._sliders:
-            raise KeyError(f"unknown slider {slider!r} (loaded: {sorted(self._sliders)})")
+        self._resolve(slider)  # fail fast on unknown names (raises KeyError)
         req = (prompt, float(scale), int(seed), float(guidance), slider)
         if self._batcher is not None:
             return self._batcher.submit(req)
@@ -277,7 +348,7 @@ class SliderService:
             slider_name = r[4] if len(r) > 4 else "default"
             by_g.setdefault((r[3], slider_name), []).append((i, r))
         for (guidance, slider_name), group in by_g.items():
-            sites, lora_params, sample_fn = self._sliders[slider_name]
+            sites, lora_params, sample_fn = self._resolve(slider_name)
             n = len(group)
             if n <= self._buckets[-1]:
                 bucket = next(b for b in self._buckets if b >= n)
@@ -332,7 +403,7 @@ class SliderService:
         return [out[i] for i in range(len(reqs))]
 
 
-class FluxSliderService:
+class FluxSliderService(_SliderRegistry):
     """Flux slider serving (schnell/dev): few-step flow sampler with the
     slider applied through the apply-time LoRA overlay — the scale rides the
     jit signature as a per-row multiplier, so EVERY float scale hits one
@@ -343,7 +414,7 @@ class FluxSliderService:
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
                  start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1, mesh_model: int = 1):
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
@@ -388,7 +459,7 @@ class FluxSliderService:
         self._image_ids = jnp.asarray(prepare_latent_image_ids(self.gh, self.gw))
         # multi-slider registry (same design as SliderService.add_slider):
         # one loaded base, many LoRA adapters routed per request by name
-        self._sliders: dict = {}
+        self._registry_init(max_sliders)
         self.add_slider("default", slider_path)
         self.vae = None
         import os as _os
@@ -432,19 +503,7 @@ class FluxSliderService:
             self.transformer.apply_fn(), sites, self.schedule, self.flip,
             self._image_ids, self.transformer.config.guidance_embeds,
         )
-        self._sliders[name] = (sites, lora_params, sample_fn)
-
-    @property
-    def sites(self):
-        return self._sliders["default"][0]
-
-    @property
-    def lora_params(self):
-        return self._sliders["default"][1]
-
-    @property
-    def _sample(self):
-        return self._sliders["default"][2]
+        self._register(name, (sites, lora_params, sample_fn))
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
@@ -453,8 +512,7 @@ class FluxSliderService:
 
     def generate(self, prompt: str, scale: float, seed: int, guidance: float,
                  slider: str = "default") -> bytes:
-        if slider not in self._sliders:
-            raise KeyError(f"unknown slider {slider!r} (loaded: {sorted(self._sliders)})")
+        self._resolve(slider)  # fail fast on unknown names (raises KeyError)
         req = (prompt, float(scale), int(seed), float(guidance), slider)
         if self._batcher is not None:
             return self._batcher.submit(req)
@@ -476,7 +534,7 @@ class FluxSliderService:
             slider_name = r[4] if len(r) > 4 else "default"
             by_g.setdefault((r[3], slider_name), []).append((i, r))
         for (guidance, slider_name), group in by_g.items():
-            _, lora_params, sample_fn = self._sliders[slider_name]
+            _, lora_params, sample_fn = self._resolve(slider_name)
             n = len(group)
             if n <= self._buckets[-1]:
                 bucket = next(b for b in self._buckets if b >= n)
@@ -538,17 +596,65 @@ def make_handler(service: SliderService):
         def log_message(self, fmt, *args):
             print(f"[serve] {fmt % args}")
 
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            # POST /sliders {"name": ..., "path": ...} — register a new
+            # adapter over the already-loaded base WITHOUT a restart (the
+            # collection grows daily; the 5.1 GB base + compiled sampler stay
+            # warm). Replacing an existing name swaps the adapter atomically.
+            if urlparse(self.path).path != "/sliders":
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                spec = json.loads(self.rfile.read(length) or b"{}")
+                name, path = spec["name"], spec["path"]
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"body must be JSON with name+path ({e})"})
+                return
+            try:
+                service.add_slider(str(name), str(path))
+            except (ValueError, OSError, KeyError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            self._json(200, {"sliders": service.list_sliders()})
+
+        def do_DELETE(self):
+            # DELETE /sliders/<name> — drop an adapter; its device arrays
+            # free once in-flight batches drain.
+            url = urlparse(self.path)
+            prefix = "/sliders/"
+            if not url.path.startswith(prefix):
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                service.remove_slider(url.path[len(prefix):])
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+                return
+            self._json(200, {"sliders": service.list_sliders()})
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/healthz":
                 info = {"status": "ok", "load_seconds": round(service.load_seconds, 1)}
-                if hasattr(service, "_sliders"):
-                    info["sliders"] = sorted(service._sliders)
+                info["sliders"] = sorted(e["name"] for e in service.list_sliders())
                 body = json.dumps(info).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(body)
+                return
+            if url.path == "/sliders":
+                self._json(200, {"sliders": service.list_sliders()})
                 return
             if url.path == "/generate":
                 q = parse_qs(url.query)
@@ -636,6 +742,11 @@ def main():
         "chip (full-depth flux bf16 needs 2); composes with --mesh_data",
     )
     ap.add_argument(
+        "--max_sliders", type=int, default=None,
+        help="cap the adapter registry; registering past it (POST /sliders) "
+        "evicts the least-recently-used adapter ('default' is pinned)",
+    )
+    ap.add_argument(
         "--mesh_data", type=int, default=1,
         help="DP serving: shard micro-batched rows over an N-chip mesh data "
         "axis (params replicate; buckets scale to mesh multiples) — serving "
@@ -652,6 +763,7 @@ def main():
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+            max_sliders=args.max_sliders,
         )
     else:
         service = SliderService(
@@ -661,6 +773,7 @@ def main():
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+            max_sliders=args.max_sliders,
         )
     for spec in args.add_slider:
         name, _, path = spec.partition("=")

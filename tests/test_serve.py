@@ -345,3 +345,84 @@ def test_bench_serve_cli_smoke(tmp_path):
     ]))
     assert out["value"] > 0 and out["requests"] == 6
     assert out["mean_batch"] > 1.0  # concurrency rode the batched sampler
+
+
+def test_registry_lru_eviction():
+    """max_sliders caps the registry: registering past it evicts the
+    least-recently-USED adapter, 'default' is pinned, and resolution
+    touches protect hot adapters."""
+    from sliders_conceptmod_tpu.serve import _SliderRegistry
+
+    reg = _SliderRegistry()
+    reg._registry_init(max_sliders=3)
+    for name in ("default", "a", "b"):
+        reg._register(name, ([name], None, None))
+    reg._resolve("a")  # touch: 'a' is now hotter than 'b'
+    reg._register("c", (["c"], None, None))  # over cap -> evict 'b' (coldest)
+    names = [e["name"] for e in reg.list_sliders()]
+    assert "b" not in names and set(names) == {"default", "a", "c"}
+
+    # default is pinned even when it is the coldest entry
+    reg._resolve("a"), reg._resolve("c")
+    reg._register("d", (["d"], None, None))
+    names = [e["name"] for e in reg.list_sliders()]
+    assert "default" in names and "a" not in names  # 'a' was coldest evictable
+
+    with pytest.raises(KeyError):
+        reg._resolve("nope")
+    reg.remove_slider("c")
+    assert "c" not in [e["name"] for e in reg.list_sliders()]
+    with pytest.raises(KeyError):
+        reg.remove_slider("c")
+
+
+def test_http_runtime_slider_management(service, tmp_path_factory):
+    """End-to-end over HTTP: POST /sliders registers a new adapter on the
+    live server (no restart), /generate routes to it, GET /sliders lists it,
+    DELETE /sliders/<name> drops it and subsequent requests 400."""
+    import json as json_lib
+    import threading
+    from http.server import ThreadingHTTPServer
+    from urllib.request import Request, urlopen
+    from urllib.error import HTTPError
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.serve import make_handler
+
+    path = tmp_path_factory.mktemp("serve_http") / "hot.safetensors"
+    sites = lora_lib.create_sites(
+        service.unet.params, rank=2, alpha=1.0, train_method="full"
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(11), sites)
+    lp = jax.tree.map(lambda a: a + 0.05, lp)
+    lora_lib.save_weights(path, sites, lp)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json_lib.dumps({"name": "hot", "path": str(path)}).encode()
+        with urlopen(Request(f"{base}/sliders", data=body, method="POST")) as r:
+            names = [e["name"] for e in json_lib.loads(r.read())["sliders"]]
+        assert "hot" in names
+
+        with urlopen(f"{base}/generate?prompt=a+cat&scale=1.5&seed=3&slider=hot") as r:
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        with urlopen(Request(f"{base}/sliders/hot", method="DELETE")) as r:
+            names = [e["name"] for e in json_lib.loads(r.read())["sliders"]]
+        assert "hot" not in names
+
+        with pytest.raises(HTTPError) as ei:
+            urlopen(f"{base}/generate?prompt=a+cat&scale=1.5&seed=3&slider=hot")
+        assert ei.value.code == 400
+        with pytest.raises(HTTPError) as ei:
+            urlopen(Request(f"{base}/sliders/hot", method="DELETE"))
+        assert ei.value.code == 404
+        with pytest.raises(HTTPError) as ei:
+            urlopen(Request(f"{base}/sliders", data=b"not json", method="POST"))
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
