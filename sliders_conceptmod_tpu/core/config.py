@@ -91,6 +91,14 @@ class TPUConfig(BaseModel):
 
     mesh_data: int = -1  # -1: all devices on the data axis
     mesh_model: int = 1
+    # multi-host: join a jax.distributed world before touching devices
+    # (parallel/mesh.init_distributed — the comm-backend row of SURVEY §2.2).
+    # On Cloud TPU pods leave all three unset per-host args autodetect; for
+    # manual bring-up set coordinator "host:port" + world size + this rank
+    # (rank/process_id usually per-host env, so CLI --process_id overlays it).
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     samples_per_step: int = 1  # independent ESD samples per step (DP axis)
     use_flash_attention: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output

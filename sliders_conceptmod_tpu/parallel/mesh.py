@@ -25,6 +25,69 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+_DISTRIBUTED = {"initialized": False}
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Join a multi-host JAX runtime — the comm-backend row of SURVEY §2.2
+    (the reference is single-process, single-GPU; NCCL's role here is played
+    by the JAX distributed service + XLA collectives over ICI/DCN).
+
+    After this call ``jax.devices()`` is GLOBAL across all processes, so
+    :func:`make_mesh` lays the (data, model) axes over every chip in the
+    slice and the SAME single-controller program runs unchanged — collectives
+    are inserted by XLA from sharding annotations alone.
+
+    On Cloud TPU pods all three arguments autodetect (call with none). For
+    manual bring-up (or the CPU multi-process test) pass the coordinator's
+    ``host:port``, the world size, and this process's rank. Idempotent:
+    repeat calls no-op.
+    """
+    if _DISTRIBUTED["initialized"]:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DISTRIBUTED["initialized"] = True
+
+
+def replicate_host_tree(tree, mesh: Mesh):
+    """Replicate host-identical values onto a (possibly multi-process) mesh.
+
+    Every process holds the same host value (the common trainer case: params
+    loaded from one checkpoint, PRNG keys derived from one seed), so the
+    global array is assembled per-shard from the local copy. Single-process
+    meshes degrade to a plain replicated ``device_put``.
+    """
+    if jax.process_count() == 1:
+        return replicate_tree(tree, mesh)
+    sharding = replicated(mesh)
+
+    def place(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return jax.tree.map(place, tree)
+
+
+def data_shard_host_tree(tree, mesh: Mesh):
+    """Shard dim 0 of host-identical arrays over the ``data`` axis of a
+    (possibly multi-process) mesh. Each process holds the full value and
+    contributes only the rows its local devices own."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, data_sharded(mesh)), tree)
+    sharding = data_sharded(mesh)
+
+    def place(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return jax.tree.map(place, tree)
+
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     """data=-1: all remaining devices on the data axis."""

@@ -173,6 +173,18 @@ class ESDConfig:
     # gradient-stopped context generation; with lr→0 the sequence is
     # bit-identical, tests/test_esd_train.py). samples_per_step==1 only.
     pipeline_warmup: bool = False
+    # the Mesh behind shard_samples. When set, constraints bind to it as
+    # NamedShardings — no ambient `with mesh:` context needed, which is what
+    # lets the trainer CLIs drive DP (and multi-host DP: global meshes from
+    # parallel/mesh.init_distributed) straight from the yaml tpu: block.
+    # None keeps the bare-PartitionSpec behavior for callers that manage
+    # their own mesh context.
+    mesh: Optional[object] = None
+
+    def data_spec(self):
+        from jax.sharding import NamedSharding
+
+        return NamedSharding(self.mesh, P("data")) if self.mesh is not None else P("data")
 
 
 def make_esd_train_step(
@@ -484,7 +496,7 @@ def make_esd_train_step(
             )(keys)  # [S, 6]
         if cfg.shard_samples:
 
-            latents0 = jax.lax.with_sharding_constraint(latents0, P("data"))
+            latents0 = jax.lax.with_sharding_constraint(latents0, cfg.data_spec())
 
         text = bank.text[pair]  # [S, 5, seq, D]
         pooled = bank.pooled[pair] if bank.pooled is not None else None
@@ -563,7 +575,7 @@ def make_esd_train_step(
                 # partitions the vmapped UNet work per chip and inserts the
                 # gradient all-reduce (SURVEY §2.2 DP plan)
 
-                keys = jax.lax.with_sharding_constraint(keys, P("data"))
+                keys = jax.lax.with_sharding_constraint(keys, cfg.data_spec())
 
             def per_sample_loss(lp, k):
                 return one_sample(base_params, lp, k, bank)(lp)
@@ -572,7 +584,7 @@ def make_esd_train_step(
                 losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)
                 if cfg.shard_samples:
 
-                    losses = jax.lax.with_sharding_constraint(losses, P("data"))
+                    losses = jax.lax.with_sharding_constraint(losses, cfg.data_spec())
                 return jnp.mean(losses)
 
             loss, grads = jax.value_and_grad(mean_loss)(lora_params)

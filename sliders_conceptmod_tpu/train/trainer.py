@@ -73,6 +73,16 @@ def train(
     resume_from: Optional[str] = None,
 ) -> TrainResult:
     tpu_cfg = config.tpu
+    # multi-host: join the jax.distributed world BEFORE any device query —
+    # after this jax.devices() is global and the mesh below spans the slice
+    # (tpu.coordinator_address/num_processes/process_id; all autodetect on
+    # Cloud TPU pods when only num_processes-style envs are present)
+    if getattr(tpu_cfg, "coordinator_address", None) or getattr(tpu_cfg, "num_processes", None):
+        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+        mesh_lib.init_distributed(
+            tpu_cfg.coordinator_address, tpu_cfg.num_processes, tpu_cfg.process_id
+        )
     # tpu.quantize_base: int8 frozen UNet Dense kernels (adapters/quant.py) —
     # here a PERF knob, not a fit knob: the ESD step is weight-streaming
     # bound (BASELINE.md phase table), and int8 halves the bytes every UNet
@@ -194,6 +204,24 @@ def train(
             "fixed shape — incompatible with dynamic_resolution buckets"
         )
 
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2): on a
+    # multi-device runtime, samples_per_step > 1 shards the independent ESD
+    # samples over the mesh data axis (grad psum inserted by XLA);
+    # mesh_model > 1 additionally tensor-shards the frozen base's weight
+    # output dims. Single-device runs keep mesh=None — the exact 1-chip graph.
+    samples_per_step = max(getattr(tpu_cfg, "samples_per_step", 1), 1)
+    mesh_model = max(getattr(tpu_cfg, "mesh_model", 1), 1)
+    mesh = None
+    if jax.device_count() > 1 and (samples_per_step > 1 or mesh_model > 1):
+        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(getattr(tpu_cfg, "mesh_data", -1), mesh_model)
+        if mesh_model > 1 and jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-host tensor parallelism is not wired — shard the model "
+                "axis within one host (mesh_model <= local devices)"
+            )
+
     def build_step(height: int, width: int):
         ecfg = esd.ESDConfig(
             max_denoising_steps=config.train.max_denoising_steps,
@@ -201,9 +229,9 @@ def train(
             batch_size=batch_size,
             height=height,
             width=width,
-            samples_per_step=max(tpu_cfg.samples_per_step, 1)
-            if hasattr(tpu_cfg, "samples_per_step")
-            else 1,
+            samples_per_step=samples_per_step,
+            shard_samples=mesh is not None and samples_per_step > 1,
+            mesh=mesh,
             # measured on v5e (BASELINE.md): no-remat is ~4% faster and fits
             # HBM at <=512px; above that activation memory needs remat
             remat_unet=max(height, width) > 512,
@@ -253,6 +281,20 @@ def train(
         resume_from, lora_params, opt_state, key
     )
 
+    multihost = False
+    if mesh is not None:
+        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+        # every host holds identical values (one checkpoint, one seed), so
+        # the host→global placement helpers assemble the mesh-wide arrays;
+        # single-host this is a plain device_put
+        base_place = mesh_lib.tp_shard_tree if mesh_model > 1 else mesh_lib.replicate_host_tree
+        unet.params = base_place(unet.params, mesh)
+        lora_params = mesh_lib.replicate_host_tree(lora_params, mesh)
+        opt_state = mesh_lib.replicate_host_tree(opt_state, mesh)
+        bank = mesh_lib.replicate_host_tree(bank, mesh)
+        multihost = jax.process_count() > 1
+
     if config.tpu.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if config.tpu.profile_dir:
@@ -287,6 +329,12 @@ def train(
         carry = step_fns[0].init_carry(unet.params, lora_params, k_carry, bank)
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
+        if multihost:
+            # jit inputs must be process-spanning arrays; the key is derived
+            # identically on every host from tpu.seed
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            k_step = mesh_lib.replicate_host_tree(k_step, mesh)
         bi = pick_bucket(i) if pick_bucket is not None else 0
         if pipelined:
             lora_params, opt_state, metrics, carry = step_fns[0](
@@ -303,6 +351,7 @@ def train(
             wandb_run.log({"loss": logger.current_loss(), "iteration": i})
         if (
             save_file
+            and jax.process_index() == 0  # multi-host: one writer per run
             and config.save.per_steps
             and i % config.save.per_steps == 0
             and i != 0
@@ -329,7 +378,7 @@ def train(
     if wandb_run is not None:
         wandb_run.finish()
 
-    if save_file:
+    if save_file and jax.process_index() == 0:  # multi-host: one writer per run
         save_path.mkdir(parents=True, exist_ok=True)
         peft_mod.save_weights(
             save_path / f"{config.save.name}_last.safetensors",
