@@ -384,8 +384,20 @@ def bench_flux(n_steps, res, dtype):
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_value=1.0
     )
+    # per-block remat on the student grad pass: caps fwd+bwd peak HBM at
+    # block granularity (models/flux.py) — required for full-depth int8
+    # schnell to fit one v5e; equal FLOPs at reduced depth
+    model_remat = model.clone(remat_blocks=True)
+    if quantized:
+        remat_apply = quant.make_quant_apply(model_remat, scales, compute_dtype=dtype)
+    else:
+
+        def remat_apply(p, *a, **kw):
+            return model_remat.apply({"params": p}, *a, **kw)
+
     step = esd_flux.make_flux_esd_train_step(
-        apply, sites, schedule, opt, fcfg, student_overlay=quantized
+        apply, sites, schedule, opt, fcfg, student_overlay=quantized,
+        remat_apply=remat_apply,
     )
     opt_state = opt.init(lora_params)
 

@@ -118,6 +118,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         transformer.apply_fn(), sites, schedule, optimizer, fcfg,
         merge_fn=peft_mod.merge_lora_params,
         student_overlay=quantize_base,
+        # per-block remat on the student caps fwd+bwd peak HBM at block
+        # granularity — what fits the full-depth int8 schnell step on a v5e
+        remat_apply=transformer.apply_fn(remat_blocks=True) if fcfg.remat else None,
     )
 
     save_path = Path(config.save.path)

@@ -546,8 +546,13 @@ class TransformerBundle:
     # MXU matmuls at 2× the bf16 rate (adapters/quant.py)
     act_quant: bool = False
 
-    def apply_fn(self) -> Callable:
+    def apply_fn(self, remat_blocks: bool = False) -> Callable:
         model = self.model
+        if remat_blocks and hasattr(model, "remat_blocks"):
+            # per-block remat for the TRAIN student: caps fwd+bwd peak HBM at
+            # block granularity (see models/flux.py.FluxTransformer2DModel);
+            # same params, same FLOPs
+            model = model.clone(remat_blocks=True)
         defaults = dict(self.default_kwargs or {})
 
         def apply(params, *args, **kwargs):

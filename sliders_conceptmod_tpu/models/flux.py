@@ -278,6 +278,15 @@ def unpack_latents(x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
 class FluxTransformer2DModel(nn.Module):
     config: FluxConfig
     dtype: jnp.dtype = jnp.float32
+    # per-BLOCK rematerialization: the backward keeps only each block's
+    # inputs and recomputes its internals, capping fwd+bwd peak HBM at
+    # ~(num_blocks × block-input) + one block's temps. A whole-model
+    # jax.checkpoint does NOT do this (its backward re-runs the full forward
+    # and holds every residual again); at full schnell depth that 4.75 GB
+    # temp peak is what pushed the int8-base TRAIN step 132 MB past v5e HBM.
+    # Same recompute count as whole-model remat, so FLOPs are unchanged.
+    # Param tree is identical either way (nn.remat preserves names).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -314,14 +323,18 @@ class FluxTransformer2DModel(nn.Module):
         )
         cos, sin = rope_freqs(ids, cfg.axes_dims_rope)
 
+        DualBlock = nn.remat(FluxTransformerBlock) if self.remat_blocks else FluxTransformerBlock
+        SingleBlock = (
+            nn.remat(FluxSingleTransformerBlock) if self.remat_blocks else FluxSingleTransformerBlock
+        )
         for i in range(cfg.num_layers):
-            x, context = FluxTransformerBlock(cfg, name=f"transformer_blocks_{i}", dtype=self.dtype)(
+            x, context = DualBlock(cfg, name=f"transformer_blocks_{i}", dtype=self.dtype)(
                 x, context, temb, cos, sin
             )
 
         combined = jnp.concatenate([context, x], axis=1)  # text first
         for i in range(cfg.num_single_layers):
-            combined = FluxSingleTransformerBlock(
+            combined = SingleBlock(
                 cfg, name=f"single_transformer_blocks_{i}", dtype=self.dtype
             )(combined, temb, cos, sin)
         x = combined[:, context.shape[1] :]

@@ -66,15 +66,25 @@ def make_flux_esd_train_step(
     cfg: FluxESDConfig,
     merge_fn=None,
     student_overlay: bool = False,
+    remat_apply: Callable | None = None,
 ):
     """``student_overlay=True`` applies the student's LoRA via the apply-time
     interceptor (adapters.lora.lora_overlay) instead of merging it into the
     base tree — required when the base is int8-quantized (adapters/quant.py:
     merging would need a lossy dequant→merge→requant round trip every step;
     the overlay leaves the int8 base untouched and adds the fp32 adapter
-    delta on top, the reference's own forward-hook composition)."""
+    delta on top, the reference's own forward-hook composition).
+
+    ``remat_apply``: a per-BLOCK-rematted apply (``bundle.apply_fn(
+    remat_blocks=True)``) used for the student's grad pass — caps fwd+bwd
+    peak HBM at block granularity, which is what fits the full-depth int8
+    schnell TRAIN step on one v5e (whole-model jax.checkpoint does not lower
+    the fwd+bwd peak — its backward re-materializes every residual)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
-    student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
+    if remat_apply is not None:
+        student_apply = remat_apply
+    else:
+        student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
     b = cfg.batch_size
     gh = cfg.height // cfg.vae_scale // 2
     gw = cfg.width // cfg.vae_scale // 2

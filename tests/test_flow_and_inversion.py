@@ -249,3 +249,40 @@ def test_flux_dev_guidance_defaulting():
     out_g = bundle.apply_fn()(params, *args, guidance=jnp.float32(30.0))
     assert out_g.shape == out.shape
     assert not np.allclose(np.asarray(out_g), np.asarray(out))
+
+
+def test_flux_remat_blocks_equivalence():
+    """Per-block remat (the full-depth-int8-fits-one-v5e lever): identical
+    param tree, bit-identical forward, grads equal up to remat-backward
+    float reassociation."""
+    import numpy as np
+
+    from sliders_conceptmod_tpu.models.flux import FluxConfig, FluxTransformer2DModel
+
+    cfg = FluxConfig.tiny()
+    m = FluxTransformer2DModel(cfg, dtype=jnp.float32)
+    mr = m.clone(remat_blocks=True)
+    args = (
+        jnp.ones((1, 16, cfg.in_channels)),
+        jnp.ones((1,)) * 0.5,
+        jnp.ones((1, 8, cfg.joint_attention_dim)) * 0.1,
+        jnp.ones((1, cfg.pooled_projection_dim)) * 0.1,
+        jnp.zeros((8, 3)),
+        jnp.zeros((16, 3)),
+    )
+    p = m.init(jax.random.PRNGKey(0), *args)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(
+        mr.init(jax.random.PRNGKey(0), *args)["params"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m.apply({"params": p}, *args)), np.asarray(mr.apply({"params": p}, *args))
+    )
+    g1 = jax.grad(lambda p: m.apply({"params": p}, *args).sum())(p)
+    g2 = jax.grad(lambda p: mr.apply({"params": p}, *args).sum())(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g1,
+        g2,
+    )
