@@ -200,7 +200,14 @@ def bench_sd3(n_steps, res, dtype):
     bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
     scfg = esd_sd3.SD3ESDConfig(max_denoising_steps=28, height=res, width=res, remat=True)
     opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
-    step = esd_sd3.make_sd3_esd_train_step(apply, sites, schedule, opt, scfg)
+    model_remat = model.clone(remat_blocks=True)
+
+    def remat_apply(p, *a, **kw):
+        return model_remat.apply({"params": p}, *a, **kw)
+
+    step = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, remat_apply=remat_apply
+    )
     opt_state = opt.init(lora_params)
 
     key = jax.random.PRNGKey(0)

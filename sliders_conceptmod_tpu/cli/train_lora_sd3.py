@@ -105,6 +105,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         transformer.apply_fn(), sites, schedule, optimizer, scfg,
         merge_fn=peft_mod.merge_lora_params,
         student_overlay=quantize_base,
+        # per-block remat on the student: block-granular fwd+bwd peak HBM
+        # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
+        remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,
     )
 
     save_path = Path(config.save.path)

@@ -243,6 +243,11 @@ class JointTransformerBlock(nn.Module):
 class SD3Transformer2DModel(nn.Module):
     config: MMDiTConfig
     dtype: jnp.dtype = jnp.float32
+    # per-BLOCK rematerialization for the train student's grad pass: caps
+    # fwd+bwd peak HBM at block-input granularity at the same recompute count
+    # (see models/flux.py for the full rationale — whole-model jax.checkpoint
+    # does not lower the fwd+bwd peak). Identical param tree and forward.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(
@@ -279,8 +284,9 @@ class SD3Transformer2DModel(nn.Module):
             encoder_hidden_states.astype(self.dtype)
         )
 
+        Block = nn.remat(JointTransformerBlock) if self.remat_blocks else JointTransformerBlock
         for i in range(cfg.num_layers):
-            x, context = JointTransformerBlock(
+            x, context = Block(
                 cfg,
                 context_pre_only=(i == cfg.num_layers - 1),
                 name=f"transformer_blocks_{i}",

@@ -62,14 +62,23 @@ def make_sd3_esd_train_step(
     cfg: SD3ESDConfig,
     merge_fn=None,
     student_overlay: bool = False,
+    remat_apply: Callable | None = None,
 ):
     """``student_overlay=True``: apply the student LoRA via the apply-time
     interceptor instead of merging — required over an int8-quantized base
     (tpu.quantize_base, adapters/quant.py); the shape-(1,) row multiplier
-    broadcasts over CFG-doubled batches."""
+    broadcasts over CFG-doubled batches.
+
+    ``remat_apply``: a per-BLOCK-rematted apply (``bundle.apply_fn(
+    remat_blocks=True)``) for the student grad pass — caps fwd+bwd peak HBM
+    at block granularity (the SD3.5-Large-class fit lever; see
+    train/esd_flux.py for why whole-model jax.checkpoint does not)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     overlay_one = jnp.ones((1,), jnp.float32)
-    student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
+    if remat_apply is not None:
+        student_apply = remat_apply
+    else:
+        student_apply = jax.checkpoint(transformer_apply) if cfg.remat else transformer_apply
     b = cfg.batch_size
     gs = cfg.train_cfg_scale
     # g==1 fast path: u + 1·(c−u) ≡ c — skip the uncond rows (see train/esd.py)
