@@ -97,8 +97,20 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     bank = esd.build_prompt_bank(prompts, encode_fn)
     empty_text, empty_pooled = encode_fn("")
 
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2):
+    # samples_per_step > 1 shards independent ESD samples over the mesh data
+    # axis; incl. multi-host worlds via tpu.coordinator_address
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
+    multihost = mesh is not None and jax.process_count() > 1
+
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
     ccfg = esd_cascade.CascadeESDConfig(
+        samples_per_step=samples_per_step,
+        shard_samples=mesh is not None and samples_per_step > 1,
+        mesh=mesh,
         max_denoising_steps=config.train.max_denoising_steps,
         batch_size=prompts[0].batch_size,
         height=prompts[0].resolution,
@@ -131,12 +143,22 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     lora_params, opt_state, start_step, key = ckpt.maybe_restore(
         resume_from, lora_params, opt_state, key
     )
+    if mesh is not None:
+        # (empty_text/empty_pooled are small make-time closure constants —
+        # they compile into the executable, no placement needed)
+        prior.params, lora_params, opt_state, bank = mesh_lib.place_training_state(
+            mesh, prior.params, lora_params, opt_state, bank,
+            tp=getattr(config.tpu, "mesh_model", 1) > 1,
+        )
     for i in range(start_step, config.train.iterations):
         key, k = jax.random.split(key)
+        if multihost:
+            k = mesh_lib.replicate_host_tree(k, mesh)
         lora_params, opt_state, metrics = step(prior.params, lora_params, opt_state, k, bank)
         logger.log(i, metrics)
         if (
             save_file
+            and jax.process_index() == 0  # multi-host: one writer per run
             and config.save.per_steps
             and i % config.save.per_steps == 0
             and i != 0
@@ -151,8 +173,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     logger.close()
     if save_file:
-        save_path.mkdir(parents=True, exist_ok=True)
-        peft_mod.save_weights(save_path / f"{config.save.name}_last.pt", sites, lora_params, dtype=save_dtype)
+        if jax.process_index() == 0:  # multi-host: one writer per run
+            save_path.mkdir(parents=True, exist_ok=True)
+            peft_mod.save_weights(save_path / f"{config.save.name}_last.pt", sites, lora_params, dtype=save_dtype)
         return None
     return peft_mod.state_dict_numpy(sites, lora_params)
 

@@ -82,8 +82,18 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     resolution = prompts[0].resolution
     batch_size = prompts[0].batch_size
-    # grad accumulation to effective batch 8 (reference :222-226)
-    accumulation_steps = math.ceil(8 / batch_size) if batch_size < 8 else 1
+    # grad accumulation to effective batch 8 (reference :222-226).
+    # tpu.samples_per_step folds accumulation micro-steps into per-step DP
+    # samples (same averaged gradient — mean over samples ≡ MultiSteps' mean
+    # over micro grads): samples_per_step=8 turns the reference's sequential
+    # accumulation chain into 8-way data parallelism over the mesh.
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
+    multihost = mesh is not None and jax.process_count() > 1
+    eff_rows = batch_size * samples_per_step
+    accumulation_steps = math.ceil(8 / eff_rows) if eff_rows < 8 else 1
 
     base_opt = get_optimizer(
         "adamw",
@@ -106,6 +116,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     schedule = scheduler.set_timesteps(n_steps, mu=mu)
 
     fcfg = esd_flux.FluxESDConfig(
+        samples_per_step=samples_per_step,
+        shard_samples=mesh is not None and samples_per_step > 1,
+        mesh=mesh,
         num_inference_steps=n_steps,
         batch_size=batch_size,
         height=resolution,
@@ -136,17 +149,25 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     lora_params, opt_state, start_micro, key = ckpt.maybe_restore(
         resume_from, lora_params, opt_state, key
     )
+    if mesh is not None:
+        transformer.params, lora_params, opt_state, bank = mesh_lib.place_training_state(
+            mesh, transformer.params, lora_params, opt_state, bank,
+            tp=getattr(config.tpu, "mesh_model", 1) > 1,
+        )
 
     # tpu.sequence_parallel: joint self-attention (4096+512 tokens at 1024px)
     # rings K/V over the mesh data axis — the long-sequence family
     with sequence_parallel_from_config(config.tpu):
         for i in range(start_micro, total_micro):
             key, k = jax.random.split(key)
+            if multihost:
+                k = mesh_lib.replicate_host_tree(k, mesh)
             lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
             logger.log(i, metrics)
             # periodic save at micro-step granularity (reference :414-426)
             if (
                 save_file
+                and jax.process_index() == 0  # multi-host: one writer per run
                 and config.save.per_steps
                 and i % config.save.per_steps == 0
                 and i != 0
@@ -161,8 +182,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     logger.close()
     if save_file:
-        save_path.mkdir(parents=True, exist_ok=True)
-        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
+        if jax.process_index() == 0:  # multi-host: one writer per run
+            save_path.mkdir(parents=True, exist_ok=True)
+            peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
         return None
     return peft_mod.state_dict_numpy(sites, lora_params)
 

@@ -91,8 +91,20 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     resolution = prompts[0].resolution
     batch_size = prompts[0].batch_size
 
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2):
+    # samples_per_step > 1 shards independent ESD samples over the mesh data
+    # axis; incl. multi-host worlds via tpu.coordinator_address
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
+    multihost = mesh is not None and jax.process_count() > 1
+
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
     scfg = esd_sd3.SD3ESDConfig(
+        samples_per_step=samples_per_step,
+        shard_samples=mesh is not None and samples_per_step > 1,
+        mesh=mesh,
         max_denoising_steps=config.train.max_denoising_steps,
         train_cfg_scale=config.train.cfg,
         batch_size=batch_size,
@@ -123,16 +135,24 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     lora_params, opt_state, start_step, key = ckpt.maybe_restore(
         resume_from, lora_params, opt_state, key
     )
+    if mesh is not None:
+        transformer.params, lora_params, opt_state, bank = mesh_lib.place_training_state(
+            mesh, transformer.params, lora_params, opt_state, bank,
+            tp=getattr(config.tpu, "mesh_model", 1) > 1,
+        )
 
     # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at
     # 1024px) rings K/V over the mesh data axis when it divides evenly
     with sequence_parallel_from_config(config.tpu):
         for i in range(start_step, config.train.iterations):
             key, k = jax.random.split(key)
+            if multihost:
+                k = mesh_lib.replicate_host_tree(k, mesh)
             lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
             logger.log(i, metrics)
             if (
                 save_file
+                and jax.process_index() == 0  # multi-host: one writer per run
                 and config.save.per_steps
                 and i % config.save.per_steps == 0
                 and i != 0
@@ -146,8 +166,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     logger.close()
     if save_file:
-        save_path.mkdir(parents=True, exist_ok=True)
-        peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
+        if jax.process_index() == 0:  # multi-host: one writer per run
+            save_path.mkdir(parents=True, exist_ok=True)
+            peft_mod.save_weights(save_path / f"{config.save.name}_last.safetensors", sites, lora_params, dtype=save_dtype)
         return None
     return peft_mod.state_dict_numpy(sites, lora_params)
 

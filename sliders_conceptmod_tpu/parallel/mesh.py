@@ -55,6 +55,43 @@ def init_distributed(coordinator_address: str | None = None,
     _DISTRIBUTED["initialized"] = True
 
 
+def training_mesh_from_config(tpu_cfg, samples_per_step: int) -> Mesh | None:
+    """The trainer CLIs' shared mesh bring-up from the yaml ``tpu:`` block:
+    join a multi-host world first when configured (coordinator_address /
+    num_processes / process_id), then build the (data, model) mesh when the
+    runtime has >1 device and the config asks for DP (samples_per_step > 1)
+    or TP (mesh_model > 1). Single-device runs return None — the exact
+    1-chip graph."""
+    if getattr(tpu_cfg, "coordinator_address", None) or getattr(tpu_cfg, "num_processes", None):
+        init_distributed(
+            tpu_cfg.coordinator_address, tpu_cfg.num_processes, tpu_cfg.process_id
+        )
+    mesh_model = max(getattr(tpu_cfg, "mesh_model", 1), 1)
+    if jax.device_count() <= 1 or (samples_per_step <= 1 and mesh_model <= 1):
+        return None
+    if mesh_model > 1 and jax.process_count() > 1:
+        raise NotImplementedError(
+            "multi-host tensor parallelism is not wired — shard the model "
+            "axis within one host (mesh_model <= local devices)"
+        )
+    return make_mesh(getattr(tpu_cfg, "mesh_data", -1), mesh_model)
+
+
+def place_training_state(mesh: Mesh, base_params, lora_params, opt_state, bank,
+                         tp: bool = False):
+    """Place the four training trees on the mesh (every host holds identical
+    values — one checkpoint, one seed): the frozen base replicates (or
+    tensor-shards its weight output dims when ``tp``); adapter params,
+    optimizer state and the prompt bank replicate."""
+    base_place = tp_shard_tree if tp else replicate_host_tree
+    return (
+        base_place(base_params, mesh),
+        replicate_host_tree(lora_params, mesh),
+        replicate_host_tree(opt_state, mesh),
+        replicate_host_tree(bank, mesh),
+    )
+
+
 def replicate_host_tree(tree, mesh: Mesh):
     """Replicate host-identical values onto a (possibly multi-process) mesh.
 

@@ -128,6 +128,40 @@ def draw_time_ids(key, height: int, width: int) -> jnp.ndarray:
     ).astype(jnp.float32)[None]
 
 
+def data_partition_spec(mesh=None):
+    """Sample-axis spec: a NamedSharding bound to ``mesh`` when given (no
+    ambient mesh context needed — the trainer-CLI path), else the bare
+    PartitionSpec for callers managing their own ``with mesh:`` scope."""
+    if mesh is None:
+        return P("data")
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P("data"))
+
+
+def sampled_loss_and_grad(sample_loss, lora_params, key, samples_per_step: int,
+                          shard_samples: bool = False, mesh=None):
+    """value_and_grad of the mean of ``sample_loss(lp, k)`` over independent
+    per-step samples — the shared DP machinery for every ESD family
+    (SURVEY §2.2): >1 samples vmap over split keys; ``shard_samples`` pins
+    the sample axis to the mesh data axis so each chip carries whole samples
+    and XLA inserts the gradient all-reduce. ``samples_per_step == 1``
+    reproduces the single-sample graph exactly."""
+    if samples_per_step == 1:
+        return jax.value_and_grad(lambda lp: sample_loss(lp, key))(lora_params)
+    keys = jax.random.split(key, samples_per_step)
+    if shard_samples:
+        keys = jax.lax.with_sharding_constraint(keys, data_partition_spec(mesh))
+
+    def mean_loss(lp):
+        losses = jax.vmap(lambda k: sample_loss(lp, k))(keys)
+        if shard_samples:
+            losses = jax.lax.with_sharding_constraint(losses, data_partition_spec(mesh))
+        return jnp.mean(losses)
+
+    return jax.value_and_grad(mean_loss)(lora_params)
+
+
 @dataclass(frozen=True)
 class ESDConfig:
     max_denoising_steps: int = 50
@@ -182,9 +216,7 @@ class ESDConfig:
     mesh: Optional[object] = None
 
     def data_spec(self):
-        from jax.sharding import NamedSharding
-
-        return NamedSharding(self.mesh, P("data")) if self.mesh is not None else P("data")
+        return data_partition_spec(self.mesh)
 
 
 def make_esd_train_step(

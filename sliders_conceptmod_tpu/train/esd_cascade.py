@@ -59,6 +59,7 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_TARGET,
     ROLE_UNCOND,
     PromptBank,
+    sampled_loss_and_grad,
 )
 
 
@@ -72,6 +73,11 @@ class CascadeESDConfig:
     latent_channels: int = 16
     resolution_multiple: float = 42.67  # train_util.py:899
     remat: bool = True
+    # independent ESD samples per optimizer step (vmapped; under a mesh the
+    # sample axis shards over the data axis — esd.sampled_loss_and_grad)
+    samples_per_step: int = 1
+    shard_samples: bool = False
+    mesh: object = None
 
     @property
     def latent_hw(self):
@@ -148,7 +154,8 @@ def make_cascade_esd_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
-        k_pair, k_noise, k_warm = jax.random.split(key, 3)
+      def sample_loss(lp, k):
+        k_pair, k_noise, k_warm = jax.random.split(k, 3)
         n_pairs = bank.text.shape[0]
         pair = jax.random.randint(k_pair, (), 0, n_pairs)
         text = bank.text[pair]
@@ -162,7 +169,7 @@ def make_cascade_esd_train_step(
         )
 
         # warm-up: slider ON, pair's unconditional prompt, grad-stopped
-        student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+        student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
         warm_text, warm_pooled = tile(text[ROLE_UNCOND]), tile(pooled[ROLE_UNCOND])
 
         def body(i, lat):
@@ -196,17 +203,18 @@ def make_cascade_esd_train_step(
             (guided(p_neu) + sign * g_pair * (guided(p_pos) - guided(p_neg))).astype(jnp.float32)
         )
 
-        def loss_fn(lp):
-            sp = merge(base_params, sites, lp, 1.0)
-            tgt = predict_guided(
-                student_apply, sp, x_in, current_ratio, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET])
-            )
-            diff = tgt.astype(jnp.float32) - esd_target
-            return jnp.mean(diff * diff)
+        sp = merge(base_params, sites, lp, 1.0)
+        tgt = predict_guided(
+            student_apply, sp, x_in, current_ratio, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET])
+        )
+        diff = tgt.astype(jnp.float32) - esd_target
+        return jnp.mean(diff * diff)
 
-        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
-        updates, opt_state = optimizer.update(grads, opt_state, lora_params)
-        lora_params = optax.apply_updates(lora_params, updates)
-        return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+      loss, grads = sampled_loss_and_grad(
+          sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
+      )
+      updates, opt_state = optimizer.update(grads, opt_state, lora_params)
+      lora_params = optax.apply_updates(lora_params, updates)
+      return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return train_step

@@ -44,6 +44,7 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_POSITIVE,
     ROLE_TARGET,
     PromptBank,
+    sampled_loss_and_grad,
 )
 
 
@@ -56,6 +57,15 @@ class FluxESDConfig:
     latent_channels: int = 16
     vae_scale: int = 8
     remat: bool = True
+    # independent ESD samples per optimizer step (vmapped; under a mesh the
+    # sample axis shards over the data axis — esd.sampled_loss_and_grad).
+    # NOTE the reference reaches effective batch 8 via sequential gradient
+    # accumulation (train_lora_flux.py:222-226); samples_per_step=8 computes
+    # the SAME averaged gradient in one step, so on a pod the accumulation
+    # chain becomes 8-way data parallelism.
+    samples_per_step: int = 1
+    shard_samples: bool = False
+    mesh: object = None
 
 
 def make_flux_esd_train_step(
@@ -102,44 +112,44 @@ def make_flux_esd_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
-        k_pair, k_noise = jax.random.split(key, 2)
-        n_pairs = bank.text.shape[0]
-        pair = jax.random.randint(k_pair, (), 0, n_pairs)
-        text = bank.text[pair]
-        pooled = bank.pooled[pair]
-        g_pair = bank.guidance[pair]
-        sign = bank.sign[pair]
+        def sample_loss(lp, k):
+            k_pair, k_noise = jax.random.split(k, 2)
+            n_pairs = bank.text.shape[0]
+            pair = jax.random.randint(k_pair, (), 0, n_pairs)
+            text = bank.text[pair]
+            pooled = bank.pooled[pair]
+            g_pair = bank.guidance[pair]
+            sign = bank.sign[pair]
 
-        latents = jax.random.normal(
-            k_noise,
-            (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
-            jnp.float32,
-        )
-        tokens = pack_latents(latents)  # timesteps_to = 0: no warm-up
+            latents = jax.random.normal(
+                k_noise,
+                (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
+                jnp.float32,
+            )
+            tokens = pack_latents(latents)  # timesteps_to = 0: no warm-up
 
-        # teacher: one 3-row batch (positive / neutral / negative), no CFG
-        t_idx = 0
-        teacher_rows = jnp.concatenate(
-            [tile(text[r]) for r in (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
-        )
-        teacher_pooled = jnp.concatenate(
-            [tile(pooled[r]) for r in (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
-        )
-        stepped = predict_step(
-            transformer_apply,
-            base_params,
-            jnp.concatenate([tokens] * 3, axis=0),
-            teacher_rows,
-            teacher_pooled,
-            t_idx,
-            3,
-        )
-        pos_lat, neu_lat, neg_lat = jnp.split(stepped, 3, axis=0)
-        esd_target = jax.lax.stop_gradient(
-            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
-        )
+            # teacher: one 3-row batch (positive / neutral / negative), no CFG
+            t_idx = 0
+            teacher_rows = jnp.concatenate(
+                [tile(text[r]) for r in (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
+            )
+            teacher_pooled = jnp.concatenate(
+                [tile(pooled[r]) for r in (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)], axis=0
+            )
+            stepped = predict_step(
+                transformer_apply,
+                base_params,
+                jnp.concatenate([tokens] * 3, axis=0),
+                teacher_rows,
+                teacher_pooled,
+                t_idx,
+                3,
+            )
+            pos_lat, neu_lat, neg_lat = jnp.split(stepped, 3, axis=0)
+            esd_target = jax.lax.stop_gradient(
+                (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+            )
 
-        def loss_fn(lp):
             if student_overlay:
                 with lora_lib.lora_overlay(sites, lp, jnp.ones((b,), jnp.float32)):
                     tgt = predict_step(
@@ -159,7 +169,9 @@ def make_flux_esd_train_step(
             diff = tgt.astype(jnp.float32) - esd_target
             return jnp.mean(diff * diff)
 
-        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        loss, grads = sampled_loss_and_grad(
+            sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
+        )
         updates, opt_state = optimizer.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)
         return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

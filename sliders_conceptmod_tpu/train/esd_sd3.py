@@ -39,6 +39,7 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_TARGET,
     ROLE_UNCOND,
     PromptBank,
+    sampled_loss_and_grad,
 )
 
 
@@ -52,6 +53,11 @@ class SD3ESDConfig:
     latent_channels: int = 16
     vae_scale: int = 8
     remat: bool = True
+    # independent ESD samples per optimizer step (vmapped; under a mesh the
+    # sample axis shards over the data axis — esd.sampled_loss_and_grad)
+    samples_per_step: int = 1
+    shard_samples: bool = False
+    mesh: object = None
 
 
 def make_sd3_esd_train_step(
@@ -102,81 +108,83 @@ def make_sd3_esd_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
-        k_pair, k_t, k_noise = jax.random.split(key, 3)
-        n_pairs = bank.text.shape[0]
-        pair = jax.random.randint(k_pair, (), 0, n_pairs)
-        timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+        def sample_loss(lp, k):
+            """One independent ESD sample: (pair, t_to, noise) draw → warm-up
+            → teacher target → student loss. ``lp`` carries the gradient."""
+            k_pair, k_t, k_noise = jax.random.split(k, 3)
+            n_pairs = bank.text.shape[0]
+            pair = jax.random.randint(k_pair, (), 0, n_pairs)
+            timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
 
-        text = bank.text[pair]
-        pooled = bank.pooled[pair]
-        g_pair = bank.guidance[pair]
-        sign = bank.sign[pair]
+            text = bank.text[pair]
+            pooled = bank.pooled[pair]
+            g_pair = bank.guidance[pair]
+            sign = bank.sign[pair]
 
-        def rows(role):
-            if not use_cfg:
-                return tile(text[role])
-            return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
+            def rows(role):
+                if not use_cfg:
+                    return tile(text[role])
+                return jnp.concatenate([tile(text[ROLE_UNCOND]), tile(text[role])], axis=0)
 
-        def prows(role):
-            if not use_cfg:
-                return tile(pooled[role])
-            return jnp.concatenate([tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0)
+            def prows(role):
+                if not use_cfg:
+                    return tile(pooled[role])
+                return jnp.concatenate([tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0)
 
-        latents0 = jax.random.normal(
-            k_noise,
-            (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
-            jnp.float32,
-        )
+            latents0 = jax.random.normal(
+                k_noise,
+                (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
+                jnp.float32,
+            )
 
-        # warm-up with slider ON (multiplier 1), gradient-stopped
-        if student_overlay:
-            slp = jax.lax.stop_gradient(lora_params)
+            # warm-up with slider ON (multiplier 1), gradient-stopped
+            if student_overlay:
+                slp = jax.lax.stop_gradient(lp)
 
-            def body(i, lat):
-                with lora_lib.lora_overlay(sites, slp, overlay_one):
-                    return cfg_step(
-                        transformer_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
-                    )
+                def body(i, lat):
+                    with lora_lib.lora_overlay(sites, slp, overlay_one):
+                        return cfg_step(
+                            transformer_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
+                        )
 
-        else:
-            student_params = jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
+            else:
+                student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
 
-            def body(i, lat):
-                return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
+                def body(i, lat):
+                    return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
 
-        denoised = jax.lax.stop_gradient(
-            jax.lax.fori_loop(0, timesteps_to, body, latents0)
-        )
+            denoised = jax.lax.stop_gradient(
+                jax.lax.fori_loop(0, timesteps_to, body, latents0)
+            )
 
-        # teacher: one batched call at step index timesteps_to
-        t_idx = timesteps_to
-        troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
-        if use_cfg:
-            troles = (ROLE_UNCOND,) + troles
-        n_rows = len(troles)
-        teacher_rows = jnp.concatenate([tile(text[r]) for r in troles], axis=0)
-        teacher_pooled = jnp.concatenate([tile(pooled[r]) for r in troles], axis=0)
-        t_vec = jnp.broadcast_to(schedule.timesteps[t_idx], (n_rows * b,))
-        v_all = transformer_apply(
-            base_params, jnp.concatenate([denoised] * n_rows, axis=0), t_vec, teacher_rows, teacher_pooled
-        )
-        if use_cfg:
-            v_u, v_p, v_n, v_neg = jnp.split(v_all, 4, axis=0)
+            # teacher: one batched call at step index timesteps_to
+            t_idx = timesteps_to
+            troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
+            if use_cfg:
+                troles = (ROLE_UNCOND,) + troles
+            n_rows = len(troles)
+            teacher_rows = jnp.concatenate([tile(text[r]) for r in troles], axis=0)
+            teacher_pooled = jnp.concatenate([tile(pooled[r]) for r in troles], axis=0)
+            t_vec = jnp.broadcast_to(schedule.timesteps[t_idx], (n_rows * b,))
+            v_all = transformer_apply(
+                base_params, jnp.concatenate([denoised] * n_rows, axis=0), t_vec, teacher_rows, teacher_pooled
+            )
+            if use_cfg:
+                v_u, v_p, v_n, v_neg = jnp.split(v_all, 4, axis=0)
 
-            def stepped(v_c):
-                guided = v_u + gs * (v_c - v_u)
-                return FlowMatchScheduler.step(schedule, guided, t_idx, denoised)
+                def stepped(v_c):
+                    guided = v_u + gs * (v_c - v_u)
+                    return FlowMatchScheduler.step(schedule, guided, t_idx, denoised)
 
-            pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
-        else:
-            v_p, v_n, v_neg = jnp.split(v_all, 3, axis=0)
-            stepped = lambda v: FlowMatchScheduler.step(schedule, v, t_idx, denoised)
-            pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
-        esd_target = jax.lax.stop_gradient(
-            (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
-        )
+                pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
+            else:
+                v_p, v_n, v_neg = jnp.split(v_all, 3, axis=0)
+                stepped = lambda v: FlowMatchScheduler.step(schedule, v, t_idx, denoised)
+                pos_lat, neu_lat, neg_lat = stepped(v_p), stepped(v_n), stepped(v_neg)
+            esd_target = jax.lax.stop_gradient(
+                (neu_lat + sign * g_pair * (pos_lat - neg_lat)).astype(jnp.float32)
+            )
 
-        def loss_fn(lp):
             if student_overlay:
                 with lora_lib.lora_overlay(sites, lp, overlay_one):
                     tgt = cfg_step(
@@ -188,7 +196,9 @@ def make_sd3_esd_train_step(
             diff = tgt.astype(jnp.float32) - esd_target
             return jnp.mean(diff * diff)
 
-        loss, grads = jax.value_and_grad(loss_fn)(lora_params)
+        loss, grads = sampled_loss_and_grad(
+            sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
+        )
         updates, opt_state = optimizer.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)
         return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
