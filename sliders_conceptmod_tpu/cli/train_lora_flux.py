@@ -52,6 +52,16 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "DoRA's per-column norm init — use peft_type=lora with a "
             "quantized base."
         )
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
+    # BEFORE the first model load: jax.distributed.initialize must run before
+    # anything initializes the XLA backend (loading device_puts weights), and
+    # after it jax.devices() is global so the mesh spans the whole slice
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
+    multihost = mesh is not None and jax.process_count() > 1
+
     tokenizers, encode_raw, transformer, scheduler = factory.load_models_flux(
         config.pretrained_model.name_or_path,
         weight_dtype=weight_dtype,
@@ -87,11 +97,6 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     # samples (same averaged gradient — mean over samples ≡ MultiSteps' mean
     # over micro grads): samples_per_step=8 turns the reference's sequential
     # accumulation chain into 8-way data parallelism over the mesh.
-    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
-    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
-    multihost = mesh is not None and jax.process_count() > 1
     eff_rows = batch_size * samples_per_step
     accumulation_steps = math.ceil(8 / eff_rows) if eff_rows < 8 else 1
 

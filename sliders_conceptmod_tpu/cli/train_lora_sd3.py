@@ -47,6 +47,16 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "DoRA's per-column norm init — use peft_type=lora with a "
             "quantized base."
         )
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
+    # BEFORE the first model load: jax.distributed.initialize must run before
+    # anything initializes the XLA backend (loading device_puts weights), and
+    # after it jax.devices() is global so the mesh spans the whole slice
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
+    multihost = mesh is not None and jax.process_count() > 1
+
     tokenizers, text_encoders, transformer, scheduler = factory.load_models_sd3(
         config.pretrained_model.name_or_path,
         weight_dtype=weight_dtype,
@@ -90,15 +100,6 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     bank = esd.build_prompt_bank(prompts, encode_fn)
     resolution = prompts[0].resolution
     batch_size = prompts[0].batch_size
-
-    # multi-chip straight from the yaml tpu: block (SURVEY §2.2):
-    # samples_per_step > 1 shards independent ESD samples over the mesh data
-    # axis; incl. multi-host worlds via tpu.coordinator_address
-    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-    samples_per_step = max(getattr(config.tpu, "samples_per_step", 1), 1)
-    mesh = mesh_lib.training_mesh_from_config(config.tpu, samples_per_step)
-    multihost = mesh is not None and jax.process_count() > 1
 
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
     scfg = esd_sd3.SD3ESDConfig(

@@ -30,6 +30,31 @@ SCHEDULER_KINDS = ("ddim", "ddpm", "lms", "euler_a")
 LMS_ORDER = 4  # diffusers LMSDiscreteScheduler default
 
 
+def is_batched_key(key) -> bool:
+    """True when ``key`` is a stacked [B]-batch of PRNG keys (one per sample
+    row) rather than a single key. Supports both raw uint32 ``(2,)`` keys
+    (stacked → ``(B, 2)``) and typed ``jax.random.key`` arrays (stacked →
+    ndim ≥ 1)."""
+    key = jnp.asarray(key)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim >= 1
+    return key.ndim >= 2
+
+
+def _draw_step_noise(key, shape):
+    """Per-step stochastic-scheduler noise. A single key draws the whole
+    ``shape`` at once (legacy behavior, byte-stable). A stacked [B]-batch of
+    keys draws each row from ITS OWN key — a row's noise then depends only on
+    its key, not on its position in the batch or on the other rows, which is
+    what makes micro-batched serving reproduce the solo-request trajectory
+    for a given request seed (serve.py)."""
+    if is_batched_key(key):
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype=jnp.float32))(
+            jnp.asarray(key)
+        )
+    return jax.random.normal(key, shape, dtype=jnp.float32)
+
+
 def make_betas(
     num_train_timesteps: int = 1000,
     beta_start: float = 0.00085,
@@ -266,7 +291,7 @@ class NoiseScheduler:
             no_noise = schedule.timesteps[step_index] == 0
             if key is None:
                 raise ValueError("ddpm step requires a PRNG key")
-            noise = jax.random.normal(key, sample.shape, dtype=jnp.float32)
+            noise = _draw_step_noise(key, sample.shape)
             prev = prev + jnp.where(no_noise, 0.0, jnp.sqrt(variance)) * noise
         elif self.kind == "euler_a":
             sigma = schedule.sigmas[step_index]
@@ -276,7 +301,7 @@ class NoiseScheduler:
             prev = sample + derivative * dt
             if key is None:
                 raise ValueError("euler_a step requires a PRNG key")
-            noise = jax.random.normal(key, sample.shape, dtype=jnp.float32)
+            noise = _draw_step_noise(key, sample.shape)
             prev = prev + noise * schedule.sigma_up[step_index]
         elif self.kind == "lms":
             sigma = schedule.sigmas[step_index]

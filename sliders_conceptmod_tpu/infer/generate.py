@@ -147,8 +147,15 @@ def sample_loop_scales(
     Numerics: overlay ≡ merge (tests/test_lora_overlay.py) up to bf16
     rounding — the overlay adds the rank-r path in fp32 while merging folds
     it into the bf16 kernel.
+
+    ``key`` may be a single PRNG key (legacy: stochastic schedulers draw the
+    whole batch from one stream) or a stacked [B]-batch of keys — then every
+    row's trajectory noise comes from its OWN key via fold_in(step), so a
+    row's output is independent of which other rows share the batch (the
+    micro-batched-serving seed-reproducibility contract, serve.py).
     """
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.diffusion.schedulers import is_batched_key
 
     n = schedule.num_inference_steps
     state = scheduler.init_step_state(latents.shape)
@@ -156,6 +163,7 @@ def sample_loop_scales(
     B = latents.shape[0]
     reps = B // scales.shape[0]
     row_scales = jnp.repeat(scales, reps)  # [S*N]
+    per_row_keys = is_batched_key(key)
     try:
         use_cfg = float(guidance_scale) > 1.0
     except jax.errors.ConcretizationTypeError:
@@ -170,7 +178,10 @@ def sample_loop_scales(
 
     def body(i, carry):
         lat, st, k = carry
-        k, sub = jax.random.split(k)
+        if per_row_keys:
+            sub = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(k)
+        else:
+            k, sub = jax.random.split(k)
         gate = jnp.where(i < flip_step, 0.0, 1.0)  # slider off while t > start_noise
         if not use_cfg:
             scaled = scheduler.scale_model_input(schedule, lat, i)

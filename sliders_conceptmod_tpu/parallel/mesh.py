@@ -74,7 +74,31 @@ def training_mesh_from_config(tpu_cfg, samples_per_step: int) -> Mesh | None:
             "multi-host tensor parallelism is not wired — shard the model "
             "axis within one host (mesh_model <= local devices)"
         )
-    return make_mesh(getattr(tpu_cfg, "mesh_data", -1), mesh_model)
+    # the data axis shards samples_per_step rows, so it must divide them —
+    # otherwise the with_sharding_constraint inside the first train step
+    # fails with a cryptic trace-time error far from the yaml that caused it
+    data = getattr(tpu_cfg, "mesh_data", -1)
+    if data in (-1, 0, None):
+        import math
+
+        data = max(jax.device_count() // mesh_model, 1)
+        if samples_per_step % data:
+            # auto-sizing only ever shrinks to a divisor; say so out loud
+            data = math.gcd(samples_per_step, data)
+            print(
+                f"[mesh] tpu.samples_per_step={samples_per_step} is not divisible by "
+                f"the {jax.device_count() // mesh_model}-device data axis — using "
+                f"mesh_data={data} (set tpu.mesh_data or raise samples_per_step to "
+                "use every chip)"
+            )
+    elif samples_per_step % data:
+        raise ValueError(
+            f"tpu.samples_per_step={samples_per_step} must be divisible by "
+            f"tpu.mesh_data={data} (each data-axis chip takes an equal share "
+            "of the per-step samples)"
+        )
+    # a shrunk data axis uses the first data*model devices; the rest idle
+    return make_mesh(data, mesh_model, devices=jax.devices()[: data * mesh_model])
 
 
 def place_training_state(mesh: Mesh, base_params, lora_params, opt_state, bank,

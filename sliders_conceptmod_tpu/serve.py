@@ -61,10 +61,13 @@ class MicroBatcher:
     throughput for free. Single-request latency cost is bounded by
     ``window_ms`` (paid only when a second request doesn't show up).
 
-    ``run_batch(items) -> results`` executes a whole batch; failures fan the
-    exception out to every waiting caller in the batch."""
+    ``run_batch(items) -> results`` executes a whole batch; a result item may
+    be an ``Exception`` instance, which is raised only for ITS caller (the
+    per-group failure containment of ``_run_grouped``). If ``run_batch``
+    itself raises, the exception fans out to every waiting caller."""
 
     def __init__(self, run_batch, max_batch: int = 4, window_ms: float = 8.0):
+        import collections
         import queue
         import threading
 
@@ -72,7 +75,11 @@ class MicroBatcher:
         self._run = run_batch
         self.max_batch = int(max_batch)
         self.window = float(window_ms) / 1000.0
-        self.batch_sizes: list = []  # observability: size of every batch run
+        # observability: sizes of recent batch runs (bounded — a long-lived
+        # server must not grow a list forever) + lifetime totals
+        self.batch_sizes: "collections.deque" = collections.deque(maxlen=2048)
+        self.total_batches = 0
+        self.total_rows = 0
         threading.Thread(target=self._worker, daemon=True, name="microbatcher").start()
 
     def submit(self, item):
@@ -97,10 +104,15 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             self.batch_sizes.append(len(batch))
+            self.total_batches += 1
+            self.total_rows += len(batch)
             try:
                 results = self._run([item for item, _ in batch])
                 for (_, fut), res in zip(batch, results):
-                    fut.set_result(res)
+                    if isinstance(res, Exception):
+                        fut.set_exception(res)
+                    else:
+                        fut.set_result(res)
             except Exception as e:  # noqa: BLE001 — fan out to all waiters
                 for _, fut in batch:
                     fut.set_exception(e)
@@ -156,6 +168,10 @@ class _SliderRegistry:
             return self._sliders[name]
 
     def remove_slider(self, name: str) -> None:
+        if name == "default":
+            # 'default' is pinned: requests that omit ?slider= must keep
+            # working (same contract the LRU eviction honors)
+            raise ValueError("the 'default' slider is pinned and cannot be removed")
         with self._registry_lock:
             if name not in self._sliders:
                 raise KeyError(f"unknown slider {name!r}")
@@ -166,6 +182,64 @@ class _SliderRegistry:
             return [
                 {"name": n, "sites": len(entry[0])} for n, entry in self._sliders.items()
             ]
+
+    # rows pad to the next bucket so at most len(_BUCKETS) executables compile
+    _BUCKETS = (1, 2, 4)
+
+    def _bucket_for(self, n: int) -> int:
+        if n <= self._buckets[-1]:
+            return next(b for b in self._buckets if b >= n)
+        # overflow: round up to a bucket-granule multiple (the granule is
+        # mesh_data when sharded) so rows stay chip-divisible
+        g = self._buckets[0]
+        return -(-n // g) * g
+
+    def _run_grouped(self, reqs, run_group) -> list:
+        """Shared micro-batch protocol for both families: group requests by
+        (guidance, slider) — guidance is a traced per-batch scalar and the
+        slider picks the overlay site set, so only same-(g, slider) rows can
+        ride one sampler call — pad each group to a bucket size, run
+        ``run_group(padded_reqs, guidance, entry) -> images``, PNG-encode,
+        and route results back by request index. A failing group (e.g. its
+        slider was deleted between fail-fast and worker run) poisons ONLY its
+        own requests: the exception is returned as that group's result values
+        (MicroBatcher raises it for exactly those callers)."""
+        from PIL import Image
+
+        out: dict = {}
+        by_g: dict = {}
+        for i, r in enumerate(reqs):
+            slider_name = r[4] if len(r) > 4 else "default"
+            by_g.setdefault((r[3], slider_name), []).append((i, r))
+        for (guidance, slider_name), group in by_g.items():
+            try:
+                entry = self._resolve(slider_name)
+                n = len(group)
+                bucket = self._bucket_for(n)
+                padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
+                imgs = run_group(padded, guidance, entry)
+                for (i, _), img in zip(group, imgs[:n]):
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(buf, format="PNG")
+                    out[i] = buf.getvalue()
+            except Exception as e:  # noqa: BLE001 — contain to this group
+                for i, _ in group:
+                    out[i] = e
+        return [out[i] for i in range(len(reqs))]
+
+    def _generate_batch(self, reqs) -> list:
+        return self._run_grouped(reqs, self._sample_group)
+
+    def generate(self, prompt: str, scale: float, seed: int, guidance: float,
+                 slider: str = "default") -> bytes:
+        self._resolve(slider)  # fail fast on unknown names (raises KeyError)
+        req = (prompt, float(scale), int(seed), float(guidance), slider)
+        if self._batcher is not None:
+            return self._batcher.submit(req)
+        res = self._generate_batch([req])[0]
+        if isinstance(res, Exception):
+            raise res
+        return res
 
     # single-slider conveniences (the "default" registration)
     @property
@@ -322,85 +396,56 @@ class SliderService(_SliderRegistry):
         )
         return text, pooled
 
-    def generate(self, prompt: str, scale: float, seed: int, guidance: float,
-                 slider: str = "default") -> bytes:
-        self._resolve(slider)  # fail fast on unknown names (raises KeyError)
-        req = (prompt, float(scale), int(seed), float(guidance), slider)
-        if self._batcher is not None:
-            return self._batcher.submit(req)
-        return self._generate_batch([req])[0]
+    def _sample_group(self, padded, guidance, entry) -> list:
+        """One same-(guidance, slider) padded group through one sampler call
+        (the shared protocol lives in :meth:`_SliderRegistry._run_grouped`)."""
+        sites, lora_params, sample_fn = entry
+        bucket = len(padded)
 
-    # rows pad to the next bucket so at most len(_BUCKETS) executables compile
-    _BUCKETS = (1, 2, 4)
+        text_u, pooled_u = self._encode("")
+        conds = [self._encode(p) for p, *_ in padded]
+        emb = jnp.concatenate(
+            [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
+        )
+        added = {
+            "text_embeds": jnp.concatenate(
+                [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
+            ),
+            "time_ids": jnp.tile(
+                jnp.asarray(get_add_time_ids(self.image_size, self.image_size)),
+                (2 * bucket, 1),
+            ),
+        }
+        res = self.image_size // 8
+        latents = jnp.concatenate(
+            [
+                jax.random.normal(jax.random.PRNGKey(r[2]), (1, 4, res, res), jnp.float32)
+                for r in padded
+            ],
+            axis=0,
+        ) * self.schedule.init_noise_sigma
+        scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+        # one stacked key PER ROW from each request's own seed: a row's
+        # stochastic-scheduler noise (euler_a/ddpm) must depend only on its
+        # (prompt, scale, seed), never on which concurrent requests it got
+        # batched with or its row position — the seed-reproducibility
+        # contract (schedulers._draw_step_noise)
+        row_keys = jnp.stack([jax.random.PRNGKey(r[2]) for r in padded])
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-    def _generate_batch(self, reqs) -> list:
-        """Run a list of (prompt, scale, seed, guidance, slider) requests.
-        Rows with the SAME (guidance, slider) ride one sampler call (guidance
-        is a traced scalar shared by the batch — the CFG combine is
-        per-batch; the slider picks the overlay site set); mixed batches
-        split into sub-batches, which under real traffic (one default
-        guidance, hot slider) rarely happens."""
-        from PIL import Image
-
-        out: dict = {}
-        by_g: dict = {}
-        for i, r in enumerate(reqs):
-            slider_name = r[4] if len(r) > 4 else "default"
-            by_g.setdefault((r[3], slider_name), []).append((i, r))
-        for (guidance, slider_name), group in by_g.items():
-            sites, lora_params, sample_fn = self._resolve(slider_name)
-            n = len(group)
-            if n <= self._buckets[-1]:
-                bucket = next(b for b in self._buckets if b >= n)
-            else:
-                # overflow: round up to a bucket-granule multiple (the granule
-                # is mesh_data when sharded) so rows stay chip-divisible
-                g = self._buckets[0]
-                bucket = -(-n // g) * g
-            padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
-
-            text_u, pooled_u = self._encode("")
-            conds = [self._encode(p) for p, *_ in padded]
-            emb = jnp.concatenate(
-                [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
-            )
-            added = {
-                "text_embeds": jnp.concatenate(
-                    [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
-                ),
-                "time_ids": jnp.tile(
-                    jnp.asarray(get_add_time_ids(self.image_size, self.image_size)),
-                    (2 * bucket, 1),
-                ),
-            }
-            res = self.image_size // 8
-            latents = jnp.concatenate(
-                [
-                    jax.random.normal(jax.random.PRNGKey(r[2]), (1, 4, res, res), jnp.float32)
-                    for r in padded
-                ],
-                axis=0,
-            ) * self.schedule.init_noise_sigma
-            scales = jnp.asarray([r[1] for r in padded], jnp.float32)
-            if self._mesh is not None:
-                from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-                shard = mesh_lib.data_sharded(self._mesh)
-                latents = jax.device_put(latents, shard)
-                emb = jax.device_put(emb, shard)
-                added = {k: jax.device_put(v, shard) for k, v in added.items()}
-                scales = jax.device_put(scales, shard)
-            final = sample_fn(
-                self.unet.params, lora_params, scales,
-                latents.astype(jnp.bfloat16), emb, added,
-                jax.random.PRNGKey(padded[0][2]), guidance,
-            )
-            imgs = latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
-            for (i, _), img in zip(group, imgs[:n]):
-                buf = io.BytesIO()
-                Image.fromarray(img).save(buf, format="PNG")
-                out[i] = buf.getvalue()
-        return [out[i] for i in range(len(reqs))]
+            shard = mesh_lib.data_sharded(self._mesh)
+            latents = jax.device_put(latents, shard)
+            emb = jax.device_put(emb, shard)
+            added = {k: jax.device_put(v, shard) for k, v in added.items()}
+            scales = jax.device_put(scales, shard)
+            row_keys = jax.device_put(row_keys, shard)
+        final = sample_fn(
+            self.unet.params, lora_params, scales,
+            latents.astype(jnp.bfloat16), emb, added,
+            row_keys, guidance,
+        )
+        return latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
 
 
 class FluxSliderService(_SliderRegistry):
@@ -510,85 +555,55 @@ class FluxSliderService(_SliderRegistry):
         text, pooled = self._encode_raw(prompt)
         return text[None], pooled[None]
 
-    def generate(self, prompt: str, scale: float, seed: int, guidance: float,
-                 slider: str = "default") -> bytes:
-        self._resolve(slider)  # fail fast on unknown names (raises KeyError)
-        req = (prompt, float(scale), int(seed), float(guidance), slider)
-        if self._batcher is not None:
-            return self._batcher.submit(req)
-        return self._generate_batch([req])[0]
-
-    _BUCKETS = (1, 2, 4)
-
-    def _generate_batch(self, reqs) -> list:
-        """Micro-batched flow sampling: rows share the packed sampler call
-        (per-row slider scales); guidance is a traced per-batch scalar (the
-        dev distilled-guidance embedding value), so mixed guidances split
-        into sub-batches — see :meth:`SliderService._generate_batch`."""
+    def _sample_group(self, padded, guidance, entry) -> list:
+        """One same-(guidance, slider) padded group through one packed flow
+        sampler call (flow-match Euler is deterministic — no per-row noise
+        keys needed; the shared grouping/bucketing/routing protocol lives in
+        :meth:`_SliderRegistry._run_grouped`)."""
         import numpy as np
-        from PIL import Image
 
-        out: dict = {}
-        by_g: dict = {}
-        for i, r in enumerate(reqs):
-            slider_name = r[4] if len(r) > 4 else "default"
-            by_g.setdefault((r[3], slider_name), []).append((i, r))
-        for (guidance, slider_name), group in by_g.items():
-            _, lora_params, sample_fn = self._resolve(slider_name)
-            n = len(group)
-            if n <= self._buckets[-1]:
-                bucket = next(b for b in self._buckets if b >= n)
-            else:
-                g = self._buckets[0]
-                bucket = -(-n // g) * g
-            padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
-
-            conds = [self._encode(p) for p, *_ in padded]
-            text = jnp.concatenate([t for t, _ in conds], axis=0)
-            pooled = jnp.concatenate([p for _, p in conds], axis=0)
-            latents = jnp.concatenate(
-                [
-                    jax.random.normal(
-                        jax.random.PRNGKey(r[2]),
-                        (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
-                    )
-                    for r in padded
-                ],
-                axis=0,
-            )
-            tokens = self._pack(latents).astype(jnp.bfloat16)
-            scales = jnp.asarray([r[1] for r in padded], jnp.float32)
-            if self._mesh is not None:
-                from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-                shard = mesh_lib.data_sharded(self._mesh)
-                tokens = jax.device_put(tokens, shard)
-                text = jax.device_put(text, shard)
-                pooled = jax.device_put(pooled, shard)
-                scales = jax.device_put(scales, shard)
-            final = sample_fn(
-                self.transformer.params, lora_params, scales, tokens, text, pooled,
-                jnp.float32(guidance),
-            )
-            lat = self._unpack(final, self.gh * 2, self.gw * 2)
-            if self.vae is not None:
-                from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
-
-                imgs = sd3_latents_to_images(
-                    self.vae.decode, lat, self.vae.config.scaling_factor,
-                    self.vae.config.shift_factor,
+        _, lora_params, sample_fn = entry
+        conds = [self._encode(p) for p, *_ in padded]
+        text = jnp.concatenate([t for t, _ in conds], axis=0)
+        pooled = jnp.concatenate([p for _, p in conds], axis=0)
+        latents = jnp.concatenate(
+            [
+                jax.random.normal(
+                    jax.random.PRNGKey(r[2]),
+                    (1, self.latent_channels, self.gh * 2, self.gw * 2), jnp.float32,
                 )
-            else:
-                # weightless smoke: render the first 3 latent channels normalized
-                imgs = []
-                for row in np.asarray(lat, np.float32)[:, :3]:
-                    a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
-                    imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
-            for (i, _), img in zip(group, imgs[:n]):
-                buf = io.BytesIO()
-                Image.fromarray(img).save(buf, format="PNG")
-                out[i] = buf.getvalue()
-        return [out[i] for i in range(len(reqs))]
+                for r in padded
+            ],
+            axis=0,
+        )
+        tokens = self._pack(latents).astype(jnp.bfloat16)
+        scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            shard = mesh_lib.data_sharded(self._mesh)
+            tokens = jax.device_put(tokens, shard)
+            text = jax.device_put(text, shard)
+            pooled = jax.device_put(pooled, shard)
+            scales = jax.device_put(scales, shard)
+        final = sample_fn(
+            self.transformer.params, lora_params, scales, tokens, text, pooled,
+            jnp.float32(guidance),
+        )
+        lat = self._unpack(final, self.gh * 2, self.gw * 2)
+        if self.vae is not None:
+            from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
+
+            return sd3_latents_to_images(
+                self.vae.decode, lat, self.vae.config.scaling_factor,
+                self.vae.config.shift_factor,
+            )
+        # weightless smoke: render the first 3 latent channels normalized
+        imgs = []
+        for row in np.asarray(lat, np.float32)[:, :3]:
+            a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
+            imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
+        return imgs
 
 
 def make_handler(service: SliderService):
@@ -639,6 +654,9 @@ def make_handler(service: SliderService):
                 service.remove_slider(url.path[len(prefix):])
             except KeyError as e:
                 self._json(404, {"error": str(e)})
+                return
+            except ValueError as e:  # pinned 'default'
+                self._json(400, {"error": str(e)})
                 return
             self._json(200, {"sliders": service.list_sliders()})
 

@@ -73,16 +73,16 @@ def train(
     resume_from: Optional[str] = None,
 ) -> TrainResult:
     tpu_cfg = config.tpu
-    # multi-host: join the jax.distributed world BEFORE any device query —
-    # after this jax.devices() is global and the mesh below spans the slice
-    # (tpu.coordinator_address/num_processes/process_id; all autodetect on
-    # Cloud TPU pods when only num_processes-style envs are present)
-    if getattr(tpu_cfg, "coordinator_address", None) or getattr(tpu_cfg, "num_processes", None):
-        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+    # multi-chip straight from the yaml tpu: block (SURVEY §2.2), brought up
+    # BEFORE the first model load / device query: the helper joins the
+    # jax.distributed world when configured (must precede XLA backend init)
+    # and builds the (data, model) mesh; single-device runs get mesh=None —
+    # the exact 1-chip graph. Shared with the sd3/flux/cascade CLIs.
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
-        mesh_lib.init_distributed(
-            tpu_cfg.coordinator_address, tpu_cfg.num_processes, tpu_cfg.process_id
-        )
+    samples_per_step = max(getattr(tpu_cfg, "samples_per_step", 1), 1)
+    mesh_model = max(getattr(tpu_cfg, "mesh_model", 1), 1)
+    mesh = mesh_lib.training_mesh_from_config(tpu_cfg, samples_per_step)
     # tpu.quantize_base: int8 frozen UNet Dense kernels (adapters/quant.py) —
     # here a PERF knob, not a fit knob: the ESD step is weight-streaming
     # bound (BASELINE.md phase table), and int8 halves the bytes every UNet
@@ -204,24 +204,6 @@ def train(
             "fixed shape — incompatible with dynamic_resolution buckets"
         )
 
-    # multi-chip straight from the yaml tpu: block (SURVEY §2.2): on a
-    # multi-device runtime, samples_per_step > 1 shards the independent ESD
-    # samples over the mesh data axis (grad psum inserted by XLA);
-    # mesh_model > 1 additionally tensor-shards the frozen base's weight
-    # output dims. Single-device runs keep mesh=None — the exact 1-chip graph.
-    samples_per_step = max(getattr(tpu_cfg, "samples_per_step", 1), 1)
-    mesh_model = max(getattr(tpu_cfg, "mesh_model", 1), 1)
-    mesh = None
-    if jax.device_count() > 1 and (samples_per_step > 1 or mesh_model > 1):
-        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-        mesh = mesh_lib.make_mesh(getattr(tpu_cfg, "mesh_data", -1), mesh_model)
-        if mesh_model > 1 and jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-host tensor parallelism is not wired — shard the model "
-                "axis within one host (mesh_model <= local devices)"
-            )
-
     def build_step(height: int, width: int):
         ecfg = esd.ESDConfig(
             max_denoising_steps=config.train.max_denoising_steps,
@@ -283,16 +265,12 @@ def train(
 
     multihost = False
     if mesh is not None:
-        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
         # every host holds identical values (one checkpoint, one seed), so
         # the host→global placement helpers assemble the mesh-wide arrays;
         # single-host this is a plain device_put
-        base_place = mesh_lib.tp_shard_tree if mesh_model > 1 else mesh_lib.replicate_host_tree
-        unet.params = base_place(unet.params, mesh)
-        lora_params = mesh_lib.replicate_host_tree(lora_params, mesh)
-        opt_state = mesh_lib.replicate_host_tree(opt_state, mesh)
-        bank = mesh_lib.replicate_host_tree(bank, mesh)
+        unet.params, lora_params, opt_state, bank = mesh_lib.place_training_state(
+            mesh, unet.params, lora_params, opt_state, bank, tp=mesh_model > 1
+        )
         multihost = jax.process_count() > 1
 
     if config.tpu.debug_nans:
@@ -332,8 +310,6 @@ def train(
         if multihost:
             # jit inputs must be process-spanning arrays; the key is derived
             # identically on every host from tpu.seed
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
             k_step = mesh_lib.replicate_host_tree(k_step, mesh)
         bi = pick_bucket(i) if pick_bucket is not None else 0
         if pipelined:

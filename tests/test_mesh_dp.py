@@ -90,3 +90,39 @@ def test_ptp_helpers():
     assert alpha.shape == (11, 1, 16)
     assert alpha[:, 0, 2].sum() == 4  # happy active 40% of 10 steps
     assert alpha[:, 0, 0].sum() == 8  # default 80%
+
+
+def test_training_mesh_from_config_validates_data_axis():
+    """tpu.samples_per_step must divide the data axis cleanly: explicit
+    mismatches raise a readable error at config time (not a cryptic sharding
+    failure inside the first train step); the -1 default auto-shrinks to a
+    divisor instead of silently building an unusable mesh."""
+    from types import SimpleNamespace
+
+    from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+    def cfg(**kw):
+        base = dict(coordinator_address=None, num_processes=None, process_id=None,
+                    mesh_data=-1, mesh_model=1)
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    # explicit mesh_data that does not divide samples_per_step: loud error
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_lib.training_mesh_from_config(cfg(mesh_data=8), samples_per_step=4)
+
+    # default -1 on the 8-device CPU runtime with 4 samples: shrink to 4
+    m = mesh_lib.training_mesh_from_config(cfg(), samples_per_step=4)
+    assert m.shape["data"] == 4
+
+    # 6 samples on 8 devices: gcd -> 2
+    m = mesh_lib.training_mesh_from_config(cfg(), samples_per_step=6)
+    assert m.shape["data"] == 2
+
+    # pure TP (samples_per_step=1): data axis degrades to 1
+    m = mesh_lib.training_mesh_from_config(cfg(mesh_model=2), samples_per_step=1)
+    assert m.shape["data"] == 1 and m.shape["model"] == 2
+
+    # divisible request honored exactly
+    m = mesh_lib.training_mesh_from_config(cfg(mesh_data=2), samples_per_step=8)
+    assert m.shape["data"] == 2

@@ -195,3 +195,56 @@ def test_batched_scales_sharded_matches_unsharded(setup):
     # partitioned matmul reduction order drifts ~4e-5 on a handful of
     # elements; the trajectories are semantically identical
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_per_row_keys_make_rows_batch_independent(setup):
+    """Micro-batched-serving seed-reproducibility contract (serve.py): with a
+    stacked [B]-batch of PRNG keys, a row's stochastic-scheduler (euler_a)
+    trajectory depends only on ITS OWN key — not on its position in the batch
+    or on which other rows it got batched with. Also: identical row keys ⇒
+    identical per-row noise, the reference sweep's same-seed-per-scale
+    semantics (generate_images_xl.py:494-507 re-seeds per scale)."""
+    apply, params, sites, lp = setup
+    scheduler = create_noise_scheduler("euler_a")
+    schedule = scheduler.set_timesteps(4)
+    flip = 1
+    cond = jax.random.normal(jax.random.PRNGKey(4), (1, 7, 32)) * 0.1
+    uncond = jnp.zeros((1, 7, 32))
+
+    def run(seeds, scales):
+        B = len(seeds)
+        lat = jnp.concatenate(
+            [
+                jax.random.normal(jax.random.PRNGKey(s), (1, 4, 16, 16))
+                * schedule.init_noise_sigma
+                for s in seeds
+            ],
+            axis=0,
+        )
+        emb = jnp.concatenate([jnp.tile(uncond, (B, 1, 1)), jnp.tile(cond, (B, 1, 1))], axis=0)
+        keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+        return np.asarray(
+            sample_loop_scales(
+                apply, params, sites, lp, jnp.asarray(scales, jnp.float32), flip,
+                scheduler, schedule, lat, emb, keys, guidance_scale=7.5,
+            )
+        )
+
+    duo = run([7, 9], [1.0, -2.0])
+    solo7 = run([7], [1.0])
+    solo9 = run([9], [-2.0])
+    swapped = run([9, 7], [-2.0, 1.0])
+    # cross-batch-shape runs go through different XLA executables, so exact
+    # bitwise equality is not available — but the per-row NOISE STREAM is
+    # identical (fold_in of the row's own key), so rows agree to compiler
+    # float jitter (~1e-6 rel). Without per-row keys the trajectories diverge
+    # at O(sigma_up) ≈ 5-7 absolute — orders of magnitude above the bound.
+    np.testing.assert_allclose(duo[0], solo7[0], atol=5e-3)  # batch-composition independent
+    np.testing.assert_allclose(duo[1], solo9[0], atol=5e-3)
+    np.testing.assert_allclose(swapped[1], duo[0], atol=5e-3)  # row-position independent
+    # identical keys, identical scale, SAME executable -> bitwise equal rows
+    # (the reference sweep's same-seed-per-scale semantics)
+    twin = run([7, 7], [1.0, 1.0])
+    np.testing.assert_array_equal(twin[0], twin[1])
+    # and the trajectories are genuinely stochastic (keys matter)
+    assert np.abs(duo[0] - run([8], [1.0])[0]).max() > 1e-2

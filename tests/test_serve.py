@@ -426,3 +426,55 @@ def test_http_runtime_slider_management(service, tmp_path_factory):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_remove_default_slider_refused(service):
+    """'default' is pinned: DELETE-ing it would permanently break the
+    no-?slider= path, so remove_slider refuses loudly."""
+    with pytest.raises(ValueError, match="pinned"):
+        service.remove_slider("default")
+    assert "default" in [e["name"] for e in service.list_sliders()]
+
+
+def test_microbatcher_per_item_exceptions():
+    """A result item that is an Exception is raised only for ITS caller —
+    the per-group failure containment protocol of _run_grouped."""
+    import threading
+
+    from sliders_conceptmod_tpu.serve import MicroBatcher
+
+    def run_batch(items):
+        return [KeyError("bad slider") if x == "bad" else x * 2 for x in items]
+
+    mb = MicroBatcher(run_batch, max_batch=4, window_ms=150.0)
+    results, errors = {}, {}
+
+    def client(x):
+        try:
+            results[x] = mb.submit(x)
+        except Exception as e:  # noqa: BLE001
+            errors[x] = e
+
+    threads = [threading.Thread(target=client, args=(x,)) for x in ("ok", "bad", "fine")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {"ok": "okok", "fine": "finefine"}
+    assert isinstance(errors["bad"], KeyError)
+    # bounded observability: deque, plus lifetime totals
+    assert mb.total_rows == 3 and mb.total_batches >= 1
+    assert mb.batch_sizes.maxlen is not None
+
+
+def test_failing_group_contained_to_its_requests(service):
+    """A batch mixing a good request and one whose slider vanished between
+    fail-fast and worker run: the good request still gets its PNG; only the
+    bad group's callers see the error (no whole-batch blast radius)."""
+    reqs = [
+        ("a cat", 1.0, 3, 7.5, "default"),
+        ("a dog", 1.0, 4, 7.5, "vanished-between-failfast-and-run"),
+    ]
+    outs = service._generate_batch(reqs)
+    assert outs[0][:8] == b"\x89PNG\r\n\x1a\n"
+    assert isinstance(outs[1], KeyError)
