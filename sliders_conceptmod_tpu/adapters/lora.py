@@ -278,7 +278,7 @@ def _delta_kernel(site: LoRASite, leaf: Dict) -> jnp.ndarray:
     return delta * site.scale
 
 
-def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale):
+def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale, adapter_idx=None):
     """Apply-time adapter overlay with a PER-ROW slider multiplier.
 
     Returns a flax ``intercept_methods`` context: inside it, every adapted
@@ -289,6 +289,14 @@ def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale):
     teacher (off) and student (on) rows against a SINGLE weight stream —
     the graph-level fusion ``ESDConfig.fuse_teacher_student`` uses.
 
+    ``adapter_idx`` switches to the HETEROGENEOUS-adapter path
+    (S-LoRA/punica-style): ``lora_params`` leaves then carry a stacked
+    leading adapter axis (built by :func:`stack_adapters`) and
+    ``adapter_idx`` is a [B] int vector routing each row through ITS OWN
+    adapter — rows serving different sliders share one batched call against
+    a single base-weight stream. The per-adapter α/r gain is already folded
+    into the stacked up factors, so this path applies NO ``site.scale``.
+
     Equivalent to :func:`merge_lora_params` for uniform scales
     (tests/test_lora_overlay.py); conv sites use the base conv's own
     stride/padding for the down conv (reference lora.py:108-114).
@@ -297,6 +305,17 @@ def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale):
 
     by_path = {s.module_path: s for s in sites}
     row_scale = jnp.asarray(row_scale)
+    if adapter_idx is not None:
+        adapter_idx = jnp.asarray(adapter_idx)
+
+    def _conv_geometry(mod):
+        strides = mod.strides if mod.strides is not None else (1, 1)
+        if isinstance(strides, int):
+            strides = (strides, strides)
+        padding = mod.padding
+        if isinstance(padding, int):
+            padding = ((padding, padding), (padding, padding))
+        return strides, padding
 
     def interceptor(next_fun, args, kwargs, context):
         out = next_fun(*args, **kwargs)
@@ -307,36 +326,126 @@ def lora_overlay(sites: Sequence[LoRASite], lora_params: Dict, row_scale):
             return out
         leaf = lora_params[site.lora_name]
         x = args[0]
-        if site.kind == "dense":
-            lora_out = (x.astype(jnp.float32) @ leaf["down"].astype(jnp.float32)) @ leaf[
-                "up"
-            ].astype(jnp.float32)
+        down = leaf["down"].astype(jnp.float32)
+        up = leaf["up"].astype(jnp.float32)
+        if adapter_idx is not None:
+            # per-row adapter routing: gather each row's own factors from the
+            # stacked [S, ...] arrays (rank-r MBs — the gather is trivial next
+            # to the base matmul's weight stream)
+            dg = jnp.take(down, adapter_idx, axis=0)
+            ug = jnp.take(up, adapter_idx, axis=0)
+            if site.kind == "dense":
+                h = jnp.einsum("b...i,bir->b...r", x.astype(jnp.float32), dg)
+                lora_out = jnp.einsum("b...r,bro->b...o", h, ug)
+            else:
+                strides, padding = _conv_geometry(context.module)
+
+                def one(xb, kd, ku):
+                    hb = jax.lax.conv_general_dilated(
+                        xb[None], kd, window_strides=strides, padding=padding,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    return jax.lax.conv_general_dilated(
+                        hb, ku, window_strides=(1, 1), padding="VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )[0]
+
+                lora_out = jax.vmap(one)(x.astype(jnp.float32), dg, ug)
+            gain = 1.0  # α/r folded into the stacked up factors (stack_adapters)
+        elif site.kind == "dense":
+            lora_out = (x.astype(jnp.float32) @ down) @ up
+            gain = site.scale
         else:
-            mod = context.module  # nn.Conv — reuse its stride/padding (NHWC)
-            strides = mod.strides if mod.strides is not None else (1, 1)
-            if isinstance(strides, int):
-                strides = (strides, strides)
-            padding = mod.padding
-            if isinstance(padding, int):
-                padding = ((padding, padding), (padding, padding))
-            down = jax.lax.conv_general_dilated(
+            strides, padding = _conv_geometry(context.module)
+            h = jax.lax.conv_general_dilated(
                 x.astype(jnp.float32),
-                leaf["down"].astype(jnp.float32),
+                down,
                 window_strides=strides,
                 padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             lora_out = jax.lax.conv_general_dilated(
-                down,
-                leaf["up"].astype(jnp.float32),
+                h,
+                up,
                 window_strides=(1, 1),
                 padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            gain = site.scale
         scale = row_scale.reshape((-1,) + (1,) * (out.ndim - 1)).astype(jnp.float32)
-        return out + (scale * site.scale * lora_out).astype(out.dtype)
+        return out + (scale * gain * lora_out).astype(out.dtype)
 
     return nn.intercept_methods(interceptor)
+
+
+def sites_stack_compatible(a: Sequence[LoRASite], b: Sequence[LoRASite]) -> bool:
+    """True when two adapters target the SAME module set with the same
+    kind/dims — the precondition for stacking them into one batched call
+    (ranks and alphas may differ; :func:`stack_adapters` pads/folds those)."""
+    if len(a) != len(b):
+        return False
+    return all(
+        sa.module_path == sb.module_path
+        and sa.kind == sb.kind
+        and sa.in_dim == sb.in_dim
+        and sa.out_dim == sb.out_dim
+        and sa.kernel_size == sb.kernel_size
+        for sa, sb in zip(a, b)
+    )
+
+
+def stack_adapters(entries: Sequence[Tuple[Sequence[LoRASite], Dict]], pad_to: int = 0):
+    """Stack S compatible adapters into per-site ``[S, ...]`` factor arrays
+    for per-row adapter routing (``lora_overlay(..., adapter_idx=...)``) —
+    the S-LoRA/punica idea rebuilt for XLA: heterogeneous requests batch into
+    ONE sampler call, each row gathering its own rank-r factors while the
+    base weights stream once.
+
+    ``entries`` is a sequence of ``(sites, lora_params)`` pairs whose site
+    lists must be pairwise :func:`sites_stack_compatible`. Differing ranks
+    zero-pad to the max (exact — zero rank columns are no-ops) and each
+    adapter's own α/r gain folds into its up factor, so the indexed overlay
+    applies no ``site.scale``. ``pad_to > S`` appends all-zero adapters
+    (identity rows) so the stacked shapes land on a bucket and at most a few
+    executables ever compile.
+
+    Returns ``(ref_sites, stacked_params)``; ``ref_sites`` is the first
+    entry's site list (module routing only — its alpha/rank are NOT applied).
+    """
+    if not entries:
+        raise ValueError("stack_adapters needs at least one adapter")
+    ref_sites = list(entries[0][0])
+    for sites_i, _ in entries[1:]:
+        if not sites_stack_compatible(ref_sites, sites_i):
+            raise ValueError(
+                "adapters target different module sets/dims — serve them in "
+                "separate groups (sites_stack_compatible is the precondition)"
+            )
+    S = max(len(entries), pad_to)
+    stacked: Dict = {}
+    for j, ref in enumerate(ref_sites):
+        r_max = max(int(e[0][j].rank) for e in entries)
+        downs, ups = [], []
+        for sites_i, params_i in entries:
+            site = sites_i[j]
+            leaf = params_i[site.lora_name]
+            down = jnp.asarray(leaf["down"], jnp.float32)
+            up = jnp.asarray(leaf["up"], jnp.float32) * site.scale  # fold α/r
+            pad = r_max - int(site.rank)
+            if pad:
+                # rank axis: last for down ([in,r] / [kh,kw,in,r]), first/third
+                # for up ([r,out] / [1,1,r,out])
+                down = jnp.pad(down, [(0, 0)] * (down.ndim - 1) + [(0, pad)])
+                up_pad = [(0, 0)] * up.ndim
+                up_pad[-2] = (0, pad)
+                up = jnp.pad(up, up_pad)
+            downs.append(down)
+            ups.append(up)
+        while len(downs) < S:  # zero adapters: exact no-op rows
+            downs.append(jnp.zeros_like(downs[0]))
+            ups.append(jnp.zeros_like(ups[0]))
+        stacked[ref.lora_name] = {"down": jnp.stack(downs), "up": jnp.stack(ups)}
+    return ref_sites, stacked
 
 
 def merge_lora_params(base_params, sites: Sequence[LoRASite], lora_params: Dict, multiplier):

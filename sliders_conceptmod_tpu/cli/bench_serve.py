@@ -101,8 +101,9 @@ def run(args):
 
         # multi-slider traffic: register N-1 extra synthesized adapters (the
         # published-collection shape); requests round-robin across them.
-        # Micro-batches group by (guidance, slider), so this measures the
-        # batching loss from adapter diversity under concurrent load.
+        # Compatible adapters STACK into one call (cross-slider batching,
+        # serve._stacked_entry), so this measures heterogeneous-adapter
+        # batching under concurrent load (mean_batch stays ~concurrency).
         slider_names = ["default"]
         if args.num_sliders > 1:
             import tempfile
@@ -178,7 +179,8 @@ def build_parser():
         "--num_sliders", type=int, default=1,
         help="in-process only: register N sliders (N-1 synthesized from the "
         "first) and round-robin requests across them — the published-"
-        "collection traffic shape; batches group by (guidance, slider)",
+        "collection traffic shape; compatible adapters stack into one "
+        "batched call (S-LoRA-style cross-slider batching)",
     )
     return p
 

@@ -131,6 +131,7 @@ def sample_loop_scales(
     guidance_scale: float = 7.5,
     guidance_rescale: float = 0.0,
     added_cond_kwargs: Optional[dict] = None,
+    adapter_idx=None,
 ) -> jnp.ndarray:
     """Every slider scale of a sweep in ONE batched trajectory.
 
@@ -153,6 +154,12 @@ def sample_loop_scales(
     row's trajectory noise comes from its OWN key via fold_in(step), so a
     row's output is independent of which other rows share the batch (the
     micro-batched-serving seed-reproducibility contract, serve.py).
+
+    ``adapter_idx`` ([B] ints) switches the overlay to the stacked-adapter
+    path: ``lora_params`` carries a stacked leading adapter axis
+    (adapters/lora.stack_adapters) and each row runs under its OWN adapter —
+    rows serving different sliders share this one trajectory (serve.py
+    cross-slider batching).
     """
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
     from sliders_conceptmod_tpu.diffusion.schedulers import is_batched_key
@@ -176,6 +183,9 @@ def sample_loop_scales(
             else None
         )
 
+    if adapter_idx is not None:
+        adapter_idx = jnp.asarray(adapter_idx)
+
     def body(i, carry):
         lat, st, k = carry
         if per_row_keys:
@@ -185,7 +195,9 @@ def sample_loop_scales(
         gate = jnp.where(i < flip_step, 0.0, 1.0)  # slider off while t > start_noise
         if not use_cfg:
             scaled = scheduler.scale_model_input(schedule, lat, i)
-            with lora_lib.lora_overlay(sites, lora_params, gate * row_scales):
+            with lora_lib.lora_overlay(
+                sites, lora_params, gate * row_scales, adapter_idx=adapter_idx
+            ):
                 guided = unet_apply(
                     params, scaled, schedule.timesteps[i], cond_emb, added_cond_kwargs=cond_added
                 )
@@ -193,7 +205,9 @@ def sample_loop_scales(
             doubled = jnp.concatenate([lat] * 2, axis=0)
             scaled = scheduler.scale_model_input(schedule, doubled, i)
             with lora_lib.lora_overlay(
-                sites, lora_params, gate * jnp.concatenate([row_scales] * 2)
+                sites, lora_params, gate * jnp.concatenate([row_scales] * 2),
+                adapter_idx=None if adapter_idx is None
+                else jnp.concatenate([adapter_idx] * 2),
             ):
                 eps = unet_apply(
                     params,

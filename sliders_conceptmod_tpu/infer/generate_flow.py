@@ -93,7 +93,7 @@ def sample_flow_loop(
 
 
 def make_packed_overlay_sampler(apply_fn, sites, schedule: FlowSchedule, flip_step: int,
-                                img_ids, guidance_embeds: bool):
+                                img_ids, guidance_embeds: bool, indexed: bool = False):
     """Jitted two-phase sampler over PACKED Flux tokens with the slider as a
     traced per-row overlay multiplier — ONE executable serves every float
     scale, and the base tree (int8 or bf16) is never merged into. Shared by
@@ -101,15 +101,20 @@ def make_packed_overlay_sampler(apply_fn, sites, schedule: FlowSchedule, flip_st
 
     ``sample(base, lp, row_scale, tokens, text, pooled, guidance)`` —
     ``guidance`` feeds the dev variant's distilled-guidance embedding and is
-    ignored for schnell (``guidance_embeds=False``)."""
+    ignored for schnell (``guidance_embeds=False``).
+
+    ``indexed=True`` builds the heterogeneous-adapter variant
+    ``sample(base, stacked_lp, row_scale, adapter_idx, tokens, ...)``:
+    ``stacked_lp`` carries a stacked leading adapter axis
+    (adapters/lora.stack_adapters) and each row runs under its own adapter —
+    serve.py batches requests for DIFFERENT sliders into one call."""
     import jax
 
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
 
     n = schedule.num_inference_steps
 
-    @jax.jit
-    def sample(base, lp, row_scale, tokens, text, pooled, guidance):
+    def _run(base, lp, row_scale, adapter_idx, tokens, text, pooled, guidance):
         txt_ids = jnp.zeros((text.shape[1], 3))
         gkw = {"guidance": guidance} if guidance_embeds else {}
 
@@ -117,7 +122,7 @@ def make_packed_overlay_sampler(apply_fn, sites, schedule: FlowSchedule, flip_st
             def body(i, tok):
                 t = jnp.broadcast_to(schedule.timesteps[i] / 1000.0, (tok.shape[0],))
                 if scaled:
-                    with lora_lib.lora_overlay(sites, lp, row_scale):
+                    with lora_lib.lora_overlay(sites, lp, row_scale, adapter_idx=adapter_idx):
                         v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **gkw)
                 else:
                     v = apply_fn(base, tok, t, text, pooled, txt_ids, img_ids, **gkw)
@@ -130,6 +135,18 @@ def make_packed_overlay_sampler(apply_fn, sites, schedule: FlowSchedule, flip_st
         if flip_step < n:
             tokens = jax.lax.fori_loop(flip_step, n, make_body(True), tokens)
         return tokens
+
+    if indexed:
+
+        @jax.jit
+        def sample_indexed(base, lp, row_scale, adapter_idx, tokens, text, pooled, guidance):
+            return _run(base, lp, row_scale, adapter_idx, tokens, text, pooled, guidance)
+
+        return sample_indexed
+
+    @jax.jit
+    def sample(base, lp, row_scale, tokens, text, pooled, guidance):
+        return _run(base, lp, row_scale, None, tokens, text, pooled, guidance)
 
     return sample
 

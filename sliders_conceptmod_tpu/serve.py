@@ -148,6 +148,14 @@ class _SliderRegistry:
         self._sliders: "collections.OrderedDict" = collections.OrderedDict()
         self._registry_lock = threading.Lock()
         self.max_sliders = max_sliders
+        # cross-slider batching cache: sorted-names tuple → stacked entry
+        # (adapters/lora.stack_adapters). Invalidated wholesale on ANY
+        # registry mutation — a stale stack must never outlive a replaced or
+        # evicted adapter.
+        self._stack_cache: dict = {}
+        # jitted stacked samplers, cached per SITE SET (one function object →
+        # jax.jit's shape-keyed cache dedups across slider combos)
+        self._stacked_fns: dict = {}
 
     def _register(self, name: str, entry) -> None:
         with self._registry_lock:
@@ -157,6 +165,7 @@ class _SliderRegistry:
                 evictable = [n for n in self._sliders if n not in (name, "default")]
                 while len(self._sliders) > self.max_sliders and evictable:
                     del self._sliders[evictable.pop(0)]  # LRU order = dict order
+            self._stack_cache.clear()
 
     def _resolve(self, name: str):
         with self._registry_lock:
@@ -176,12 +185,24 @@ class _SliderRegistry:
             if name not in self._sliders:
                 raise KeyError(f"unknown slider {name!r}")
             del self._sliders[name]
+            self._stack_cache.clear()
 
     def list_sliders(self) -> list:
         with self._registry_lock:
             return [
                 {"name": n, "sites": len(entry[0])} for n, entry in self._sliders.items()
             ]
+
+    def _place_adapter(self, tree):
+        """Mesh placement for adapter factors: TP-shard when the base is
+        TP-sharded (the up factor's output block lives with its base kernel's
+        shard; rank dims replicate), replicate on a DP mesh, identity off-mesh."""
+        if getattr(self, "_mesh", None) is None:
+            return tree
+        from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+        place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+        return place(tree, self._mesh)
 
     # rows pad to the next bucket so at most len(_BUCKETS) executables compile
     _BUCKETS = (1, 2, 4)
@@ -194,37 +215,113 @@ class _SliderRegistry:
         g = self._buckets[0]
         return -(-n // g) * g
 
+    def _stacked_entry(self, names: tuple):
+        """Stacked (cross-slider) entry for a sorted names tuple, or None when
+        the adapters can't stack (different module sets — e.g. different
+        train_methods). Raises KeyError if a name vanished from the registry
+        (caller falls back to per-slider groups, poisoning only its rows).
+
+        The stacked arrays pad the adapter axis to a power-of-two bucket
+        (zero adapters are exact no-ops) and the jitted sampler is cached per
+        SITE SET, so executables stay bounded: one per (site set, S-bucket,
+        rank-max, row-bucket) — shapes, not slider identities."""
+        from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+        _missing = object()
+        with self._registry_lock:
+            cached = self._stack_cache.get(names, _missing)
+            if cached is not _missing:
+                for n in names:  # a stacked use touches every member's LRU slot
+                    if n in self._sliders:
+                        self._sliders.move_to_end(n)
+                return cached
+            entries = []
+            for n in names:
+                if n not in self._sliders:
+                    raise KeyError(f"unknown slider {n!r}")
+                self._sliders.move_to_end(n)  # a stacked use touches the LRU
+                entries.append(self._sliders[n])
+        ref_sites = entries[0][0]
+        if any(
+            not lora_lib.sites_stack_compatible(ref_sites, e[0]) for e in entries[1:]
+        ):
+            with self._registry_lock:
+                self._stack_cache[names] = None
+            return None
+        s_bucket = 1 << (len(names) - 1).bit_length()  # next power of two
+        ref_sites, stacked = lora_lib.stack_adapters(
+            [(e[0], e[1]) for e in entries], pad_to=s_bucket
+        )
+        stacked = self._place_adapter(stacked)
+        sample_fn = self._stacked_sampler(ref_sites)
+        value = (ref_sites, stacked, sample_fn, {n: i for i, n in enumerate(names)})
+        with self._registry_lock:
+            self._stack_cache[names] = value
+        return value
+
     def _run_grouped(self, reqs, run_group) -> list:
         """Shared micro-batch protocol for both families: group requests by
-        (guidance, slider) — guidance is a traced per-batch scalar and the
-        slider picks the overlay site set, so only same-(g, slider) rows can
-        ride one sampler call — pad each group to a bucket size, run
-        ``run_group(padded_reqs, guidance, entry) -> images``, PNG-encode,
-        and route results back by request index. A failing group (e.g. its
-        slider was deleted between fail-fast and worker run) poisons ONLY its
-        own requests: the exception is returned as that group's result values
-        (MicroBatcher raises it for exactly those callers)."""
+        guidance (a traced per-batch scalar in the CFG combine), pad each
+        group to a bucket size, run
+        ``run_group(padded_reqs, guidance, entry, adapter_idx) -> images``,
+        PNG-encode, and route results back by request index.
+
+        Rows for DIFFERENT sliders ride ONE call when the adapters stack
+        (S-LoRA-style heterogeneous batching: stacked rank-r factors +
+        per-row adapter_idx, adapters/lora.stack_adapters) — the latency-
+        bound chip sees one batched trajectory instead of one per slider.
+        Incompatible adapters (different site sets) fall back to per-slider
+        groups. A failing group (e.g. its slider was deleted between
+        fail-fast and worker run) poisons ONLY its own requests: the
+        exception is returned as those rows' result values (MicroBatcher
+        raises it for exactly those callers)."""
         from PIL import Image
 
         out: dict = {}
         by_g: dict = {}
         for i, r in enumerate(reqs):
             slider_name = r[4] if len(r) > 4 else "default"
-            by_g.setdefault((r[3], slider_name), []).append((i, r))
-        for (guidance, slider_name), group in by_g.items():
-            try:
-                entry = self._resolve(slider_name)
-                n = len(group)
-                bucket = self._bucket_for(n)
-                padded = [r for _, r in group] + [group[-1][1]] * (bucket - n)
-                imgs = run_group(padded, guidance, entry)
-                for (i, _), img in zip(group, imgs[:n]):
-                    buf = io.BytesIO()
-                    Image.fromarray(img).save(buf, format="PNG")
-                    out[i] = buf.getvalue()
-            except Exception as e:  # noqa: BLE001 — contain to this group
-                for i, _ in group:
-                    out[i] = e
+            by_g.setdefault(r[3], []).append((i, r, slider_name))
+        for guidance, rows in by_g.items():
+            names = tuple(sorted({s for _, _, s in rows}))
+            groups = []  # (rows, entry-or-name, idx_list | None)
+            stacked = None
+            if len(names) > 1:
+                try:
+                    stacked = self._stacked_entry(names)
+                except Exception:  # noqa: BLE001 — vanished name: fall back
+                    stacked = None
+            if stacked is not None:
+                _, slp, fn, name_to_idx = stacked
+                groups.append(
+                    (rows, (None, slp, fn), [name_to_idx[s] for _, _, s in rows])
+                )
+            else:
+                by_s: dict = {}
+                for row in rows:
+                    by_s.setdefault(row[2], []).append(row)
+                for sname, srows in by_s.items():
+                    groups.append((srows, sname, None))
+            for srows, entry_or_name, idx in groups:
+                try:
+                    entry = (
+                        entry_or_name
+                        if idx is not None
+                        else self._resolve(entry_or_name)
+                    )
+                    n = len(srows)
+                    bucket = self._bucket_for(n)
+                    padded = [r for _, r, _ in srows] + [srows[-1][1]] * (bucket - n)
+                    if idx is not None:
+                        idx = idx + [idx[-1]] * (bucket - n)
+                    imgs = run_group(padded, guidance, entry, adapter_idx=idx)
+                    for (i, _, _), img in zip(srows, imgs[:n]):
+                        buf = io.BytesIO()
+                        Image.fromarray(img).save(buf, format="PNG")
+                        out[i] = buf.getvalue()
+                except Exception as e:  # noqa: BLE001 — contain to this group
+                    for i, _, _ in srows:
+                        out[i] = e
         return [out[i] for i in range(len(reqs))]
 
     def _generate_batch(self, reqs) -> list:
@@ -359,14 +456,7 @@ class SliderService(_SliderRegistry):
         sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
         if not sites:
             raise ValueError(f"No matching LoRA keys between UNet and {slider_path}")
-        lora_params = lora_lib.load_weights(slider_path, sites)
-        if self._mesh is not None:
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-            # TP: the up-factor's output column block lives with its base
-            # kernel's shard (same rule); rank dims replicate (not divisible)
-            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
-            lora_params = place(lora_params, self._mesh)
+        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
 
@@ -385,6 +475,31 @@ class SliderService(_SliderRegistry):
 
         self._register(name, (sites, lora_params, _sample))
 
+    def _stacked_sampler(self, sites):
+        """One jitted heterogeneous-adapter sampler per SITE SET (cross-slider
+        batching, :meth:`_SliderRegistry._stacked_entry`) — same sampler as
+        :meth:`add_slider`'s but the overlay routes each row through its own
+        stacked adapter via ``adapter_idx``."""
+        cache_key = tuple(s.lora_name for s in sites)
+        fn = self._stacked_fns.get(cache_key)
+        if fn is not None:
+            return fn
+        unet_apply = self._unet_apply
+        scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
+        sites = tuple(sites)
+
+        @jax.jit
+        def _sample(params_base, lp, scale_vec, adapter_idx, latents, text_emb,
+                    added, key, guidance):
+            return sample_loop_scales(
+                unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
+                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+                adapter_idx=adapter_idx,
+            )
+
+        self._stacked_fns[cache_key] = _sample
+        return _sample
+
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
         te1, te2 = self.text_encoders
@@ -396,10 +511,12 @@ class SliderService(_SliderRegistry):
         )
         return text, pooled
 
-    def _sample_group(self, padded, guidance, entry) -> list:
-        """One same-(guidance, slider) padded group through one sampler call
-        (the shared protocol lives in :meth:`_SliderRegistry._run_grouped`)."""
-        sites, lora_params, sample_fn = entry
+    def _sample_group(self, padded, guidance, entry, adapter_idx=None) -> list:
+        """One same-guidance padded group through one sampler call — per-row
+        ``adapter_idx`` routes heterogeneous-slider rows through the stacked
+        adapters (the shared protocol lives in
+        :meth:`_SliderRegistry._run_grouped`)."""
+        _, lora_params, sample_fn = entry
         bucket = len(padded)
 
         text_u, pooled_u = self._encode("")
@@ -431,6 +548,7 @@ class SliderService(_SliderRegistry):
         # batched with or its row position — the seed-reproducibility
         # contract (schedulers._draw_step_noise)
         row_keys = jnp.stack([jax.random.PRNGKey(r[2]) for r in padded])
+        idx_arr = None if adapter_idx is None else jnp.asarray(adapter_idx, jnp.int32)
         if self._mesh is not None:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
@@ -440,11 +558,20 @@ class SliderService(_SliderRegistry):
             added = {k: jax.device_put(v, shard) for k, v in added.items()}
             scales = jax.device_put(scales, shard)
             row_keys = jax.device_put(row_keys, shard)
-        final = sample_fn(
-            self.unet.params, lora_params, scales,
-            latents.astype(jnp.bfloat16), emb, added,
-            row_keys, guidance,
-        )
+            if idx_arr is not None:
+                idx_arr = jax.device_put(idx_arr, shard)
+        if idx_arr is None:
+            final = sample_fn(
+                self.unet.params, lora_params, scales,
+                latents.astype(jnp.bfloat16), emb, added,
+                row_keys, guidance,
+            )
+        else:
+            final = sample_fn(
+                self.unet.params, lora_params, scales, idx_arr,
+                latents.astype(jnp.bfloat16), emb, added,
+                row_keys, guidance,
+            )
         return latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
 
 
@@ -536,30 +663,39 @@ class FluxSliderService(_SliderRegistry):
                 f"No matching LoRA keys between transformer and {slider_path} "
                 "(is this a '-'-delimited Flux slider checkpoint?)"
             )
-        lora_params = lora_lib.load_weights(slider_path, sites)
-        if self._mesh is not None:
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-            # TP: the up-factor's output column block lives with its base
-            # kernel's shard (same rule); rank dims replicate (not divisible)
-            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
-            lora_params = place(lora_params, self._mesh)
+        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
         sample_fn = make_packed_overlay_sampler(
             self.transformer.apply_fn(), sites, self.schedule, self.flip,
             self._image_ids, self.transformer.config.guidance_embeds,
         )
         self._register(name, (sites, lora_params, sample_fn))
 
+    def _stacked_sampler(self, sites):
+        """One jitted heterogeneous-adapter packed sampler per SITE SET
+        (cross-slider batching, :meth:`_SliderRegistry._stacked_entry`)."""
+        from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
+
+        cache_key = tuple(s.lora_name for s in sites)
+        fn = self._stacked_fns.get(cache_key)
+        if fn is None:
+            fn = make_packed_overlay_sampler(
+                self.transformer.apply_fn(), tuple(sites), self.schedule, self.flip,
+                self._image_ids, self.transformer.config.guidance_embeds, indexed=True,
+            )
+            self._stacked_fns[cache_key] = fn
+        return fn
+
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
         text, pooled = self._encode_raw(prompt)
         return text[None], pooled[None]
 
-    def _sample_group(self, padded, guidance, entry) -> list:
-        """One same-(guidance, slider) padded group through one packed flow
-        sampler call (flow-match Euler is deterministic — no per-row noise
-        keys needed; the shared grouping/bucketing/routing protocol lives in
-        :meth:`_SliderRegistry._run_grouped`)."""
+    def _sample_group(self, padded, guidance, entry, adapter_idx=None) -> list:
+        """One same-guidance padded group through one packed flow sampler
+        call (flow-match Euler is deterministic — no per-row noise keys
+        needed); per-row ``adapter_idx`` routes heterogeneous-slider rows
+        through the stacked adapters (the shared grouping/bucketing/routing
+        protocol lives in :meth:`_SliderRegistry._run_grouped`)."""
         import numpy as np
 
         _, lora_params, sample_fn = entry
@@ -578,6 +714,7 @@ class FluxSliderService(_SliderRegistry):
         )
         tokens = self._pack(latents).astype(jnp.bfloat16)
         scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+        idx_arr = None if adapter_idx is None else jnp.asarray(adapter_idx, jnp.int32)
         if self._mesh is not None:
             from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
@@ -586,10 +723,18 @@ class FluxSliderService(_SliderRegistry):
             text = jax.device_put(text, shard)
             pooled = jax.device_put(pooled, shard)
             scales = jax.device_put(scales, shard)
-        final = sample_fn(
-            self.transformer.params, lora_params, scales, tokens, text, pooled,
-            jnp.float32(guidance),
-        )
+            if idx_arr is not None:
+                idx_arr = jax.device_put(idx_arr, shard)
+        if idx_arr is None:
+            final = sample_fn(
+                self.transformer.params, lora_params, scales, tokens, text, pooled,
+                jnp.float32(guidance),
+            )
+        else:
+            final = sample_fn(
+                self.transformer.params, lora_params, scales, idx_arr, tokens, text,
+                pooled, jnp.float32(guidance),
+            )
         lat = self._unpack(final, self.gh * 2, self.gw * 2)
         if self.vae is not None:
             from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
