@@ -97,6 +97,7 @@ def run(args):
         service = cls(
             args.base, args.slider, args.image_size, args.steps,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+            cross_slider_stack=not args.no_stack,
         )
 
         # multi-slider traffic: register N-1 extra synthesized adapters (the
@@ -150,6 +151,7 @@ def run(args):
         "p95_s": round(_percentile(lat, 0.95), 3),
         "microbatch": not args.no_microbatch and not args.url,
         "num_sliders": args.num_sliders if not args.url else 1,
+        "cross_slider_stack": not args.no_stack and not args.url,
     }
     if service is not None and getattr(service, "_batcher", None) is not None:
         sizes = service._batcher.batch_sizes
@@ -174,6 +176,11 @@ def build_parser():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--no_microbatch", action="store_true")
+    p.add_argument(
+        "--no_stack", action="store_true",
+        help="disable cross-slider stacked batching (per-slider groups — "
+        "the A/B control for --num_sliders runs)",
+    )
     p.add_argument("--batch_window_ms", type=float, default=8.0)
     p.add_argument(
         "--num_sliders", type=int, default=1,

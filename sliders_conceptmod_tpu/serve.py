@@ -141,13 +141,17 @@ class _SliderRegistry:
     :meth:`_resolve` copies the entry out under it.
     """
 
-    def _registry_init(self, max_sliders: int | None = None) -> None:
+    def _registry_init(self, max_sliders: int | None = None,
+                       cross_slider_stack: bool = True) -> None:
         import collections
         import threading
 
         self._sliders: "collections.OrderedDict" = collections.OrderedDict()
         self._registry_lock = threading.Lock()
         self.max_sliders = max_sliders
+        # False = always per-slider groups (the pre-stacking behavior; kept
+        # as the measured A/B control and an escape hatch)
+        self._stack_enabled = cross_slider_stack
         # cross-slider batching cache: sorted-names tuple → stacked entry
         # (adapters/lora.stack_adapters). Invalidated wholesale on ANY
         # registry mutation — a stale stack must never outlive a replaced or
@@ -286,7 +290,7 @@ class _SliderRegistry:
             names = tuple(sorted({s for _, _, s in rows}))
             groups = []  # (rows, entry-or-name, idx_list | None)
             stacked = None
-            if len(names) > 1:
+            if len(names) > 1 and getattr(self, "_stack_enabled", True):
                 try:
                     stacked = self._stacked_entry(names)
                 except Exception:  # noqa: BLE001 — vanished name: fall back
@@ -367,7 +371,8 @@ class SliderService(_SliderRegistry):
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 25,
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None):
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 cross_slider_stack: bool = True):
         self.image_size = image_size
         self.steps = steps
         t0 = time.time()
@@ -412,7 +417,7 @@ class SliderService(_SliderRegistry):
         # key set — the common case for a published collection) dedup in
         # XLA's compile cache, and the big cost — the 5.1 GB base — is loaded
         # exactly once. LoRA factors are ~MBs per slider.
-        self._registry_init(max_sliders)
+        self._registry_init(max_sliders, cross_slider_stack)
         self.add_slider("default", slider_path)
 
         te1_model, te2_model = (te.model for te in self.text_encoders)
@@ -586,7 +591,8 @@ class FluxSliderService(_SliderRegistry):
     def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 8,
                  start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
-                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None):
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 cross_slider_stack: bool = True):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
 
@@ -631,7 +637,7 @@ class FluxSliderService(_SliderRegistry):
         self._image_ids = jnp.asarray(prepare_latent_image_ids(self.gh, self.gw))
         # multi-slider registry (same design as SliderService.add_slider):
         # one loaded base, many LoRA adapters routed per request by name
-        self._registry_init(max_sliders)
+        self._registry_init(max_sliders, cross_slider_stack)
         self.add_slider("default", slider_path)
         self.vae = None
         import os as _os
@@ -905,6 +911,11 @@ def main():
         "chip (full-depth flux bf16 needs 2); composes with --mesh_data",
     )
     ap.add_argument(
+        "--no_stack", action="store_true",
+        help="disable cross-slider (stacked heterogeneous adapter) batching "
+        "— mixed-slider micro-batches split per slider (the A/B control)",
+    )
+    ap.add_argument(
         "--max_sliders", type=int, default=None,
         help="cap the adapter registry; registering past it (POST /sliders) "
         "evicts the least-recently-used adapter ('default' is pinned)",
@@ -926,7 +937,7 @@ def main():
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-            max_sliders=args.max_sliders,
+            max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
         )
     else:
         service = SliderService(
@@ -936,7 +947,7 @@ def main():
             quantize_base=args.quantize_base, w8a8=args.w8a8,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-            max_sliders=args.max_sliders,
+            max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
         )
     for spec in args.add_slider:
         name, _, path = spec.partition("=")
