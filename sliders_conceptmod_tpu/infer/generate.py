@@ -151,9 +151,15 @@ def sample_loop_scales(
 
     ``key`` may be a single PRNG key (legacy: stochastic schedulers draw the
     whole batch from one stream) or a stacked [B]-batch of keys — then every
-    row's trajectory noise comes from its OWN key via fold_in(step), so a
-    row's output is independent of which other rows share the batch (the
-    micro-batched-serving seed-reproducibility contract, serve.py).
+    row's trajectory NOISE STREAM comes from its OWN key via fold_in(step),
+    so a row's stochastic inputs are independent of which other rows share
+    the batch (the micro-batched-serving seed-reproducibility contract,
+    serve.py). Scope: the contract is about the noise; numerical outputs
+    still carry executable-level float jitter across batch shapes (and the
+    stacked-adapter path below computes the rank-r delta through a gathered
+    einsum, padded to the combo's max rank) — solo vs batched rows agree to
+    a few bf16/uint8 LSB, not bitwise (tests/test_sample_scales.py,
+    tests/test_stacked_adapters.py bound it).
 
     ``adapter_idx`` ([B] ints) switches the overlay to the stacked-adapter
     path: ``lora_params`` carries a stacked leading adapter axis

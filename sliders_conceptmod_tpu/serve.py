@@ -155,8 +155,14 @@ class _SliderRegistry:
         # cross-slider batching cache: sorted-names tuple → stacked entry
         # (adapters/lora.stack_adapters). Invalidated wholesale on ANY
         # registry mutation — a stale stack must never outlive a replaced or
-        # evicted adapter.
-        self._stack_cache: dict = {}
+        # evicted adapter (the generation counter closes the build-outside-
+        # the-lock race) — and LRU-bounded: each entry holds fp32 device
+        # copies of its member factors, so combos must not accumulate forever
+        # on a long-lived server.
+        self._stack_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._stack_cache_max = 16
+        self._registry_generation = 0
+        self._stack_warned = False
         # jitted stacked samplers, cached per SITE SET (one function object →
         # jax.jit's shape-keyed cache dedups across slider combos)
         self._stacked_fns: dict = {}
@@ -170,6 +176,7 @@ class _SliderRegistry:
                 while len(self._sliders) > self.max_sliders and evictable:
                     del self._sliders[evictable.pop(0)]  # LRU order = dict order
             self._stack_cache.clear()
+            self._registry_generation += 1
 
     def _resolve(self, name: str):
         with self._registry_lock:
@@ -190,6 +197,7 @@ class _SliderRegistry:
                 raise KeyError(f"unknown slider {name!r}")
             del self._sliders[name]
             self._stack_cache.clear()
+            self._registry_generation += 1
 
     def list_sliders(self) -> list:
         with self._registry_lock:
@@ -228,17 +236,24 @@ class _SliderRegistry:
         The stacked arrays pad the adapter axis to a power-of-two bucket
         (zero adapters are exact no-ops) and the jitted sampler is cached per
         SITE SET, so executables stay bounded: one per (site set, S-bucket,
-        rank-max, row-bucket) — shapes, not slider identities."""
+        rank-max, row-bucket) — shapes, not slider identities.
+
+        The stack is built OUTSIDE the registry lock (device transfers); the
+        generation counter snapshot makes the later insert safe — if any
+        registry mutation landed meanwhile, this (already-stale) stack is
+        served once but never cached."""
         from sliders_conceptmod_tpu.adapters import lora as lora_lib
 
         _missing = object()
         with self._registry_lock:
             cached = self._stack_cache.get(names, _missing)
             if cached is not _missing:
+                self._stack_cache.move_to_end(names)
                 for n in names:  # a stacked use touches every member's LRU slot
                     if n in self._sliders:
                         self._sliders.move_to_end(n)
                 return cached
+            generation = self._registry_generation
             entries = []
             for n in names:
                 if n not in self._sliders:
@@ -249,18 +264,21 @@ class _SliderRegistry:
         if any(
             not lora_lib.sites_stack_compatible(ref_sites, e[0]) for e in entries[1:]
         ):
-            with self._registry_lock:
-                self._stack_cache[names] = None
-            return None
-        s_bucket = 1 << (len(names) - 1).bit_length()  # next power of two
-        ref_sites, stacked = lora_lib.stack_adapters(
-            [(e[0], e[1]) for e in entries], pad_to=s_bucket
-        )
-        stacked = self._place_adapter(stacked)
-        sample_fn = self._stacked_sampler(ref_sites)
-        value = (ref_sites, stacked, sample_fn, {n: i for i, n in enumerate(names)})
+            value = None
+        else:
+            s_bucket = 1 << (len(names) - 1).bit_length()  # next power of two
+            ref_sites, stacked = lora_lib.stack_adapters(
+                [(e[0], e[1]) for e in entries], pad_to=s_bucket
+            )
+            stacked = self._place_adapter(stacked)
+            sample_fn = self._stacked_sampler(ref_sites)
+            value = (ref_sites, stacked, sample_fn, {n: i for i, n in enumerate(names)})
         with self._registry_lock:
-            self._stack_cache[names] = value
+            if self._registry_generation == generation:
+                self._stack_cache[names] = value
+                self._stack_cache.move_to_end(names)
+                while len(self._stack_cache) > self._stack_cache_max:
+                    self._stack_cache.popitem(last=False)
         return value
 
     def _run_grouped(self, reqs, run_group) -> list:
@@ -275,7 +293,10 @@ class _SliderRegistry:
         per-row adapter_idx, adapters/lora.stack_adapters) — the latency-
         bound chip sees one batched trajectory instead of one per slider.
         Incompatible adapters (different site sets) fall back to per-slider
-        groups. A failing group (e.g. its slider was deleted between
+        groups. Numerics: a stacked row reproduces its solo-request image up
+        to executable-level float jitter (a few uint8 LSB — bounded in
+        tests/test_stacked_adapters.py), not bitwise; bit-exact replay of a
+        request is guaranteed only against the same batch shape and routing. A failing group (e.g. its slider was deleted between
         fail-fast and worker run) poisons ONLY its own requests: the
         exception is returned as those rows' result values (MicroBatcher
         raises it for exactly those callers)."""
@@ -293,8 +314,16 @@ class _SliderRegistry:
             if len(names) > 1 and getattr(self, "_stack_enabled", True):
                 try:
                     stacked = self._stacked_entry(names)
-                except Exception:  # noqa: BLE001 — vanished name: fall back
+                except KeyError:  # vanished name: per-slider groups poison
+                    stacked = None  # exactly the affected rows below
+                except Exception as e:  # noqa: BLE001 — a real stacking bug:
+                    # fall back so traffic survives, but say so ONCE — silent
+                    # degradation would make every A/B measure the control arm
                     stacked = None
+                    if not self._stack_warned:
+                        self._stack_warned = True
+                        print(f"[serve] cross-slider stacking failed ({e!r}) — "
+                              "falling back to per-slider batches")
             if stacked is not None:
                 _, slp, fn, name_to_idx = stacked
                 groups.append(

@@ -260,6 +260,69 @@ def test_stack_cache_invalidates_on_mutation(xl_service, tmp_path_factory):
     assert not svc._stack_cache
 
 
+def test_stack_cache_lru_bounded(xl_service, tmp_path_factory):
+    """The stack cache is LRU-bounded — name combos must not accumulate fp32
+    device copies forever on a long-lived server (each entry holds its
+    members' stacked factors)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+
+    svc = xl_service
+    path = tmp_path_factory.mktemp("stacked_lru") / "third.safetensors"
+    sites = lora_lib.create_sites(svc.unet.params, rank=2, alpha=1.0, train_method="full")
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(21), sites)
+    lp = jax.tree.map(lambda a: a + 0.02, lp)
+    lora_lib.save_weights(path, sites, lp)
+    svc.add_slider("third", str(path))  # mutation: cache now empty
+
+    old_max = svc._stack_cache_max
+    svc._stack_cache_max = 2
+    try:
+        for combo in (("default", "two"), ("default", "third"), ("third", "two")):
+            svc._generate_batch(
+                [("a cat", 1.0, 3, 7.5, combo[0]), ("a cat", 1.0, 3, 7.5, combo[1])]
+            )
+        assert len(svc._stack_cache) == 2  # oldest combo evicted
+        assert ("default", "two") not in svc._stack_cache
+    finally:
+        svc._stack_cache_max = old_max
+        svc.remove_slider("third")
+
+
+def test_xl_dp_stacked_serving(xl_service, tmp_path_factory):
+    """Cross-slider batching on a DP serving mesh: stacked factors replicate,
+    rows AND their adapter_idx shard over the data axis — each mixed row
+    still reproduces its own slider's unsharded solo image."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.serve import SliderService
+
+    svc = xl_service
+    tmp = tmp_path_factory.mktemp("stacked_dp")
+    lora_lib.save_weights(tmp / "one.safetensors", svc.sites, svc.lora_params)
+    two_sites, two_lp, _ = svc._resolve("two")
+    lora_lib.save_weights(tmp / "two.safetensors", two_sites, two_lp)
+    dp = SliderService(
+        "tiny-xl", str(tmp / "one.safetensors"), image_size=64, steps=2,
+        start_noise=1100, microbatch=False, mesh_data=2,
+    )
+    dp.add_slider("two", str(tmp / "two.safetensors"))
+    reqs = [
+        ("a cat", 1.0, 3, 7.5, "default"),
+        ("a cat", 1.0, 3, 7.5, "two"),
+    ]
+    mixed = dp._generate_batch(reqs)
+    assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in mixed)
+    assert any(v is not None for v in dp._stack_cache.values())  # stacked ran
+    # vs the UNSHARDED service's solo images (different partitioning + batch
+    # shape: tiny bf16 drift only; routing errors would be image-sized)
+    solo_default = _png_to_array(svc._generate_batch([reqs[0]])[0])
+    solo_two = _png_to_array(svc._generate_batch([reqs[1]])[0])
+    m0, m1 = _png_to_array(mixed[0]), _png_to_array(mixed[1])
+    assert np.abs(m0 - solo_default).mean() < 0.5
+    assert np.abs(m1 - solo_two).mean() < 0.5
+    assert np.abs(m0 - solo_default).mean() < np.abs(m0 - solo_two).mean()
+    assert np.abs(m1 - solo_two).mean() < np.abs(m1 - solo_default).mean()
+
+
 @pytest.fixture(scope="module")
 def flux_stacked_service(tmp_path_factory):
     from sliders_conceptmod_tpu.adapters import lora as lora_lib
