@@ -50,9 +50,20 @@ def run(args):
         from sliders_conceptmod_tpu.adapters import lora as lora_lib
         from sliders_conceptmod_tpu.models import factory
 
-        family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
+        base_l = str(args.base).lower()
+        family = args.family or (
+            "flux" if "flux" in base_l
+            else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
+            else "xl"
+        )
         if family == "flux":
             _, _, bundle, _ = factory.load_models_flux(args.base, weight_dtype=jnp.bfloat16)
+            sites = lora_lib.create_sites(
+                bundle.params, rank=4, alpha=1.0, target_replace=["Attention"],
+                train_method="full", delimiter="-",
+            )
+        elif family == "sd3":
+            _, _, bundle, _ = factory.load_models_sd3(args.base, weight_dtype=jnp.bfloat16)
             sites = lora_lib.create_sites(
                 bundle.params, rank=4, alpha=1.0, target_replace=["Attention"],
                 train_method="full", delimiter="-",
@@ -90,10 +101,15 @@ def run(args):
 
         service = None
     else:
-        family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
-        from sliders_conceptmod_tpu.serve import FluxSliderService, SliderService
+        base_l = str(args.base).lower()
+        family = args.family or (
+            "flux" if "flux" in base_l
+            else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
+            else "xl"
+        )
+        from sliders_conceptmod_tpu.serve import FluxSliderService, SD3SliderService, SliderService
 
-        cls = FluxSliderService if family == "flux" else SliderService
+        cls = {"flux": FluxSliderService, "sd3": SD3SliderService}.get(family, SliderService)
         service = cls(
             args.base, args.slider, args.image_size, args.steps,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
@@ -169,7 +185,7 @@ def build_parser():
         "for --base (required unless --url)",
     )
     p.add_argument("--url", default=None, help="bench a running server instead of in-process")
-    p.add_argument("--family", choices=["xl", "flux"], default=None)
+    p.add_argument("--family", choices=["xl", "sd3", "flux"], default=None)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--steps", type=int, default=25)
     p.add_argument("--guidance", type=float, default=7.5)

@@ -4,9 +4,9 @@ The reference has no serving story (single-GPU scripts only); this closes
 the deployment loop for the TPU build: models load once, the two-phase
 sampler compiles once, and each request pays only embedding encode + the
 cached jitted sampler call. The slider scale rides the jit signature as a
-traced per-row LoRA-overlay multiplier (both families), so arbitrary float
-scales hit the same executable and no merged param tree is ever
-materialized.
+traced per-row LoRA-overlay multiplier (all three families — SDXL, SD3,
+Flux), so arbitrary float scales hit the same executable and no merged
+param tree is ever materialized.
 
   python -m sliders_conceptmod_tpu.serve --base tiny-xl --slider s.safetensors --port 8500
 
@@ -786,6 +786,196 @@ class FluxSliderService(_SliderRegistry):
         return imgs
 
 
+class SD3SliderService(_SliderRegistry):
+    """SD3 (MMDiT) slider serving: CFG flow-Euler sampler with the slider
+    applied through the apply-time LoRA overlay — the scale rides the jit
+    signature as a per-row multiplier (CFG-doubled inside the sampler), so
+    every float scale hits one executable and no merged tree (4.1 GB at
+    SD3-Medium scale) is ever materialized. Same registry surface as the
+    XL/Flux services: micro-batching, runtime adapter management,
+    cross-slider stacking, DP/TP meshes, ``quantize_base``/``w8a8``."""
+
+    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 28,
+                 start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 cross_slider_stack: bool = True):
+        from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
+
+        self.image_size = image_size
+        self.steps = steps
+        t0 = time.time()
+        self.tokenizers, self.text_encoders, self.transformer, scheduler = factory.load_models_sd3(
+            base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
+        )
+        self.transformer.act_quant = bool(w8a8)
+        # DP (mesh_data) / TP (mesh_model) serving — see SliderService.__init__
+        self._mesh = None
+        self._tp = mesh_model > 1
+        self._buckets = self._BUCKETS
+        if mesh_data > 1 or mesh_model > 1:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            self._mesh = mesh_lib.make_mesh(
+                data=mesh_data, model=mesh_model,
+                devices=jax.devices()[: mesh_data * mesh_model],
+            )
+            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            self.transformer.params = place(self.transformer.params, self._mesh)
+            max_batch = max_batch * mesh_data
+        cfg = self.transformer.config
+        self.latent_res = image_size // 8
+        self._t5_seq_len = 4 if "tiny" in str(base).lower() else 256
+        self.schedule = scheduler.set_timesteps(steps)
+        self.flip = _flow_flip(self.schedule, start_noise)
+        self._registry_init(max_sliders, cross_slider_stack)
+        self.add_slider("default", slider_path)
+        self.vae = None
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(str(base), "vae")):
+            self.vae = factory._load_or_init_vae(base, "sd3", jnp.float32)
+        self._batcher = (
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            if microbatch
+            else None
+        )
+        self.load_seconds = time.time() - t0
+
+    def _make_sampler(self, sites, indexed: bool):
+        from sliders_conceptmod_tpu.infer.generate_flow import sample_flow_loop
+
+        apply_fn = self.transformer.apply_fn()
+        schedule, flip = self.schedule, self.flip
+        sites = tuple(sites)
+
+        def _run(base, lp, scale_vec, adapter_idx, latents, text, pooled, guidance):
+            # the service always sends [2B] uncond++cond embeddings with a
+            # traced guidance, so the sampler's model rows are CFG-doubled —
+            # double the per-row multipliers (and routing) to match
+            row = jnp.concatenate([scale_vec] * 2)
+            idx2 = None if adapter_idx is None else jnp.concatenate([adapter_idx] * 2)
+            return sample_flow_loop(
+                apply_fn, base, base, flip, schedule, latents, text, pooled,
+                guidance_scale=guidance,
+                slider_overlay=lambda: lora_lib.lora_overlay(sites, lp, row, adapter_idx=idx2),
+            )
+
+        if indexed:
+
+            @jax.jit
+            def sample_indexed(base, lp, scale_vec, adapter_idx, latents, text, pooled, guidance):
+                return _run(base, lp, scale_vec, adapter_idx, latents, text, pooled, guidance)
+
+            return sample_indexed
+
+        @jax.jit
+        def sample(base, lp, scale_vec, latents, text, pooled, guidance):
+            return _run(base, lp, scale_vec, None, latents, text, pooled, guidance)
+
+        return sample
+
+    def add_slider(self, name: str, slider_path: str) -> None:
+        """Register a '-'-delimited SD3 slider checkpoint under ``name``."""
+        rank, alpha = 4, 1.0
+        exact = settings_from_checkpoint(slider_path)
+        if exact is not None:
+            rank, alpha = exact
+        all_sites = lora_lib.create_sites(
+            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+            train_method="full", delimiter="-",
+        )
+        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
+        if not sites:
+            raise ValueError(
+                f"No matching LoRA keys between transformer and {slider_path} "
+                "(is this a '-'-delimited SD3 slider checkpoint?)"
+            )
+        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
+        self._register(name, (sites, lora_params, self._make_sampler(sites, indexed=False)))
+
+    def _stacked_sampler(self, sites):
+        """One jitted heterogeneous-adapter sampler per SITE SET
+        (cross-slider batching, :meth:`_SliderRegistry._stacked_entry`)."""
+        cache_key = tuple(s.lora_name for s in sites)
+        fn = self._stacked_fns.get(cache_key)
+        if fn is None:
+            fn = self._make_sampler(sites, indexed=True)
+            self._stacked_fns[cache_key] = fn
+        return fn
+
+    @functools.lru_cache(maxsize=256)
+    def _encode(self, prompt: str):
+        return factory.encode_prompts_sd3(
+            self.text_encoders, [prompt],
+            joint_attention_dim=self.transformer.config.joint_attention_dim,
+            t5_seq_len=self._t5_seq_len,
+        )
+
+    def _sample_group(self, padded, guidance, entry, adapter_idx=None) -> list:
+        """One same-guidance padded group through one CFG flow sampler call
+        (flow-match Euler is deterministic — no per-row noise keys needed)."""
+        import numpy as np
+
+        _, lora_params, sample_fn = entry
+        bucket = len(padded)
+        text_u, pooled_u = self._encode("")
+        conds = [self._encode(p) for p, *_ in padded]
+        text = jnp.concatenate(
+            [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
+        )
+        pooled = jnp.concatenate(
+            [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
+        )
+        latents = jnp.concatenate(
+            [
+                jax.random.normal(
+                    jax.random.PRNGKey(r[2]),
+                    (1, self.transformer.config.in_channels, self.latent_res, self.latent_res),
+                    jnp.float32,
+                )
+                for r in padded
+            ],
+            axis=0,
+        )
+        scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+        idx_arr = None if adapter_idx is None else jnp.asarray(adapter_idx, jnp.int32)
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            shard = mesh_lib.data_sharded(self._mesh)
+            latents = jax.device_put(latents, shard)
+            text = jax.device_put(text, shard)
+            pooled = jax.device_put(pooled, shard)
+            scales = jax.device_put(scales, shard)
+            if idx_arr is not None:
+                idx_arr = jax.device_put(idx_arr, shard)
+        if idx_arr is None:
+            final = sample_fn(
+                self.transformer.params, lora_params, scales,
+                latents.astype(jnp.bfloat16), text, pooled, jnp.float32(guidance),
+            )
+        else:
+            final = sample_fn(
+                self.transformer.params, lora_params, scales, idx_arr,
+                latents.astype(jnp.bfloat16), text, pooled, jnp.float32(guidance),
+            )
+        if self.vae is not None:
+            from sliders_conceptmod_tpu.infer.generate_flow import sd3_latents_to_images
+
+            return sd3_latents_to_images(
+                self.vae.decode, final, self.vae.config.scaling_factor,
+                self.vae.config.shift_factor,
+            )
+        # weightless smoke: render the first 3 latent channels normalized
+        imgs = []
+        for row in np.asarray(final, np.float32)[:, :3]:
+            a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
+            imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
+        return imgs
+
+
 def make_handler(service: SliderService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -907,10 +1097,10 @@ def main():
     )
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--image_size", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=None, help="default 25 (xl) / 8 (flux)")
-    ap.add_argument("--start_noise", type=float, default=None, help="default 750 (xl) / 800 (flux)")
+    ap.add_argument("--steps", type=int, default=None, help="default 25 (xl) / 28 (sd3) / 8 (flux)")
+    ap.add_argument("--start_noise", type=float, default=None, help="default 750 (xl/sd3) / 800 (flux)")
     ap.add_argument(
-        "--family", choices=["xl", "flux"], default=None,
+        "--family", choices=["xl", "sd3", "flux"], default=None,
         help="auto-detected from --base when omitted",
     )
     ap.add_argument(
@@ -957,8 +1147,23 @@ def main():
     )
     args = ap.parse_args()
 
-    family = args.family or ("flux" if "flux" in str(args.base).lower() else "xl")
-    if family == "flux":
+    base_l = str(args.base).lower()
+    family = args.family or (
+        "flux" if "flux" in base_l
+        else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
+        else "xl"
+    )
+    if family == "sd3":
+        service = SD3SliderService(
+            args.base, args.slider, args.image_size,
+            args.steps if args.steps is not None else 28,
+            args.start_noise if args.start_noise is not None else 750,
+            quantize_base=args.quantize_base, w8a8=args.w8a8,
+            microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+            mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+            max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+        )
+    elif family == "flux":
         service = FluxSliderService(
             args.base, args.slider, args.image_size,
             args.steps if args.steps is not None else 8,
