@@ -401,9 +401,15 @@ class SliderService(_SliderRegistry):
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
                  mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
-                 cross_slider_stack: bool = True):
+                 cross_slider_stack: bool = True, static_guidance: float | None = None):
         self.image_size = image_size
         self.steps = steps
+        # turbo-style serving (reference demo_SDXL_Turbo.ipynb: 4 steps,
+        # guidance <= 1): a STATIC guidance compiles the sampler with the
+        # Python float — <= 1 takes sample_loop_scales' cond-only fast path
+        # (half the UNet rows per step); per-request ?guidance= is then
+        # ignored. None (default) keeps guidance traced and per-request.
+        self._static_guidance = static_guidance
         t0 = time.time()
         (self.tokenizers, self.text_encoders, self.unet, self.scheduler, self.vae) = factory.load_models_xl(
             base, scheduler_name="ddim", weight_dtype=jnp.bfloat16, with_vae=True,
@@ -493,6 +499,7 @@ class SliderService(_SliderRegistry):
         lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
+        static_g = self._static_guidance
 
         @jax.jit
         def _sample(params_base, lp, scale_vec, latents, text_emb, added, key, guidance):
@@ -502,9 +509,10 @@ class SliderService(_SliderRegistry):
             # multiplier — overlay ≡ merge up to bf16 rounding
             # (tests/test_lora_overlay.py), so any float scale reuses this
             # one executable with no merged-tree materialization.
+            g = guidance if static_g is None else static_g
             return sample_loop_scales(
                 unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
-                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+                latents, text_emb, key, guidance_scale=g, added_cond_kwargs=added,
             )
 
         self._register(name, (sites, lora_params, _sample))
@@ -521,13 +529,15 @@ class SliderService(_SliderRegistry):
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
         sites = tuple(sites)
+        static_g = self._static_guidance
 
         @jax.jit
         def _sample(params_base, lp, scale_vec, adapter_idx, latents, text_emb,
                     added, key, guidance):
+            g = guidance if static_g is None else static_g
             return sample_loop_scales(
                 unet_apply, params_base, sites, lp, scale_vec, flip, scheduler, schedule,
-                latents, text_emb, key, guidance_scale=guidance, added_cond_kwargs=added,
+                latents, text_emb, key, guidance_scale=g, added_cond_kwargs=added,
                 adapter_idx=adapter_idx,
             )
 
@@ -1130,6 +1140,13 @@ def main():
         "chip (full-depth flux bf16 needs 2); composes with --mesh_data",
     )
     ap.add_argument(
+        "--static_guidance", type=float, default=None,
+        help="compile the XL sampler with a FIXED guidance instead of a "
+        "traced per-request one; <= 1 takes the cond-only fast path (half "
+        "the UNet rows — the SDXL-Turbo serving mode, pair with --steps 4); "
+        "per-request ?guidance= is ignored",
+    )
+    ap.add_argument(
         "--no_stack", action="store_true",
         help="disable cross-slider (stacked heterogeneous adapter) batching "
         "— mixed-slider micro-batches split per slider (the A/B control)",
@@ -1182,6 +1199,7 @@ def main():
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            static_guidance=args.static_guidance,
         )
     for spec in args.add_slider:
         name, _, path = spec.partition("=")

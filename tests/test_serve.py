@@ -478,3 +478,25 @@ def test_failing_group_contained_to_its_requests(service):
     outs = service._generate_batch(reqs)
     assert outs[0][:8] == b"\x89PNG\r\n\x1a\n"
     assert isinstance(outs[1], KeyError)
+
+
+def test_xl_static_guidance_turbo_mode(service, tmp_path_factory):
+    """static_guidance <= 1 compiles the cond-only fast path (half the UNet
+    rows — the SDXL-Turbo serving shape): PNGs out, scale still bites, and
+    per-request guidance is ignored (same image for any ?guidance=)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.serve import SliderService
+
+    path = tmp_path_factory.mktemp("serve_turbo") / "slider.safetensors"
+    lora_lib.save_weights(path, service.sites, service.lora_params)
+    turbo = SliderService(
+        "tiny-xl", str(path), image_size=64, steps=2, start_noise=1100,
+        microbatch=False, static_guidance=1.0,
+    )
+    a = turbo.generate("a cat", scale=-3.0, seed=3, guidance=7.5)
+    b = turbo.generate("a cat", scale=3.0, seed=3, guidance=7.5)
+    assert a[:8] == b"\x89PNG\r\n\x1a\n"
+    assert a != b  # slider still bites without CFG
+    # guidance is compiled in: requests with different guidance agree exactly
+    c = turbo.generate("a cat", scale=3.0, seed=3, guidance=2.0)
+    assert b == c
