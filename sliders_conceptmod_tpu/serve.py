@@ -282,7 +282,7 @@ class _SliderRegistry:
         return value
 
     def _run_grouped(self, reqs, run_group) -> list:
-        """Shared micro-batch protocol for both families: group requests by
+        """Shared micro-batch protocol for every family service: group requests by
         guidance (a traced per-batch scalar in the CFG combine), pad each
         group to a bucket size, run
         ``run_group(padded_reqs, guidance, entry, adapter_idx) -> images``,
