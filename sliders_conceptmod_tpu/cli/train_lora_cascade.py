@@ -40,14 +40,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "(train_lora/_xl/_sd3/_flux); the cascade step merges into the "
             "base — set quantize_base: false."
         )
-    if any(getattr(p, "dynamic_resolution", False) for p in prompts):
-        raise NotImplementedError(
-            "dynamic_resolution is implemented for the SD1/SDXL trainer only "
-            "(pre-compiled bucket set, train/trainer.py); for this family set "
-            "dynamic_resolution: false (documented deviation — the reference "
-            "draws a fresh shape per iteration, which would recompile XLA "
-            "executables mid-run)."
-        )
+    dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
@@ -108,30 +101,43 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     empty_text, empty_pooled = encode_fn("")
 
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
-    ccfg = esd_cascade.CascadeESDConfig(
-        samples_per_step=samples_per_step,
-        shard_samples=mesh is not None and samples_per_step > 1,
-        mesh=mesh,
-        max_denoising_steps=config.train.max_denoising_steps,
-        batch_size=prompts[0].batch_size,
-        height=prompts[0].resolution,
-        width=prompts[0].resolution,
-        latent_channels=prior_cfg.in_channels,
-        resolution_multiple=prior_cfg.resolution_multiple,
-        remat=not is_tiny,
+
+    # dynamic_resolution: the reference draws a bucketed (h, w) per iteration
+    # (train_lora_cascade.py:181-185) — one compiled step per bucket of the
+    # fixed ≤4-shape set (train/loop_utils.resolution_bucket_picker)
+    from sliders_conceptmod_tpu.train.loop_utils import resolution_bucket_picker
+
+    buckets, pick_bucket = resolution_bucket_picker(
+        dynamic_resolution, prompts[0].resolution, config.tpu.seed
     )
-    step = esd_cascade.make_cascade_esd_train_step(
-        prior.apply_fn(),
-        sites,
-        scheduler,
-        schedule,
-        optimizer,
-        ccfg,
-        empty_text=empty_text,
-        empty_pooled=empty_pooled,
-        clip_image_dim=prior_cfg.clip_image_in_channels,
-        merge_fn=peft_mod.merge_lora_params,
-    )
+
+    def build_step(h: int, w: int):
+        ccfg = esd_cascade.CascadeESDConfig(
+            samples_per_step=samples_per_step,
+            shard_samples=mesh is not None and samples_per_step > 1,
+            mesh=mesh,
+            max_denoising_steps=config.train.max_denoising_steps,
+            batch_size=prompts[0].batch_size,
+            height=h,
+            width=w,
+            latent_channels=prior_cfg.in_channels,
+            resolution_multiple=prior_cfg.resolution_multiple,
+            remat=not is_tiny,
+        )
+        return esd_cascade.make_cascade_esd_train_step(
+            prior.apply_fn(),
+            sites,
+            scheduler,
+            schedule,
+            optimizer,
+            ccfg,
+            empty_text=empty_text,
+            empty_pooled=empty_pooled,
+            clip_image_dim=prior_cfg.clip_image_in_channels,
+            merge_fn=peft_mod.merge_lora_params,
+        )
+
+    step_fns = [build_step(h, w) for h, w in buckets]
 
     save_path = Path(config.save.path)
     # reference lora.py:274-283: exports cast to save.precision
@@ -155,7 +161,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         key, k = jax.random.split(key)
         if multihost:
             k = mesh_lib.replicate_host_tree(k, mesh)
-        lora_params, opt_state, metrics = step(prior.params, lora_params, opt_state, k, bank)
+        bi = pick_bucket(i) if pick_bucket is not None else 0
+        lora_params, opt_state, metrics = step_fns[bi](
+            prior.params, lora_params, opt_state, k, bank
+        )
+        if pick_bucket is not None:
+            metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])
         logger.log(i, metrics)
         if (
             save_file

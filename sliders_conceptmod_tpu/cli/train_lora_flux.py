@@ -28,14 +28,7 @@ import optax
 
 
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
-    if any(getattr(p, "dynamic_resolution", False) for p in prompts):
-        raise NotImplementedError(
-            "dynamic_resolution is implemented for the SD1/SDXL trainer only "
-            "(pre-compiled bucket set, train/trainer.py); for this family set "
-            "dynamic_resolution: false (documented deviation — the reference "
-            "draws a fresh shape per iteration, which would recompile XLA "
-            "executables mid-run)."
-        )
+    dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # tpu.quantize_base: int8 frozen base (adapters/quant.py) — full-depth
     # schnell fits one v5e; the student LoRA runs via the apply-time overlay
@@ -113,33 +106,46 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     vae_scale = 8 if "tiny" not in str(config.pretrained_model.name_or_path).lower() else 2
     n_steps = 8  # reference num_inference_steps (train_lora_flux.py:240)
-    gh = resolution // vae_scale // 2
-    gw = resolution // vae_scale // 2
     # latent channels: packed token dim / 4
     latent_channels = flux_cfg.in_channels // 4
-    mu = calculate_shift(gh * gw)
-    schedule = scheduler.set_timesteps(n_steps, mu=mu)
+    is_tiny = "tiny" in str(config.pretrained_model.name_or_path).lower()
 
-    fcfg = esd_flux.FluxESDConfig(
-        samples_per_step=samples_per_step,
-        shard_samples=mesh is not None and samples_per_step > 1,
-        mesh=mesh,
-        num_inference_steps=n_steps,
-        batch_size=batch_size,
-        height=resolution,
-        width=resolution,
-        latent_channels=latent_channels,
-        vae_scale=vae_scale,
-        remat="tiny" not in str(config.pretrained_model.name_or_path).lower(),
+    # dynamic_resolution: the reference draws a bucketed (h, w) per iteration
+    # (train_lora_flux.py:241-245) — one compiled step per bucket; the flow
+    # schedule's timestep shift follows each bucket's ACTUAL token count, as
+    # the reference's diffusion_flux derives mu from image_seq_len
+    # (train_util.py:640-657)
+    from sliders_conceptmod_tpu.train.loop_utils import resolution_bucket_picker
+
+    buckets, pick_bucket = resolution_bucket_picker(
+        dynamic_resolution, resolution, config.tpu.seed
     )
-    step = esd_flux.make_flux_esd_train_step(
-        transformer.apply_fn(), sites, schedule, optimizer, fcfg,
-        merge_fn=peft_mod.merge_lora_params,
-        student_overlay=quantize_base,
-        # per-block remat on the student caps fwd+bwd peak HBM at block
-        # granularity — what fits the full-depth int8 schnell step on a v5e
-        remat_apply=transformer.apply_fn(remat_blocks=True) if fcfg.remat else None,
-    )
+
+    def build_step(h: int, w: int):
+        gh, gw = h // vae_scale // 2, w // vae_scale // 2
+        schedule = scheduler.set_timesteps(n_steps, mu=calculate_shift(gh * gw))
+        fcfg = esd_flux.FluxESDConfig(
+            samples_per_step=samples_per_step,
+            shard_samples=mesh is not None and samples_per_step > 1,
+            mesh=mesh,
+            num_inference_steps=n_steps,
+            batch_size=batch_size,
+            height=h,
+            width=w,
+            latent_channels=latent_channels,
+            vae_scale=vae_scale,
+            remat=not is_tiny,
+        )
+        return esd_flux.make_flux_esd_train_step(
+            transformer.apply_fn(), sites, schedule, optimizer, fcfg,
+            merge_fn=peft_mod.merge_lora_params,
+            student_overlay=quantize_base,
+            # per-block remat on the student caps fwd+bwd peak HBM at block
+            # granularity — what fits the full-depth int8 schnell step on a v5e
+            remat_apply=transformer.apply_fn(remat_blocks=True) if fcfg.remat else None,
+        )
+
+    step_fns = [build_step(h, w) for h, w in buckets]
 
     save_path = Path(config.save.path)
     # reference lora.py:274-283: exports cast to save.precision
@@ -167,7 +173,14 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             key, k = jax.random.split(key)
             if multihost:
                 k = mesh_lib.replicate_host_tree(k, mesh)
-            lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+            # reference draws the bucket per prompt-pair iteration, i.e. per
+            # MICRO step under accumulation — grads mix resolutions, as there
+            bi = pick_bucket(i) if pick_bucket is not None else 0
+            lora_params, opt_state, metrics = step_fns[bi](
+                transformer.params, lora_params, opt_state, k, bank
+            )
+            if pick_bucket is not None:
+                metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])
             logger.log(i, metrics)
             # periodic save at micro-step granularity (reference :414-426)
             if (

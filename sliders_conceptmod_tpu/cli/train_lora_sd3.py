@@ -23,14 +23,7 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
-    if any(getattr(p, "dynamic_resolution", False) for p in prompts):
-        raise NotImplementedError(
-            "dynamic_resolution is implemented for the SD1/SDXL trainer only "
-            "(pre-compiled bucket set, train/trainer.py); for this family set "
-            "dynamic_resolution: false (documented deviation — the reference "
-            "draws a fresh shape per iteration, which would recompile XLA "
-            "executables mid-run)."
-        )
+    dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # tpu.quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
     # class bases fit one v5e; the student LoRA runs via the apply-time overlay
@@ -102,26 +95,39 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     batch_size = prompts[0].batch_size
 
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
-    scfg = esd_sd3.SD3ESDConfig(
-        samples_per_step=samples_per_step,
-        shard_samples=mesh is not None and samples_per_step > 1,
-        mesh=mesh,
-        max_denoising_steps=config.train.max_denoising_steps,
-        train_cfg_scale=config.train.cfg,
-        batch_size=batch_size,
-        height=resolution,
-        width=resolution,
-        latent_channels=mm_cfg.in_channels,
-        remat=not is_tiny,
+
+    # dynamic_resolution: the reference draws a bucketed (h, w) per iteration
+    # (train_lora_sd3.py:195-199) — here one compiled step per bucket of the
+    # fixed ≤4-shape set, picked per iteration with the host RNG
+    from sliders_conceptmod_tpu.train.loop_utils import resolution_bucket_picker
+
+    buckets, pick_bucket = resolution_bucket_picker(
+        dynamic_resolution, resolution, config.tpu.seed
     )
-    step = esd_sd3.make_sd3_esd_train_step(
-        transformer.apply_fn(), sites, schedule, optimizer, scfg,
-        merge_fn=peft_mod.merge_lora_params,
-        student_overlay=quantize_base,
-        # per-block remat on the student: block-granular fwd+bwd peak HBM
-        # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
-        remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,
-    )
+
+    def build_step(h: int, w: int):
+        scfg = esd_sd3.SD3ESDConfig(
+            samples_per_step=samples_per_step,
+            shard_samples=mesh is not None and samples_per_step > 1,
+            mesh=mesh,
+            max_denoising_steps=config.train.max_denoising_steps,
+            train_cfg_scale=config.train.cfg,
+            batch_size=batch_size,
+            height=h,
+            width=w,
+            latent_channels=mm_cfg.in_channels,
+            remat=not is_tiny,
+        )
+        return esd_sd3.make_sd3_esd_train_step(
+            transformer.apply_fn(), sites, schedule, optimizer, scfg,
+            merge_fn=peft_mod.merge_lora_params,
+            student_overlay=quantize_base,
+            # per-block remat on the student: block-granular fwd+bwd peak HBM
+            # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
+            remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,
+        )
+
+    step_fns = [build_step(h, w) for h, w in buckets]
 
     save_path = Path(config.save.path)
     # reference lora.py:274-283: exports cast to save.precision
@@ -149,7 +155,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             key, k = jax.random.split(key)
             if multihost:
                 k = mesh_lib.replicate_host_tree(k, mesh)
-            lora_params, opt_state, metrics = step(transformer.params, lora_params, opt_state, k, bank)
+            bi = pick_bucket(i) if pick_bucket is not None else 0
+            lora_params, opt_state, metrics = step_fns[bi](
+                transformer.params, lora_params, opt_state, k, bank
+            )
+            if pick_bucket is not None:
+                metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])
             logger.log(i, metrics)
             if (
                 save_file

@@ -21,6 +21,35 @@ from typing import List, Optional, Tuple
 import jax
 
 
+def resolution_bucket_picker(dynamic: bool, resolution: int, seed: int):
+    """``(buckets, pick)`` for dynamic-resolution training.
+
+    The reference draws a fresh (h, w) from the ±50 %/64px bucket range per
+    ITERATION in every textslider trainer (train_util.py:1085-1097, consulted
+    at train_lora_xl.py:186-200, train_lora_sd3.py:195-199,
+    train_lora_flux.py:241-245, train_lora_cascade.py:181-185) — on XLA each
+    distinct shape is a separate executable, so this quantizes the range to
+    the fixed ≤4-shape set of diffusion/sampling.dynamic_resolution_buckets
+    and the trainer keeps one compiled step per bucket (SURVEY §7.4 design).
+
+    ``pick(i)`` is deterministic in ``(seed, i)`` so a resumed run replays
+    the same bucket sequence. ``dynamic=False`` returns the single
+    ``(resolution, resolution)`` bucket and ``pick=None``.
+    """
+    if not dynamic:
+        return [(resolution, resolution)], None
+    import numpy as np
+
+    from sliders_conceptmod_tpu.diffusion.sampling import dynamic_resolution_buckets
+
+    buckets = dynamic_resolution_buckets(resolution)
+
+    def pick(step_i: int) -> int:
+        return int(np.random.default_rng((seed, step_i)).integers(len(buckets)))
+
+    return buckets, pick
+
+
 class MetricsLogger:
     """Appends one JSON line per step next to the checkpoints; computes
     steps/sec excluding the compile step. Device scalars are buffered and

@@ -30,15 +30,11 @@ from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
 from sliders_conceptmod_tpu.core.config import RootConfig, parse_precision, parse_save_precision
 from sliders_conceptmod_tpu.core.prompts import PromptSettings
-from sliders_conceptmod_tpu.diffusion.sampling import (
-    dynamic_resolution_buckets as sampling_buckets,
-    get_add_time_ids,
-)
+from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 from sliders_conceptmod_tpu.models import factory
 from sliders_conceptmod_tpu.train import esd
 from sliders_conceptmod_tpu.train.loop_utils import MetricsLogger
@@ -241,20 +237,15 @@ def train(
             warm_apply=unet.apply_fn(act_quant=True) if w8a8_warmup else None,
         )
 
-    if dynamic_resolution:
-        # per-iteration resolution from a fixed pre-compilable bucket set
-        # (reference train_lora_xl.py:186-200; XLA-safe design in
-        # diffusion/sampling.dynamic_resolution_buckets)
-        buckets = sampling_buckets(resolution)
+    # per-iteration resolution from a fixed pre-compilable bucket set
+    # (reference train_lora_xl.py:186-200; XLA-safe design in
+    # diffusion/sampling.dynamic_resolution_buckets — shared with the
+    # sd3/flux/cascade trainers via loop_utils.resolution_bucket_picker)
+    from sliders_conceptmod_tpu.train.loop_utils import resolution_bucket_picker
 
-        def pick_bucket(step_i: int) -> int:
-            # keyed per step (not a streamed RNG) so deterministic resume
-            # replays the same bucket sequence from any start_step
-            return int(np.random.default_rng((tpu_cfg.seed, step_i)).integers(len(buckets)))
-
-    else:
-        buckets = [(resolution, resolution)]
-        pick_bucket = None
+    buckets, pick_bucket = resolution_bucket_picker(
+        dynamic_resolution, resolution, tpu_cfg.seed
+    )
     step_fns = [build_step(h, w) for h, w in buckets]
     opt_state = optimizer.init(lora_params)
     from sliders_conceptmod_tpu.train import checkpoint as ckpt

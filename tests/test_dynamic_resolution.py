@@ -66,17 +66,58 @@ def test_trainer_uses_multiple_resolutions(tmp_path):
     assert shapes <= allowed
 
 
-def test_non_flagship_trainers_fail_loudly():
-    """SD3/Flux/Cascade trainers must raise (not silently drop) the flag."""
+def _flow_family_cfg(yaml_path, tmp_path, name, iterations):
+    from sliders_conceptmod_tpu.core import config as config_util
+
+    cfg = config_util.load_config_from_yaml(yaml_path)
+    cfg.train.iterations = iterations
+    cfg.save.name = name
+    cfg.save.path = str(tmp_path)
+    cfg.save.per_steps = 0
+    cfg.logging.verbose = False
+    return cfg
+
+
+def _dyn_shapes(tmp_path, name):
+    rows = [
+        json.loads(line)
+        for line in (tmp_path / f"{name}_metrics.jsonl").read_text().splitlines()
+        if "loss" in line
+    ]
+    return {(r["height"], r["width"]) for r in rows if "height" in r}
+
+
+@pytest.mark.parametrize(
+    "yaml_path,mod_name,iterations",
+    [
+        ("data/config-tiny-sd3.yaml", "train_lora_sd3", 8),
+        ("data/config-tiny-flux.yaml", "train_lora_flux", 1),  # ×8 micro-steps
+        ("data/config-tiny-cascade.yaml", "train_lora_cascade", 8),
+    ],
+)
+def test_flow_family_dynamic_resolution(tmp_path, yaml_path, mod_name, iterations):
+    """SD3/Flux/Cascade train over the bucket set too — the reference draws a
+    bucketed (h, w) per iteration in ALL textslider trainers
+    (train_lora_{sd3,flux,cascade}.py ~:196/:243/:182), so a reference YAML
+    with dynamic_resolution: true must train, with ≥2 distinct resolutions
+    observable in the metrics jsonl."""
+    import importlib
+
     from sliders_conceptmod_tpu.core.prompts import PromptSettings
 
-    p = PromptSettings(target="x", positive="y", resolution=64, dynamic_resolution=True)
-
-    from sliders_conceptmod_tpu.cli import train_lora_cascade, train_lora_flux, train_lora_sd3
-
-    for mod in (train_lora_sd3, train_lora_flux, train_lora_cascade):
-        with pytest.raises(NotImplementedError, match="dynamic_resolution"):
-            mod.train(None, [p], rank=2)  # guard fires before config is touched
+    mod = importlib.import_module(f"sliders_conceptmod_tpu.cli.{mod_name}")
+    name = f"dyn_{mod_name}"
+    cfg = _flow_family_cfg(yaml_path, tmp_path, name, iterations)
+    prompts = [
+        PromptSettings(
+            target="sky", positive="blue sky", action="enhance",
+            resolution=192, dynamic_resolution=True, batch_size=1,
+        )
+    ]
+    mod.train(cfg, prompts, rank=2, save_file=False)
+    shapes = _dyn_shapes(tmp_path, name)
+    assert len(shapes) >= 2, shapes
+    assert shapes <= set(dynamic_resolution_buckets(192))
 
 
 def test_pipeline_warmup_conflicts_with_buckets(tmp_path):
