@@ -50,12 +50,9 @@ def run(args):
         from sliders_conceptmod_tpu.adapters import lora as lora_lib
         from sliders_conceptmod_tpu.models import factory
 
-        base_l = str(args.base).lower()
-        family = args.family or (
-            "flux" if "flux" in base_l
-            else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
-            else "xl"
-        )
+        from sliders_conceptmod_tpu.serve import detect_family
+
+        family = args.family or detect_family(args.base)
         if family == "flux":
             _, _, bundle, _ = factory.load_models_flux(args.base, weight_dtype=jnp.bfloat16)
             sites = lora_lib.create_sites(
@@ -101,13 +98,11 @@ def run(args):
 
         service = None
     else:
-        base_l = str(args.base).lower()
-        family = args.family or (
-            "flux" if "flux" in base_l
-            else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
-            else "xl"
+        from sliders_conceptmod_tpu.serve import (
+            FluxSliderService, SD3SliderService, SliderService, detect_family,
         )
-        from sliders_conceptmod_tpu.serve import FluxSliderService, SD3SliderService, SliderService
+
+        family = args.family or detect_family(args.base)
 
         cls = {"flux": FluxSliderService, "sd3": SD3SliderService}.get(family, SliderService)
         service = cls(

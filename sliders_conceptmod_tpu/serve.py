@@ -216,6 +216,52 @@ class _SliderRegistry:
         place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
         return place(tree, self._mesh)
 
+    def _mesh_init(self, mesh_data: int, mesh_model: int, params, max_batch: int):
+        """Shared DP/TP serving bring-up (every family service):
+        ``mesh_data > 1`` shards micro-batched request rows over the data
+        axis (rows are independent trajectories; params replicate; padding
+        buckets scale to mesh multiples so chips carry equal rows);
+        ``mesh_model > 1`` tensor-shards weight output dims
+        (parallel/mesh.tp_shard_tree) for params that exceed one chip's HBM.
+        They compose into a (data, model) mesh. Returns (placed_params,
+        scaled_max_batch) and sets ``self._mesh/_tp/_buckets``."""
+        self._mesh = None
+        self._tp = mesh_model > 1
+        self._buckets = self._BUCKETS
+        if mesh_data > 1 or mesh_model > 1:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            self._mesh = mesh_lib.make_mesh(
+                data=mesh_data, model=mesh_model,
+                devices=jax.devices()[: mesh_data * mesh_model],
+            )
+            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
+            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
+            params = place(params, self._mesh)
+            max_batch = max_batch * mesh_data
+        return params, max_batch
+
+    @staticmethod
+    def _probe_vae(base: str, family: str):
+        """Load the VAE when the base directory ships one; None = weightless
+        smoke (the preview renderer below)."""
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(str(base), "vae")):
+            return factory._load_or_init_vae(base, family, jnp.float32)
+        return None
+
+    @staticmethod
+    def _latents_preview(lat) -> list:
+        """Weightless smoke: render the first 3 latent channels normalized."""
+        import numpy as np
+
+        imgs = []
+        for row in np.asarray(lat, np.float32)[:, :3]:
+            a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
+            imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
+        return imgs
+
     # rows pad to the next bucket so at most len(_BUCKETS) executables compile
     _BUCKETS = (1, 2, 4)
 
@@ -304,9 +350,13 @@ class _SliderRegistry:
 
         out: dict = {}
         by_g: dict = {}
+        # with a STATIC (compiled-in) guidance, per-request guidance values
+        # are ignored by the sampler — don't let them split the micro-batch
+        static_g = getattr(self, "_static_guidance", None)
         for i, r in enumerate(reqs):
             slider_name = r[4] if len(r) > 4 else "default"
-            by_g.setdefault(r[3], []).append((i, r, slider_name))
+            gkey = static_g if static_g is not None else r[3]
+            by_g.setdefault(gkey, []).append((i, r, slider_name))
         for guidance, rows in by_g.items():
             names = tuple(sorted({s for _, _, s in rows}))
             groups = []  # (rows, entry-or-name, idx_list | None)
@@ -420,30 +470,10 @@ class SliderService(_SliderRegistry):
         self.flip = flip_step_for_start_noise(self.schedule, start_noise)
         self._unet_apply = self.unet.apply_fn()
 
-        # mesh_data > 1: DP serving — micro-batched rows shard over the mesh
-        # data axis (rows are independent trajectories; base + adapters
-        # replicate, XLA partitions the batch dim from the input shardings
-        # alone, SURVEY §2.2). Buckets scale to data-axis multiples so every
-        # chip carries equal rows; a lone request pads to mesh_data rows at
-        # batch-1 latency (padding rides otherwise-idle chips). Per-chip
-        # batch cap stays ``max_batch``.
-        # mesh_model > 1: TP serving — weight output dims shard over the
-        # model axis (parallel/mesh.tp_shard_tree) for params that exceed
-        # one chip's HBM. Composes with mesh_data into a (data, model) mesh.
-        self._mesh = None
-        self._tp = mesh_model > 1
-        self._buckets = self._BUCKETS
-        if mesh_data > 1 or mesh_model > 1:
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-            self._mesh = mesh_lib.make_mesh(
-                data=mesh_data, model=mesh_model,
-                devices=jax.devices()[: mesh_data * mesh_model],
-            )
-            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
-            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
-            self.unet.params = place(self.unet.params, self._mesh)
-            max_batch = max_batch * mesh_data
+        # DP/TP serving bring-up — shared helper (_SliderRegistry._mesh_init)
+        self.unet.params, max_batch = self._mesh_init(
+            mesh_data, mesh_model, self.unet.params, max_batch
+        )
 
         # multi-slider registry: the ecosystem this serves (ntc-ai publishes
         # thousands of sliders over ONE base) wants many adapters per loaded
@@ -644,24 +674,12 @@ class FluxSliderService(_SliderRegistry):
             base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
         )
         self.transformer.act_quant = bool(w8a8)
-        # DP (mesh_data) / TP (mesh_model) serving — see SliderService.__init__.
-        # mesh_model=2 bf16 is the full-depth schnell route WITHOUT int8
-        # (23.8 GB params / 2 chips, BASELINE.md HBM table); --quantize_base
-        # remains the single-chip route.
-        self._mesh = None
-        self._tp = mesh_model > 1
-        self._buckets = self._BUCKETS
-        if mesh_data > 1 or mesh_model > 1:
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-            self._mesh = mesh_lib.make_mesh(
-                data=mesh_data, model=mesh_model,
-                devices=jax.devices()[: mesh_data * mesh_model],
-            )
-            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
-            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
-            self.transformer.params = place(self.transformer.params, self._mesh)
-            max_batch = max_batch * mesh_data
+        # DP/TP serving bring-up (shared _mesh_init). mesh_model=2 bf16 is the
+        # full-depth schnell route WITHOUT int8 (23.8 GB params / 2 chips,
+        # BASELINE.md HBM table); --quantize_base remains the single-chip route.
+        self.transformer.params, max_batch = self._mesh_init(
+            mesh_data, mesh_model, self.transformer.params, max_batch
+        )
         cfg = self.transformer.config
         is_tiny = "tiny" in str(base).lower()
         self.vae_scale = 2 if is_tiny else 8
@@ -678,11 +696,7 @@ class FluxSliderService(_SliderRegistry):
         # one loaded base, many LoRA adapters routed per request by name
         self._registry_init(max_sliders, cross_slider_stack)
         self.add_slider("default", slider_path)
-        self.vae = None
-        import os as _os
-
-        if _os.path.isdir(_os.path.join(str(base), "vae")):
-            self.vae = factory._load_or_init_vae(base, "flux", jnp.float32)
+        self.vae = self._probe_vae(base, "flux")
         self._batcher = (
             MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
             if microbatch
@@ -788,12 +802,7 @@ class FluxSliderService(_SliderRegistry):
                 self.vae.decode, lat, self.vae.config.scaling_factor,
                 self.vae.config.shift_factor,
             )
-        # weightless smoke: render the first 3 latent channels normalized
-        imgs = []
-        for row in np.asarray(lat, np.float32)[:, :3]:
-            a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
-            imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
-        return imgs
+        return self._latents_preview(lat)
 
 
 class SD3SliderService(_SliderRegistry):
@@ -809,43 +818,68 @@ class SD3SliderService(_SliderRegistry):
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
                  mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
-                 cross_slider_stack: bool = True):
+                 cross_slider_stack: bool = True, static_guidance: float | None = None):
         from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
 
         self.image_size = image_size
         self.steps = steps
+        # static guidance compiles in (per-request ?guidance= ignored); <= 1
+        # takes sample_flow_loop's static cond-only path — half the MMDiT
+        # rows per step (few-step distilled serving)
+        self._static_guidance = static_guidance
         t0 = time.time()
         self.tokenizers, self.text_encoders, self.transformer, scheduler = factory.load_models_sd3(
             base, weight_dtype=jnp.bfloat16, quantize_base=quantize_base or w8a8
         )
         self.transformer.act_quant = bool(w8a8)
-        # DP (mesh_data) / TP (mesh_model) serving — see SliderService.__init__
-        self._mesh = None
-        self._tp = mesh_model > 1
-        self._buckets = self._BUCKETS
-        if mesh_data > 1 or mesh_model > 1:
-            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
-
-            self._mesh = mesh_lib.make_mesh(
-                data=mesh_data, model=mesh_model,
-                devices=jax.devices()[: mesh_data * mesh_model],
-            )
-            self._buckets = tuple(b * mesh_data for b in self._BUCKETS)
-            place = mesh_lib.tp_shard_tree if self._tp else mesh_lib.replicate_tree
-            self.transformer.params = place(self.transformer.params, self._mesh)
-            max_batch = max_batch * mesh_data
-        cfg = self.transformer.config
+        # DP/TP serving bring-up — shared helper (_SliderRegistry._mesh_init)
+        self.transformer.params, max_batch = self._mesh_init(
+            mesh_data, mesh_model, self.transformer.params, max_batch
+        )
         self.latent_res = image_size // 8
         self._t5_seq_len = 4 if "tiny" in str(base).lower() else 256
         self.schedule = scheduler.set_timesteps(steps)
         self.flip = _flow_flip(self.schedule, start_noise)
         self._registry_init(max_sliders, cross_slider_stack)
         self.add_slider("default", slider_path)
-        self.vae = None
-        import os as _os
+        self.vae = self._probe_vae(base, "sd3")
 
-        if _os.path.isdir(_os.path.join(str(base), "vae")):
-            self.vae = factory._load_or_init_vae(base, "sd3", jnp.float32)
+        te1, te2 = self.text_encoders
+        te1_model, te2_model = te1.model, te2.model
+        jad, t5_len = self.transformer.config.joint_attention_dim, self._t5_seq_len
+
+        @jax.jit
+        def _encode_jit(p1, p2, ids1, ids2):
+            # eager per-op text-tower dispatch costs seconds per NEW prompt on
+            # TPU (same lesson as the XL service) — jit with params as args.
+            # Math mirrors factory.encode_prompts_sd3 (T5 dropped, reference
+            # model_util.py:217-236): concat CLIP penultimate states, zero-pad
+            # to joint_attention_dim, append a zero T5 segment; pooled =
+            # concat of both projected pooled outputs.
+            from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
+
+            o1 = te1_model.apply({"params": p1}, ids1)
+            o2 = te2_model.apply({"params": p2}, ids2)
+            clip_embeds = jnp.concatenate(
+                [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
+            )
+            if clip_embeds.shape[-1] < jad:
+                clip_embeds = jnp.pad(
+                    clip_embeds, ((0, 0), (0, 0), (0, jad - clip_embeds.shape[-1]))
+                )
+            t5_zeros = jnp.zeros(
+                (clip_embeds.shape[0], t5_len, jad), clip_embeds.dtype
+            )
+            pooled = [
+                o.projected if o.projected is not None else o.pooled_output
+                for o in (o1, o2)
+            ]
+            return (
+                jnp.concatenate([clip_embeds, t5_zeros], axis=1),
+                jnp.concatenate(pooled, axis=-1),
+            )
+
+        self._encode_jit = _encode_jit
         self._batcher = (
             MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
             if microbatch
@@ -859,16 +893,23 @@ class SD3SliderService(_SliderRegistry):
         apply_fn = self.transformer.apply_fn()
         schedule, flip = self.schedule, self.flip
         sites = tuple(sites)
+        static_g = self._static_guidance
+        # static guidance <= 1: sample_flow_loop statically slices the cond
+        # rows (B model rows, not 2B) — the overlay multipliers must NOT be
+        # CFG-doubled then
+        cfg_rows = static_g is None or float(static_g) > 1.0
 
         def _run(base, lp, scale_vec, adapter_idx, latents, text, pooled, guidance):
-            # the service always sends [2B] uncond++cond embeddings with a
-            # traced guidance, so the sampler's model rows are CFG-doubled —
+            # the service always sends [2B] uncond++cond embeddings; with a
+            # traced (or >1 static) guidance the model rows are CFG-doubled —
             # double the per-row multipliers (and routing) to match
-            row = jnp.concatenate([scale_vec] * 2)
-            idx2 = None if adapter_idx is None else jnp.concatenate([adapter_idx] * 2)
+            row = jnp.concatenate([scale_vec] * 2) if cfg_rows else scale_vec
+            idx2 = adapter_idx
+            if adapter_idx is not None and cfg_rows:
+                idx2 = jnp.concatenate([adapter_idx] * 2)
             return sample_flow_loop(
                 apply_fn, base, base, flip, schedule, latents, text, pooled,
-                guidance_scale=guidance,
+                guidance_scale=guidance if static_g is None else static_g,
                 slider_overlay=lambda: lora_lib.lora_overlay(sites, lp, row, adapter_idx=idx2),
             )
 
@@ -917,10 +958,12 @@ class SD3SliderService(_SliderRegistry):
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
-        return factory.encode_prompts_sd3(
-            self.text_encoders, [prompt],
-            joint_attention_dim=self.transformer.config.joint_attention_dim,
-            t5_seq_len=self._t5_seq_len,
+        te1, te2 = self.text_encoders
+        return self._encode_jit(
+            te1.params,
+            te2.params,
+            jnp.asarray(te1.tokenizer([prompt])),
+            jnp.asarray(te2.tokenizer([prompt])),
         )
 
     def _sample_group(self, padded, guidance, entry, adapter_idx=None) -> list:
@@ -978,12 +1021,18 @@ class SD3SliderService(_SliderRegistry):
                 self.vae.decode, final, self.vae.config.scaling_factor,
                 self.vae.config.shift_factor,
             )
-        # weightless smoke: render the first 3 latent channels normalized
-        imgs = []
-        for row in np.asarray(final, np.float32)[:, :3]:
-            a = (row - row.min()) / max(float(row.max() - row.min()), 1e-6)
-            imgs.append(np.round(np.transpose(a, (1, 2, 0)) * 255).astype(np.uint8))
-        return imgs
+        return self._latents_preview(final)
+
+
+def detect_family(base: str) -> str:
+    """Family autodetect from the base path — the single source for serve and
+    cli/bench_serve (xl | sd3 | flux)."""
+    base_l = str(base).lower()
+    if "flux" in base_l:
+        return "flux"
+    if "sd3" in base_l or "stable-diffusion-3" in base_l:
+        return "sd3"
+    return "xl"
 
 
 def make_handler(service: SliderService):
@@ -1141,9 +1190,10 @@ def main():
     )
     ap.add_argument(
         "--static_guidance", type=float, default=None,
-        help="compile the XL sampler with a FIXED guidance instead of a "
+        help="compile the XL/SD3 sampler with a FIXED guidance instead of a "
         "traced per-request one; <= 1 takes the cond-only fast path (half "
-        "the UNet rows — the SDXL-Turbo serving mode, pair with --steps 4); "
+        "the model rows — the few-step distilled serving mode, pair with "
+        "--steps 4); "
         "per-request ?guidance= is ignored",
     )
     ap.add_argument(
@@ -1164,12 +1214,11 @@ def main():
     )
     args = ap.parse_args()
 
-    base_l = str(args.base).lower()
-    family = args.family or (
-        "flux" if "flux" in base_l
-        else "sd3" if ("sd3" in base_l or "stable-diffusion-3" in base_l)
-        else "xl"
-    )
+    family = args.family or detect_family(args.base)
+    if args.static_guidance is not None and family == "flux":
+        ap.error("--static_guidance applies to CFG families (xl/sd3); flux "
+                 "schnell has no CFG batch and dev's guidance embedding is "
+                 "already a cheap per-request input")
     if family == "sd3":
         service = SD3SliderService(
             args.base, args.slider, args.image_size,
@@ -1179,6 +1228,7 @@ def main():
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            static_guidance=args.static_guidance,
         )
     elif family == "flux":
         service = FluxSliderService(

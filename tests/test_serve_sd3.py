@@ -102,3 +102,70 @@ def test_sd3_cross_slider_batch_matches_solo(sd3_service):
     assert d1.max() <= 8 and d1.mean() < 0.5
     assert d0.mean() < np.abs(m0 - solo_two).mean()
     assert d1.mean() < np.abs(m1 - solo_default).mean()
+
+
+def test_sd3_encode_matches_factory(sd3_service):
+    """The service's jitted prompt encoder must reproduce
+    factory.encode_prompts_sd3 exactly (same math, jitted with params as
+    args to dodge eager per-op dispatch on TPU)."""
+    from sliders_conceptmod_tpu.models import factory
+
+    text_j, pooled_j = sd3_service._encode("a painting of a fox")
+    text_f, pooled_f = factory.encode_prompts_sd3(
+        sd3_service.text_encoders, ["a painting of a fox"],
+        joint_attention_dim=sd3_service.transformer.config.joint_attention_dim,
+        t5_seq_len=sd3_service._t5_seq_len,
+    )
+    # bf16 towers: jitted vs eager fusion differences round at bf16 ulp scale
+    np.testing.assert_allclose(
+        np.asarray(text_j, np.float32), np.asarray(text_f, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled_j, np.float32), np.asarray(pooled_f, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_sd3_static_guidance(tmp_path_factory):
+    """static_guidance <= 1 compiles the cond-only fast path on SD3 too:
+    per-request guidance is ignored, the slider still bites, and requests
+    with DIFFERENT guidance values ride ONE micro-batch group."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.serve import SD3SliderService
+
+    tmp = tmp_path_factory.mktemp("serve_sd3_turbo")
+    _, _, tr, _ = factory.load_models_sd3("tiny-sd3")
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lp = jax.tree.map(lambda a: a + 0.1, lp)
+    lora_lib.save_weights(tmp / "s.safetensors", sites, lp)
+    svc = SD3SliderService(
+        "tiny-sd3", str(tmp / "s.safetensors"), image_size=16, steps=2,
+        start_noise=1100, microbatch=False, static_guidance=1.0,
+    )
+    a = svc.generate("a cat", scale=-3.0, seed=3, guidance=7.0)
+    b = svc.generate("a cat", scale=3.0, seed=3, guidance=7.0)
+    c = svc.generate("a cat", scale=3.0, seed=3, guidance=2.0)
+    assert a[:8] == b"\x89PNG\r\n\x1a\n"
+    assert a != b  # slider bites without CFG
+    assert b == c  # guidance compiled in: per-request value ignored
+    # mixed per-request guidance must NOT split the batch when static:
+    # one group -> one _sample_group call -> results in request order
+    reqs = [("a cat", 1.0, 3, 7.0, "default"), ("a dog", 1.0, 4, 2.5, "default")]
+    calls = []
+    orig = svc._sample_group
+
+    def spy(padded, guidance, entry, adapter_idx=None):
+        calls.append(len(padded))
+        return orig(padded, guidance, entry, adapter_idx=adapter_idx)
+
+    svc._sample_group = spy
+    outs = svc._generate_batch(reqs)
+    svc._sample_group = orig
+    assert len(calls) == 1 and calls[0] == 2  # one 2-row group, no split
+    assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
