@@ -1103,6 +1103,28 @@ def make_handler(service: SliderService):
             if url.path == "/sliders":
                 self._json(200, {"sliders": service.list_sliders()})
                 return
+            if url.path == "/metrics":
+                # micro-batcher observability: whether concurrent load is
+                # actually riding batched sampler calls (mean_batch → the
+                # throughput story of BASELINE.md's serving A/Bs)
+                m = {"sliders": len(service.list_sliders()),
+                     "stacked_combos_cached": sum(
+                         v is not None for v in service._stack_cache.values()
+                     )}
+                b = getattr(service, "_batcher", None)
+                if b is not None:
+                    recent = list(b.batch_sizes)
+                    m.update(
+                        microbatch=True,
+                        total_batches=b.total_batches,
+                        total_rows=b.total_rows,
+                        mean_batch=round(sum(recent) / max(len(recent), 1), 3),
+                        max_batch=b.max_batch,
+                    )
+                else:
+                    m["microbatch"] = False
+                self._json(200, m)
+                return
             if url.path == "/generate":
                 q = parse_qs(url.query)
                 prompt = q.get("prompt", [None])[0]

@@ -500,3 +500,27 @@ def test_xl_static_guidance_turbo_mode(service, tmp_path_factory):
     # guidance is compiled in: requests with different guidance agree exactly
     c = turbo.generate("a cat", scale=3.0, seed=3, guidance=2.0)
     assert b == c
+
+
+def test_http_metrics_endpoint(service):
+    """GET /metrics exposes micro-batcher observability (batch sizes are the
+    throughput story of the serving A/Bs) without touching the sampler."""
+    import json as json_lib
+    import threading
+    from http.server import ThreadingHTTPServer
+    from urllib.request import urlopen
+
+    from sliders_conceptmod_tpu.serve import make_handler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        m = json_lib.loads(urlopen(f"http://127.0.0.1:{port}/metrics").read())
+        assert m["sliders"] >= 1
+        assert "stacked_combos_cached" in m
+        if m["microbatch"]:
+            assert m["total_batches"] >= 0 and "mean_batch" in m
+    finally:
+        server.shutdown()
+        server.server_close()
