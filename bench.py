@@ -181,10 +181,32 @@ def bench_sd3(n_steps, res, dtype):
             jnp.zeros((1, cfg.pooled_projection_dim), dtype),
         )
     )
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+    # BENCH_QUANT on SD3 mirrors the SDXL train A/B: int8 frozen MMDiT base
+    # (tpu.quantize_base, student through the overlay) and BENCH_QUANT=w8a8
+    # additionally runs the gradient-stopped 28-step flow warm-up chain with
+    # int8 activations (tpu.w8a8_warmup → esd_sd3 warm_apply)
+    qmode = quant_mode()
+    warm_apply = None
+    if qmode != "off":
+        from sliders_conceptmod_tpu.adapters import quant
 
-    def apply(p, *a, **kw):
-        return model.apply({"params": p}, *a, **kw)
+        params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
+
+        def apply(p, *a, **kw):
+            with quant.quant_overlay(q_scales, compute_dtype=dtype):
+                return model.apply({"params": p}, *a, **kw)
+
+        if qmode == "w8a8":
+
+            def warm_apply(p, *a, **kw):
+                with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=True):
+                    return model.apply({"params": p}, *a, **kw)
+
+    else:
+        params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+        def apply(p, *a, **kw):
+            return model.apply({"params": p}, *a, **kw)
 
     sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
@@ -202,11 +224,21 @@ def bench_sd3(n_steps, res, dtype):
     opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
     model_remat = model.clone(remat_blocks=True)
 
-    def remat_apply(p, *a, **kw):
-        return model_remat.apply({"params": p}, *a, **kw)
+    if qmode != "off":
+        from sliders_conceptmod_tpu.adapters import quant
+
+        def remat_apply(p, *a, **kw):
+            with quant.quant_overlay(q_scales, compute_dtype=dtype):
+                return model_remat.apply({"params": p}, *a, **kw)
+
+    else:
+
+        def remat_apply(p, *a, **kw):
+            return model_remat.apply({"params": p}, *a, **kw)
 
     step = esd_sd3.make_sd3_esd_train_step(
-        apply, sites, schedule, opt, scfg, remat_apply=remat_apply
+        apply, sites, schedule, opt, scfg, remat_apply=remat_apply,
+        student_overlay=(qmode != "off"), warm_apply=warm_apply,
     )
     opt_state = opt.init(lora_params)
 
@@ -228,8 +260,11 @@ def bench_sd3(n_steps, res, dtype):
         jnp.zeros((1, 154, cfg.joint_attention_dim), dtype),
         jnp.zeros((1, cfg.pooled_projection_dim), dtype),
     )
+    metric = "sd3_esd_train_steps_per_sec"
+    if qmode != "off":
+        metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
     emit(
-        "sd3_esd_train_steps_per_sec",
+        metric,
         sps,
         "steps/s",
         round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),

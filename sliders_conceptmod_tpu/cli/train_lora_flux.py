@@ -35,9 +35,10 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     quantize_base = bool(getattr(config.tpu, "quantize_base", False))
     if getattr(config.tpu, "w8a8_warmup", False):
         raise NotImplementedError(
-            "tpu.w8a8_warmup is a SD1/SDXL text-slider lever (train/esd.py "
-            "warm_apply); this trainer's step has no W8A8 warm-up path — set "
-            "w8a8_warmup: false."
+            "tpu.w8a8_warmup accelerates a gradient-stopped partial-denoise "
+            "warm-up chain (SD1/SDXL/SD3 trainers); the Flux trainer has no "
+            "warm-up — timesteps_to=0 fixed (reference train_lora_flux.py:"
+            "238-239) — set w8a8_warmup: false."
         )
     if quantize_base and peft_type == "dora":
         raise NotImplementedError(

@@ -28,12 +28,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     # tpu.quantize_base: int8 frozen MMDiT (adapters/quant.py) — SD3.5-Large
     # class bases fit one v5e; the student LoRA runs via the apply-time overlay
     quantize_base = bool(getattr(config.tpu, "quantize_base", False))
-    if getattr(config.tpu, "w8a8_warmup", False):
-        raise NotImplementedError(
-            "tpu.w8a8_warmup is a SD1/SDXL text-slider lever (train/esd.py "
-            "warm_apply); this trainer's step has no W8A8 warm-up path — set "
-            "w8a8_warmup: false."
-        )
+    # tpu.w8a8_warmup: W8A8 (int8 MXU matmuls) on the gradient-stopped
+    # warm-up chain only — teacher/student stay exact (train/esd_sd3.py
+    # warm_apply, same lever as SD1/SDXL's train/esd.py)
+    w8a8_warmup = bool(getattr(config.tpu, "w8a8_warmup", False))
+    if w8a8_warmup and not quantize_base:
+        raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
     if quantize_base and peft_type == "dora":
         raise NotImplementedError(
             "tpu.quantize_base requires full-precision base magnitudes for "
@@ -125,6 +125,8 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             # per-block remat on the student: block-granular fwd+bwd peak HBM
             # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
             remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,
+            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup)
+            warm_apply=transformer.apply_fn(act_quant=True) if w8a8_warmup else None,
         )
 
     step_fns = [build_step(h, w) for h, w in buckets]

@@ -546,7 +546,12 @@ class TransformerBundle:
     # MXU matmuls at 2× the bf16 rate (adapters/quant.py)
     act_quant: bool = False
 
-    def apply_fn(self, remat_blocks: bool = False) -> Callable:
+    def apply_fn(
+        self, remat_blocks: bool = False, act_quant: Optional[bool] = None
+    ) -> Callable:
+        # ``act_quant`` overrides the bundle attribute for this callable only
+        # (trainers request a W8A8 apply for the gradient-stopped warm-up
+        # while the bundle default stays weight-only — tpu.w8a8_warmup)
         model = self.model
         if remat_blocks and hasattr(model, "remat_blocks"):
             # per-block remat for the TRAIN student: caps fwd+bwd peak HBM at
@@ -564,7 +569,10 @@ class TransformerBundle:
             from sliders_conceptmod_tpu.adapters import quant
 
             return quant.wrap_apply(
-                apply, self.quant_scales, self.model.dtype, act_quant=self.act_quant
+                apply,
+                self.quant_scales,
+                self.model.dtype,
+                act_quant=self.act_quant if act_quant is None else act_quant,
             )
         return apply
 

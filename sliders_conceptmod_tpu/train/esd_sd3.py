@@ -69,6 +69,7 @@ def make_sd3_esd_train_step(
     merge_fn=None,
     student_overlay: bool = False,
     remat_apply: Callable | None = None,
+    warm_apply: Callable | None = None,
 ):
     """``student_overlay=True``: apply the student LoRA via the apply-time
     interceptor instead of merging — required over an int8-quantized base
@@ -78,8 +79,18 @@ def make_sd3_esd_train_step(
     ``remat_apply``: a per-BLOCK-rematted apply (``bundle.apply_fn(
     remat_blocks=True)``) for the student grad pass — caps fwd+bwd peak HBM
     at block granularity (the SD3.5-Large-class fit lever; see
-    train/esd_flux.py for why whole-model jax.checkpoint does not)."""
+    train/esd_flux.py for why whole-model jax.checkpoint does not).
+
+    ``warm_apply``: alternative MMDiT apply for the GRADIENT-STOPPED warm-up
+    chain only (tpu.w8a8_warmup — ``bundle.apply_fn(act_quant=True)``: W8A8
+    int8×int8 MXU matmuls on the latency-bound partial-denoise loop; teacher
+    and student stay on the exact path, mirroring train/esd.py)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    if warm_apply is not None and not student_overlay:
+        # merged-student warm-up would re-merge bf16 params and lose the int8
+        # kernels W8A8 rides on — same constraint as train/esd.py
+        raise ValueError("warm_apply requires student_overlay=True (quantized base)")
+    warmup_apply = warm_apply if warm_apply is not None else transformer_apply
     overlay_one = jnp.ones((1,), jnp.float32)
     if remat_apply is not None:
         student_apply = remat_apply
@@ -144,7 +155,7 @@ def make_sd3_esd_train_step(
                 def body(i, lat):
                     with lora_lib.lora_overlay(sites, slp, overlay_one):
                         return cfg_step(
-                            transformer_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
+                            warmup_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
                         )
 
             else:

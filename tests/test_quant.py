@@ -267,6 +267,83 @@ def test_sd3_esd_step_student_overlay_matches_merge():
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3, atol=1e-7)
 
 
+def test_sd3_w8a8_warmup_step():
+    """tpu.w8a8_warmup on SD3: the gradient-stopped warm-up runs W8A8 over
+    the int8 base while teacher/student stay weight-only — the step trains
+    (finite loss) and stays near the weight-only quantized run (warm-up
+    rounding shifts the partially-denoised context latents only). Mirrors
+    tests/test_esd_train.py::test_w8a8_warmup_step for the SDXL path."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.train import esd, esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    _, tes, tr, scheduler = factory.load_models_sd3("tiny-sd3", weight_dtype=jnp.float32)
+    mm_cfg = tr.config
+    qtree, q_scales = quant.quantize_params(tr.params, min_elems=1)
+    model = tr.model
+
+    def q_apply(p, latents, t, ctx, pooled):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32):
+            return model.apply({"params": p}, latents, t, ctx, pooled)
+
+    def w_apply(p, latents, t, ctx, pooled):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32, act_quant=True):
+            return model.apply({"params": p}, latents, t, ctx, pooled)
+
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp0 = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    lp0 = jax.tree.map(lambda a: a + 0.02, lp0)
+
+    def encode_fn(prompt):
+        text, pooled = factory.encode_prompts_sd3(
+            tes, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=4
+        )
+        return text[0], pooled[0]
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=64)], encode_fn)
+    schedule = scheduler.set_timesteps(4)
+    scfg = esd_sd3.SD3ESDConfig(
+        max_denoising_steps=4, batch_size=1, height=64, width=64,
+        latent_channels=mm_cfg.in_channels, remat=False,
+    )
+    losses = {}
+    for warm in (None, w_apply):
+        opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+        step = esd_sd3.make_sd3_esd_train_step(
+            q_apply, sites, schedule, opt, scfg,
+            student_overlay=True, warm_apply=warm,
+        )
+        lp = jax.tree.map(jnp.copy, lp0)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lp0))
+        ls = []
+        for i in range(3):
+            lp, opt_state, m = step(qtree, lp, opt_state, jax.random.PRNGKey(60 + i), bank)
+            ls.append(float(m["loss"]))
+        losses["w8a8" if warm is not None else "w8"] = ls
+    assert all(np.isfinite(l) for l in losses["w8a8"])
+    a, b = np.asarray(losses["w8a8"]), np.asarray(losses["w8"])
+    # warm-up rounding perturbs the denoised context, not the loss formula
+    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
+
+
+def test_sd3_warm_apply_requires_student_overlay():
+    import pytest
+
+    from sliders_conceptmod_tpu.train import esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+    apply = lambda *a: None
+    with pytest.raises(ValueError, match="student_overlay"):
+        esd_sd3.make_sd3_esd_train_step(
+            apply, {}, None, opt, esd_sd3.SD3ESDConfig(), warm_apply=apply
+        )
+
+
 def test_factory_quantize_base_weightless():
     """load_models_flux(quantize_base=True) yields an int8 base whose
     apply_fn matches the full-precision bundle up to int8 rounding noise
