@@ -131,7 +131,6 @@ def save_weights(path: str, sites: Sequence[LoRASite], dora_params: Dict, dtype=
 
 
 def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:
-    params = lora_lib.load_weights(path, sites, dtype=dtype)
     from safetensors.numpy import load_file
 
     sd = load_file(str(path)) if str(path).endswith(".safetensors") else None
@@ -139,6 +138,11 @@ def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dic
         import torch
 
         sd = {k: v.numpy() for k, v in torch.load(str(path), weights_only=True).items()}
+    return load_weights_from_tensors(sd, sites, dtype=dtype)
+
+
+def load_weights_from_tensors(sd: Dict[str, np.ndarray], sites: Sequence[LoRASite], dtype=jnp.float32) -> Dict:
+    params = lora_lib.load_weights_from_tensors(sd, sites, dtype=dtype)
     for site in sites:
         ds = np.asarray(sd[f"{site.lora_name}.dora_scale"])
         if site.kind == "dense":

@@ -535,7 +535,15 @@ def load_weights(path: str, sites: Sequence[LoRASite], dtype=jnp.float32) -> Dic
         import torch
 
         sd = {k: v.detach().cpu().float().numpy() for k, v in torch.load(str(path), weights_only=True).items()}
+    return load_weights_from_tensors(sd, sites, dtype=dtype)
 
+
+def load_weights_from_tensors(
+    sd: Dict[str, np.ndarray], sites: Sequence[LoRASite], dtype=jnp.float32
+) -> Dict:
+    """Same as :func:`load_weights` but from an in-memory reference-schema
+    dict (e.g. one part of a combined slider file split by
+    ``adapters/slider_file.py``)."""
     params = {}
     for site in sites:
         down_t = sd[f"{site.lora_name}.lora_down.weight"]
@@ -567,8 +575,12 @@ def filter_sites_to_checkpoint(path: str, sites: Sequence[LoRASite]) -> List[LoR
         import torch
 
         keys = set(torch.load(str(path), weights_only=True).keys())
-    kept = [s for s in sites if f"{s.lora_name}.lora_down.weight" in keys]
-    return kept
+    return filter_sites_to_keys(keys, sites)
+
+
+def filter_sites_to_keys(keys, sites: Sequence[LoRASite]) -> List[LoRASite]:
+    """:func:`filter_sites_to_checkpoint` over an in-memory key set."""
+    return [s for s in sites if f"{s.lora_name}.lora_down.weight" in set(keys)]
 
 
 def sites_alpha_from_checkpoint(path: str) -> Dict[str, float]:

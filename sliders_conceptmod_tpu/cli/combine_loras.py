@@ -38,6 +38,14 @@ def read_tensors(file_path: str) -> Dict[str, np.ndarray]:
 
 def _rename(key: str, part: str) -> str:
     if part == "transformer":
+        if key.startswith("lora_unet_"):
+            # DELIBERATE DEVIATION from combine_loras.py:29-33: the
+            # reference rename chain is written for '-'-delimited SD3/Flux
+            # keys; applied to a '_'-delimited SD1/XL key it corrupts module
+            # names ('down_blocks' → 'A_blocks'), producing a file nothing
+            # can load. XL/SD1 unet parts pass through in canonical schema
+            # (adapters/slider_file.split_parts reads them back directly).
+            return key
         key = key.replace("lora_unet-", "transformer.")
         key = key.replace("_down", "_A")
         key = key.replace("_up", "_B")

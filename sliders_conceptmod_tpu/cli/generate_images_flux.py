@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
-from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_checkpoint
+from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_tensors
 from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
 from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise, sd3_latents_to_images
 from sliders_conceptmod_tpu.models import factory
@@ -48,18 +48,30 @@ def run(args):
     vae_scale = 2 if is_tiny else 8
     latent_channels = flux_cfg.in_channels // 4
 
-    rank, alpha = 4, 1.0
-    exact = settings_from_checkpoint(args.model_name)
-    if exact is not None:
-        rank, alpha = exact
-    sites = lora_lib.create_sites(
-        transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
-        train_method="full", delimiter="-",
-    )
-    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
-    if not sites:
-        raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
-    lora_params = lora_lib.load_weights(args.model_name, sites)
+    # split into transformer / text-encoder parts (te1=CLIP, te2=T5 —
+    # reference notrigger FLUX.1 prefixes + combine_loras te3 rename);
+    # te parts require real encoders (the weightless path has a pseudo-
+    # embedding stub, no param trees to merge into)
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+
+    te_params_list = getattr(encode_fn, "text_encoder_params", None)
+    parts = sfile.load_slider_file(args.model_name, te_params_list, te2_is_t5=True)
+    sites, lora_params = [], {}
+    if parts.unet is not None:
+        rank, alpha = 4, 1.0
+        exact = settings_from_tensors(parts.unet)
+        if exact is not None:
+            rank, alpha = exact
+        sites = lora_lib.create_sites(
+            transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+            train_method="full", delimiter="-",
+        )
+        sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), sites)
+        if not sites:
+            raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
+        lora_params = lora_lib.load_weights_from_tensors(parts.unet, sites)
+    elif not parts.has_te:
+        raise ValueError(f"{args.model_name} carries neither transformer nor text-encoder slider parts")
 
     gh = args.image_size // vae_scale // 2
     gw = args.image_size // vae_scale // 2
@@ -106,19 +118,35 @@ def run(args):
     if os.path.isdir(os.path.join(str(args.base), "vae")):
         vae = factory._load_or_init_vae(args.base, "flux", jnp.float32)
 
-    # pre-encode every case row, then drop the encoders (T5-XXL alone is
-    # 9.5GB bf16 — it cannot stay resident next to base + merged trees)
-    encoded = []
-    for case_number, prompt, seed in rows:
-        if not (args.from_case <= case_number <= args.till_case):
-            continue
-        text, pooled = encode_fn(prompt)
-        encoded.append((case_number, seed, text[None], pooled[None]))
-    del encode_fn
+    if parts.has_te:
+        # te-merged embeddings are scale-dependent — encode lazily in the
+        # sweep loop (encoders stay resident; int8 base via --quantize_base
+        # is the memory lever when T5-XXL + base don't co-fit)
+        encoded = [
+            (case_number, seed, prompt)
+            for case_number, prompt, seed in rows
+            if args.from_case <= case_number <= args.till_case
+        ]
+    else:
+        # pre-encode every case row, then drop the encoders (T5-XXL alone is
+        # 9.5GB bf16 — it cannot stay resident next to base + merged trees)
+        encoded = []
+        for case_number, prompt, seed in rows:
+            if not (args.from_case <= case_number <= args.till_case):
+                continue
+            text, pooled = encode_fn(prompt)
+            encoded.append((case_number, seed, text[None], pooled[None]))
+        del encode_fn
 
     merged = None
-    for case_number, seed, text, pooled in encoded:
+    for case_number, seed, *rest in encoded:
         for scale in scales:
+            if parts.has_te:
+                m = parts.merged_text_encoder_params(te_params_list, scale)
+                text, pooled = encode_fn.encode_with_merged(rest[0], m)
+                text, pooled = text[None], pooled[None]
+            else:
+                text, pooled = rest
             key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(
                 key, (1, latent_channels, gh * 2, gw * 2), jnp.float32

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
-from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_checkpoint
+from sliders_conceptmod_tpu.cli.generate_images_xl import load_prompts_csv, settings_from_tensors
 from sliders_conceptmod_tpu.infer.generate_flow import (
     flip_step_for_start_noise,
     sample_flow_loop,
@@ -44,18 +44,28 @@ def run(args):
     mm_cfg = transformer.config
     is_tiny = "tiny" in str(args.base).lower()
 
-    rank, alpha = 4, 1.0
-    exact = settings_from_checkpoint(args.model_name)
-    if exact is not None:
-        rank, alpha = exact
-    sites = lora_lib.create_sites(
-        transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
-        train_method="full", delimiter="-",
-    )
-    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
-    if not sites:
-        raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
-    lora_params = lora_lib.load_weights(args.model_name, sites)
+    # split into transformer / text-encoder parts: accepts raw '-'-delimited
+    # sliders, raw notrigger te saves (SD3 clip_l/clip_g towers, reference
+    # train_notrigger.py:148-176), and combine_loras outputs
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+
+    parts = sfile.load_slider_file(args.model_name, [te.params for te in text_encoders])
+    sites, lora_params = [], {}
+    if parts.unet is not None:
+        rank, alpha = 4, 1.0
+        exact = settings_from_tensors(parts.unet)
+        if exact is not None:
+            rank, alpha = exact
+        sites = lora_lib.create_sites(
+            transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+            train_method="full", delimiter="-",
+        )
+        sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), sites)
+        if not sites:
+            raise ValueError(f"No matching LoRA keys between transformer and {args.model_name}")
+        lora_params = lora_lib.load_weights_from_tensors(parts.unet, sites)
+    elif not parts.has_te:
+        raise ValueError(f"{args.model_name} carries neither transformer nor text-encoder slider parts")
 
     schedule = scheduler.set_timesteps(args.steps)
     flip = flip_step_for_start_noise(schedule, args.start_noise)
@@ -84,30 +94,54 @@ def run(args):
             slider_overlay=lambda: lora_lib.lora_overlay(sites, lp, row_scale),
         )
 
-    # pre-encode every case row, then drop the text encoders — during the
-    # sweep the device must hold base + merged transformer trees (2×4.1GB at
-    # SD3-Medium), so the CLIP towers can't stay resident alongside them
     t5_seq_len = 4 if is_tiny else 256
-    text_u, pooled_u = factory.encode_prompts_sd3(
-        text_encoders, [""], joint_attention_dim=mm_cfg.joint_attention_dim,
-        t5_seq_len=t5_seq_len,
-    )
-    encoded = []
-    for case_number, prompt, seed in rows:
-        if not (args.from_case <= case_number <= args.till_case):
-            continue
-        text, pooled = factory.encode_prompts_sd3(
-            text_encoders, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim,
-            t5_seq_len=t5_seq_len,
+    import dataclasses as _dc
+
+    def encode_case(prompt: str, scale: float):
+        """(emb [2], pool [2]) uncond++cond. te slider parts merge at
+        ``scale`` before encoding — INCLUDING the uncond row (the notrigger
+        mechanism is the empty-prompt drift, adapters/slider_file.py)."""
+        if parts.has_te:
+            m = parts.merged_text_encoder_params([te.params for te in text_encoders], scale)
+            encs = [_dc.replace(te, params=p) for te, p in zip(text_encoders, m)]
+        else:
+            encs = text_encoders
+        kw = dict(joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=t5_seq_len)
+        text_u, pooled_u = factory.encode_prompts_sd3(encs, [""], **kw)
+        text, pooled = factory.encode_prompts_sd3(encs, [prompt], **kw)
+        return (
+            jnp.concatenate([text_u, text], axis=0),
+            jnp.concatenate([pooled_u, pooled], axis=0),
         )
-        emb = jnp.concatenate([text_u, text], axis=0)
-        pool = jnp.concatenate([pooled_u, pooled], axis=0)
-        encoded.append((case_number, seed, emb, pool))
-    del text_encoders
+
+    if parts.has_te:
+        # te-merged embeddings are scale-dependent — encode lazily in the
+        # sweep loop (text encoders stay resident; te sliders target CLIP
+        # towers whose params are small next to the MMDiT)
+        encoded = [
+            (case_number, seed, prompt)
+            for case_number, prompt, seed in rows
+            if args.from_case <= case_number <= args.till_case
+        ]
+    else:
+        # pre-encode every case row, then drop the text encoders — during the
+        # sweep the device must hold base + merged transformer trees (2×4.1GB
+        # at SD3-Medium), so the CLIP towers can't stay resident alongside them
+        encoded = []
+        for case_number, prompt, seed in rows:
+            if not (args.from_case <= case_number <= args.till_case):
+                continue
+            emb, pool = encode_case(prompt, 0.0)
+            encoded.append((case_number, seed, emb, pool))
+        del text_encoders
 
     merged = None
-    for case_number, seed, emb, pool in encoded:
+    for case_number, seed, *rest in encoded:
         for scale in scales:
+            if parts.has_te:
+                emb, pool = encode_case(rest[0], scale)
+            else:
+                emb, pool = rest
             key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(
                 key, (1, mm_cfg.in_channels, latent_res, latent_res), jnp.float32

@@ -59,6 +59,16 @@ def infer_network_settings(lora_weight: str):
     return train_method, network_type, rank, alpha
 
 
+def settings_from_tensors(sd) -> "tuple[int, float] | None":
+    """Exact rank/alpha from checkpoint tensors (improvement over filename
+    sniffing)."""
+    ranks = {v.shape[0] for k, v in sd.items() if k.endswith(".lora_down.weight")}
+    alphas = {float(v) for k, v in sd.items() if k.endswith(".alpha")}
+    if len(ranks) >= 1 and len(alphas) == 1:
+        return max(ranks), alphas.pop()
+    return None
+
+
 def settings_from_checkpoint(path: str):
     """Exact rank/alpha from the checkpoint tensors (improvement over
     filename sniffing; safetensors only)."""
@@ -66,12 +76,7 @@ def settings_from_checkpoint(path: str):
         return None
     from safetensors.numpy import load_file
 
-    sd = load_file(path)
-    ranks = {v.shape[0] for k, v in sd.items() if k.endswith(".lora_down.weight")}
-    alphas = {float(v) for k, v in sd.items() if k.endswith(".alpha")}
-    if len(ranks) >= 1 and len(alphas) == 1:
-        return max(ranks), alphas.pop()
-    return None
+    return settings_from_tensors(load_file(path))
 
 
 def load_prompts_csv(path: str):
@@ -110,20 +115,31 @@ def run(args):
     )
     unet.act_quant = bool(getattr(args, "w8a8", False))
 
-    train_method, network_type, rank, alpha = infer_network_settings(args.model_name)
-    exact = settings_from_checkpoint(args.model_name)
-    if exact is not None:
-        rank, alpha = exact
-    targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
-    if network_type == "c3lier":
-        targets = targets + lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
-    sites = lora_lib.create_sites(
-        unet.params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
-    )
-    sites = lora_lib.filter_sites_to_checkpoint(args.model_name, sites)
-    if not sites:
-        raise ValueError(f"No matching LoRA keys between UNet and {args.model_name}")
-    lora_params = lora_lib.load_weights(args.model_name, sites)
+    # split the file into unet / text-encoder parts: accepts raw unet
+    # sliders, raw notrigger te saves, and combine_loras outputs — the
+    # in-framework consumer of the notrigger pipeline (reference delegates
+    # this to diffusers/PEFT loaders; combine_loras.py:26-62 schema)
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+
+    parts = sfile.load_slider_file(args.model_name, [te.params for te in text_encoders])
+    sites, lora_params = [], {}
+    if parts.unet is not None:
+        train_method, network_type, rank, alpha = infer_network_settings(args.model_name)
+        exact = settings_from_tensors(parts.unet)
+        if exact is not None:
+            rank, alpha = exact
+        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER
+        if network_type == "c3lier":
+            targets = targets + lora_lib.UNET_TARGET_REPLACE_MODULE_CONV
+        sites = lora_lib.create_sites(
+            unet.params, rank=rank, alpha=alpha, target_replace=targets, train_method=train_method
+        )
+        sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), sites)
+        if not sites:
+            raise ValueError(f"No matching LoRA keys between UNet and {args.model_name}")
+        lora_params = lora_lib.load_weights_from_tensors(parts.unet, sites)
+    elif not parts.has_te:
+        raise ValueError(f"{args.model_name} carries neither unet nor text-encoder slider parts")
 
     schedule = scheduler.set_timesteps(args.ddim_steps)
     flip = flip_step_for_start_noise(schedule, args.start_noise)
@@ -183,12 +199,23 @@ def run(args):
             )
 
     neg = args.negative_prompts or ""
-    for case_number, prompt, seed in rows:
-        if not (args.from_case <= case_number <= args.till_case):
-            continue
-        per_scale_first = []
-        text, pooled = factory.encode_prompts_xl(text_encoders, [prompt] * args.num_samples)
-        text_u, pooled_u = factory.encode_prompts_xl(text_encoders, [neg] * args.num_samples)
+    import dataclasses as _dc
+
+    def encode_case(prompt: str, scale: float):
+        """(text_emb [2N], added) for one prompt. Text-encoder slider parts
+        merge at ``scale`` before encoding — including the uncond row: the
+        notrigger mechanism IS the empty prompt drifting toward the concept
+        (adapters/slider_file.py docstring). No start_noise gating for te
+        parts: embeddings are fixed per trajectory."""
+        if parts.has_te:
+            merged = parts.merged_text_encoder_params(
+                [te.params for te in text_encoders], scale
+            )
+            encs = [_dc.replace(te, params=p) for te, p in zip(text_encoders, merged)]
+        else:
+            encs = text_encoders
+        text, pooled = factory.encode_prompts_xl(encs, [prompt] * args.num_samples)
+        text_u, pooled_u = factory.encode_prompts_xl(encs, [neg] * args.num_samples)
         text_emb = jnp.concatenate([text_u, text], axis=0)
         added = {
             "text_embeds": jnp.concatenate([pooled_u, pooled], axis=0),
@@ -197,6 +224,14 @@ def run(args):
                 (2 * args.num_samples, 1),
             ),
         }
+        return text_emb, added
+
+    for case_number, prompt, seed in rows:
+        if not (args.from_case <= case_number <= args.till_case):
+            continue
+        per_scale_first = []
+        if not parts.has_te:
+            text_emb, added = encode_case(prompt, 0.0)
         if args.batch_scales:
             S, N = len(scales), args.num_samples
             if all(
@@ -214,16 +249,31 @@ def run(args):
                     * schedule.init_noise_sigma
                 )
                 lat_b = jnp.tile(lat0, (S, 1, 1, 1))
-                emb_b = jnp.concatenate(
-                    [jnp.tile(text_emb[:N], (S, 1, 1)), jnp.tile(text_emb[N:], (S, 1, 1))], axis=0
-                )
-                added_b = {
-                    k_: jnp.concatenate(
-                        [jnp.tile(v[:N], (S,) + (1,) * (v.ndim - 1)),
-                         jnp.tile(v[N:], (S,) + (1,) * (v.ndim - 1))], axis=0
+                if parts.has_te:
+                    # per-scale te-merged embeddings: rows are scale-major
+                    # uncond(S*N) ++ cond(S*N), matching sample_loop_scales
+                    per_sc = [encode_case(prompt, s) for s in scales]
+                    emb_b = jnp.concatenate(
+                        [e[0][:N] for e in per_sc] + [e[0][N:] for e in per_sc], axis=0
                     )
-                    for k_, v in added.items()
-                }
+                    added_b = {
+                        k_: jnp.concatenate(
+                            [e[1][k_][:N] for e in per_sc]
+                            + [e[1][k_][N:] for e in per_sc], axis=0
+                        )
+                        for k_ in per_sc[0][1]
+                    }
+                else:
+                    emb_b = jnp.concatenate(
+                        [jnp.tile(text_emb[:N], (S, 1, 1)), jnp.tile(text_emb[N:], (S, 1, 1))], axis=0
+                    )
+                    added_b = {
+                        k_: jnp.concatenate(
+                            [jnp.tile(v[:N], (S,) + (1,) * (v.ndim - 1)),
+                             jnp.tile(v[N:], (S,) + (1,) * (v.ndim - 1))], axis=0
+                        )
+                        for k_, v in added.items()
+                    }
                 if sweep_mesh is not None:
                     from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
 
@@ -265,6 +315,8 @@ def run(args):
                 )
                 * schedule.init_noise_sigma
             )
+            if parts.has_te:
+                text_emb, added = encode_case(prompt, scale)
             # release the previous scale's merged tree before building the
             # next (base + two merged SDXL trees is 15.3GB — transient OOM
             # at 1024px otherwise)

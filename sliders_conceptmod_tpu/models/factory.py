@@ -927,6 +927,22 @@ def load_models_flux(
             pooled = te1.apply(jnp.asarray(te1.tokenizer([prompt]))).pooled_output[0]
             return text, pooled
 
+        # text-encoder slider support (adapters/slider_file.py): expose the
+        # encoder param trees (te1=CLIP, te2=T5 — reference notrigger FLUX.1
+        # prefixes, train_notrigger.py:184-196) and a merged-params encode
+        encode_fn.text_encoder_params = [te1.params, t5_params]
+
+        def encode_with_merged(prompt: str, merged_list):
+            clip_p, t5_p = merged_list
+            ids = jnp.asarray(tok([prompt]))
+            text = t5_model.apply({"params": t5_p}, ids)[0]
+            pooled = te1.model.apply(
+                {"params": clip_p}, jnp.asarray(te1.tokenizer([prompt]))
+            ).pooled_output[0]
+            return text, pooled
+
+        encode_fn.encode_with_merged = encode_with_merged
+
     else:
 
         def encode_fn(prompt: str):
