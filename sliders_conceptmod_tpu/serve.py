@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
-from sliders_conceptmod_tpu.cli.generate_images_xl import infer_network_settings, settings_from_checkpoint
+from sliders_conceptmod_tpu.cli.generate_images_xl import infer_network_settings, settings_from_tensors
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 from sliders_conceptmod_tpu.infer.generate import (
     flip_step_for_start_noise,
@@ -141,8 +141,79 @@ class _SliderRegistry:
     :meth:`_resolve` copies the entry out under it.
     """
 
+    def _te_entry(self, name: str):
+        """(te-encode fn, version) for a slider with text-encoder parts,
+        else None. Versions keep the per-(slider, prompt, scale) embedding
+        cache honest across add/replace."""
+        return self._te_encoders.get(name)
+
+    def _register_te_parts(self, name: str, parts) -> None:
+        """Bind a slider file's text-encoder parts (adapters/slider_file.py)
+        to this service's encoders; requests for ``name`` then encode their
+        prompts — INCLUDING the uncond row, the notrigger empty-prompt-drift
+        mechanism — through the slider-merged encoder at the request scale."""
+        if not getattr(parts, "has_te", False):
+            self._te_encoders.pop(name, None)
+            return
+        self._te_version += 1
+        self._te_encoders[name] = (self._make_te_encoder(parts), self._te_version)
+
+    def _make_te_encoder(self, parts):
+        """(prompt, scale) → embeddings through the slider-merged text
+        encoders. Generic for dual-CLIP services (XL, SD3): the merge happens
+        INSIDE one jitted call (params/factors as args, scale a traced
+        scalar — one executable for every scale); the service supplies the
+        family's encode math via ``_te_encode_core``."""
+        te1, te2 = self.text_encoders
+        te_parts = tuple(parts.te_parts)
+        core = self._te_encode_core
+
+        @jax.jit
+        def _enc(p_list, lps, mult, ids1, ids2):
+            ps = list(p_list)
+            for part, lp in zip(te_parts, lps):
+                ps[part.index] = part.peft.merge_lora_params(
+                    ps[part.index], part.sites, lp, mult
+                )
+            return core(ps, ids1, ids2)
+
+        lps = tuple(p.lora_params for p in te_parts)
+
+        def fn(prompt: str, scale: float):
+            return _enc(
+                (te1.params, te2.params), lps, jnp.float32(scale),
+                jnp.asarray(te1.tokenizer([prompt])),
+                jnp.asarray(te2.tokenizer([prompt])),
+            )
+
+        return fn
+
+    @functools.lru_cache(maxsize=256)
+    def _encode_te_cached(self, slider: str, version: int, prompt: str, scale: float):
+        return self._te_encoders[slider][0](prompt, scale)
+
+    def _encode_row(self, prompt: str, slider: str, scale: float):
+        """Per-row embeddings: te-merged at the row's scale when the row's
+        slider carries te parts, else the plain (scale-independent) cache."""
+        tep = self._te_entry(slider)
+        if tep is None:
+            return self._encode(prompt)
+        return self._encode_te_cached(slider, tep[1], prompt, float(scale))
+
+    @staticmethod
+    def _row_slider(r) -> str:
+        return r[4] if len(r) > 4 else "default"
+
+    def _rows_need_te(self, padded) -> bool:
+        return any(self._te_entry(self._row_slider(r)) for r in padded)
+
     def _registry_init(self, max_sliders: int | None = None,
                        cross_slider_stack: bool = True) -> None:
+        # sliders with text-encoder parts (adapters/slider_file.py): name →
+        # (jitted merge+encode fn, lora trees, version). Version bumps on
+        # every (re)register so cached embeddings can't go stale.
+        self._te_encoders: dict = {}
+        self._te_version = 0
         import collections
         import threading
 
@@ -196,13 +267,15 @@ class _SliderRegistry:
             if name not in self._sliders:
                 raise KeyError(f"unknown slider {name!r}")
             del self._sliders[name]
+            self._te_encoders.pop(name, None)
             self._stack_cache.clear()
             self._registry_generation += 1
 
     def list_sliders(self) -> list:
         with self._registry_lock:
             return [
-                {"name": n, "sites": len(entry[0])} for n, entry in self._sliders.items()
+                {"name": n, "sites": len(entry[0]), "te": n in self._te_encoders}
+                for n, entry in self._sliders.items()
             ]
 
     def _place_adapter(self, tree):
@@ -485,23 +558,10 @@ class SliderService(_SliderRegistry):
         self._registry_init(max_sliders, cross_slider_stack)
         self.add_slider("default", slider_path)
 
-        te1_model, te2_model = (te.model for te in self.text_encoders)
-
-        @jax.jit
-        def _encode_jit(p1, p2, ids1, ids2):
-            # eager per-op dispatch made every NEW prompt cost ~9s on TPU;
-            # jitted (params as args) it's one executable reused per prompt
-            from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
-
-            o1 = te1_model.apply({"params": p1}, ids1)
-            o2 = te2_model.apply({"params": p2}, ids2)
-            text = jnp.concatenate(
-                [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
-            )
-            pooled = o2.projected if o2.projected is not None else o2.pooled_output
-            return text, pooled
-
-        self._encode_jit = _encode_jit
+        # eager per-op dispatch made every NEW prompt cost ~9s on TPU;
+        # jitted (params as args) it's one executable reused per prompt
+        core = self._te_encode_core
+        self._encode_jit = jax.jit(lambda p1, p2, ids1, ids2: core((p1, p2), ids1, ids2))
         self._batcher = (
             MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
             if microbatch
@@ -511,22 +571,38 @@ class SliderService(_SliderRegistry):
 
     def add_slider(self, name: str, slider_path: str) -> None:
         """Register a slider checkpoint under ``name`` (requests select it
-        with ``?slider=name``)."""
-        train_method, network_type, rank, alpha = infer_network_settings(slider_path)
-        exact = settings_from_checkpoint(slider_path)
-        if exact is not None:
-            rank, alpha = exact
-        targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER + (
-            lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if network_type == "c3lier" else []
+        with ``?slider=name``). Accepts raw unet sliders, raw notrigger
+        text-encoder saves, and combine_loras outputs — te parts merge into
+        the CLIP towers per request at the request's scale
+        (adapters/slider_file.py)."""
+        from sliders_conceptmod_tpu.adapters import slider_file as sfile
+
+        parts = sfile.load_slider_file(
+            slider_path, [te.params for te in self.text_encoders]
         )
-        all_sites = lora_lib.create_sites(
-            self.unet.params, rank=rank, alpha=alpha, target_replace=targets,
-            train_method=train_method,
-        )
-        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
-        if not sites:
-            raise ValueError(f"No matching LoRA keys between UNet and {slider_path}")
-        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
+        sites, lora_params = [], {}
+        if parts.unet is not None:
+            train_method, network_type, rank, alpha = infer_network_settings(slider_path)
+            exact = settings_from_tensors(parts.unet)
+            if exact is not None:
+                rank, alpha = exact
+            targets = lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER + (
+                lora_lib.UNET_TARGET_REPLACE_MODULE_CONV if network_type == "c3lier" else []
+            )
+            all_sites = lora_lib.create_sites(
+                self.unet.params, rank=rank, alpha=alpha, target_replace=targets,
+                train_method=train_method,
+            )
+            sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), all_sites)
+            if not sites:
+                raise ValueError(f"No matching LoRA keys between UNet and {slider_path}")
+            lora_params = self._place_adapter(
+                lora_lib.load_weights_from_tensors(parts.unet, sites)
+            )
+        elif not parts.has_te:
+            raise ValueError(
+                f"{slider_path} carries neither unet nor text-encoder slider parts"
+            )
         unet_apply = self._unet_apply
         scheduler, schedule, flip = self.scheduler, self.schedule, self.flip
         static_g = self._static_guidance
@@ -546,6 +622,7 @@ class SliderService(_SliderRegistry):
             )
 
         self._register(name, (sites, lora_params, _sample))
+        self._register_te_parts(name, parts)
 
     def _stacked_sampler(self, sites):
         """One jitted heterogeneous-adapter sampler per SITE SET (cross-slider
@@ -574,6 +651,20 @@ class SliderService(_SliderRegistry):
         self._stacked_fns[cache_key] = _sample
         return _sample
 
+    def _te_encode_core(self, ps, ids1, ids2):
+        """SDXL prompt-encode math (factory.encode_prompts_xl): concat
+        penultimate hidden states; pooled = te2's projected pool."""
+        from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
+
+        te1_model, te2_model = (te.model for te in self.text_encoders)
+        o1 = te1_model.apply({"params": ps[0]}, ids1)
+        o2 = te2_model.apply({"params": ps[1]}, ids2)
+        text = jnp.concatenate(
+            [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
+        )
+        pooled = o2.projected if o2.projected is not None else o2.pooled_output
+        return text, pooled
+
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
         te1, te2 = self.text_encoders
@@ -593,15 +684,22 @@ class SliderService(_SliderRegistry):
         _, lora_params, sample_fn = entry
         bucket = len(padded)
 
-        text_u, pooled_u = self._encode("")
-        conds = [self._encode(p) for p, *_ in padded]
-        emb = jnp.concatenate(
-            [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
-        )
+        if self._rows_need_te(padded):
+            # per-row te-merged embeddings: uncond AND cond go through the
+            # row's slider-merged encoder at the row's scale
+            unconds = [self._encode_row("", self._row_slider(r), r[1]) for r in padded]
+            conds = [self._encode_row(r[0], self._row_slider(r), r[1]) for r in padded]
+            emb = jnp.concatenate([t for t, _ in unconds] + [t for t, _ in conds], axis=0)
+            pooled_rows = [p for _, p in unconds] + [p for _, p in conds]
+        else:
+            text_u, pooled_u = self._encode("")
+            conds = [self._encode(p) for p, *_ in padded]
+            emb = jnp.concatenate(
+                [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
+            )
+            pooled_rows = [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds]
         added = {
-            "text_embeds": jnp.concatenate(
-                [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
-            ),
+            "text_embeds": jnp.concatenate(pooled_rows, axis=0),
             "time_ids": jnp.tile(
                 jnp.asarray(get_add_time_ids(self.image_size, self.image_size)),
                 (2 * bucket, 1),
@@ -705,29 +803,61 @@ class FluxSliderService(_SliderRegistry):
         self.load_seconds = time.time() - t0
 
     def add_slider(self, name: str, slider_path: str) -> None:
-        """Register a '-'-delimited Flux slider checkpoint under ``name``."""
+        """Register a '-'-delimited Flux slider checkpoint under ``name``.
+        Combined files / raw notrigger te saves (te1=CLIP, te2=T5) are
+        accepted when the base was loaded from a real checkpoint (the
+        weightless stub has no encoder params to merge into)."""
+        from sliders_conceptmod_tpu.adapters import slider_file as sfile
         from sliders_conceptmod_tpu.infer.generate_flow import make_packed_overlay_sampler
 
-        rank, alpha = 4, 1.0
-        exact = settings_from_checkpoint(slider_path)
-        if exact is not None:
-            rank, alpha = exact
-        all_sites = lora_lib.create_sites(
-            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
-            train_method="full", delimiter="-",
+        parts = sfile.load_slider_file(
+            slider_path,
+            getattr(self._encode_raw, "text_encoder_params", None),
+            te2_is_t5=True,
         )
-        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
-        if not sites:
-            raise ValueError(
-                f"No matching LoRA keys between transformer and {slider_path} "
-                "(is this a '-'-delimited Flux slider checkpoint?)"
+        sites, lora_params = [], {}
+        if parts.unet is not None:
+            rank, alpha = 4, 1.0
+            exact = settings_from_tensors(parts.unet)
+            if exact is not None:
+                rank, alpha = exact
+            all_sites = lora_lib.create_sites(
+                self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+                train_method="full", delimiter="-",
             )
-        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
+            sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), all_sites)
+            if not sites:
+                raise ValueError(
+                    f"No matching LoRA keys between transformer and {slider_path} "
+                    "(is this a '-'-delimited Flux slider checkpoint?)"
+                )
+            lora_params = self._place_adapter(
+                lora_lib.load_weights_from_tensors(parts.unet, sites)
+            )
+        elif not parts.has_te:
+            raise ValueError(
+                f"{slider_path} carries neither transformer nor text-encoder slider parts"
+            )
         sample_fn = make_packed_overlay_sampler(
             self.transformer.apply_fn(), sites, self.schedule, self.flip,
             self._image_ids, self.transformer.config.guidance_embeds,
         )
         self._register(name, (sites, lora_params, sample_fn))
+        self._register_te_parts(name, parts)
+
+    def _make_te_encoder(self, parts):
+        """Flux override: encode through factory's merged-params encode
+        (te1=CLIP pooled, te2=T5 sequence — reference notrigger FLUX.1
+        prefixes, train_notrigger.py:184-196)."""
+        enc = self._encode_raw
+        base = enc.text_encoder_params
+
+        def fn(prompt: str, scale: float):
+            merged = parts.merged_text_encoder_params(base, scale)
+            text, pooled = enc.encode_with_merged(prompt, merged)
+            return text[None], pooled[None]
+
+        return fn
 
     def _stacked_sampler(self, sites):
         """One jitted heterogeneous-adapter packed sampler per SITE SET
@@ -758,7 +888,10 @@ class FluxSliderService(_SliderRegistry):
         import numpy as np
 
         _, lora_params, sample_fn = entry
-        conds = [self._encode(p) for p, *_ in padded]
+        if self._rows_need_te(padded):
+            conds = [self._encode_row(r[0], self._row_slider(r), r[1]) for r in padded]
+        else:
+            conds = [self._encode(p) for p, *_ in padded]
         text = jnp.concatenate([t for t, _ in conds], axis=0)
         pooled = jnp.concatenate([p for _, p in conds], axis=0)
         latents = jnp.concatenate(
@@ -844,42 +977,10 @@ class SD3SliderService(_SliderRegistry):
         self.add_slider("default", slider_path)
         self.vae = self._probe_vae(base, "sd3")
 
-        te1, te2 = self.text_encoders
-        te1_model, te2_model = te1.model, te2.model
-        jad, t5_len = self.transformer.config.joint_attention_dim, self._t5_seq_len
-
-        @jax.jit
-        def _encode_jit(p1, p2, ids1, ids2):
-            # eager per-op text-tower dispatch costs seconds per NEW prompt on
-            # TPU (same lesson as the XL service) — jit with params as args.
-            # Math mirrors factory.encode_prompts_sd3 (T5 dropped, reference
-            # model_util.py:217-236): concat CLIP penultimate states, zero-pad
-            # to joint_attention_dim, append a zero T5 segment; pooled =
-            # concat of both projected pooled outputs.
-            from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
-
-            o1 = te1_model.apply({"params": p1}, ids1)
-            o2 = te2_model.apply({"params": p2}, ids2)
-            clip_embeds = jnp.concatenate(
-                [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
-            )
-            if clip_embeds.shape[-1] < jad:
-                clip_embeds = jnp.pad(
-                    clip_embeds, ((0, 0), (0, 0), (0, jad - clip_embeds.shape[-1]))
-                )
-            t5_zeros = jnp.zeros(
-                (clip_embeds.shape[0], t5_len, jad), clip_embeds.dtype
-            )
-            pooled = [
-                o.projected if o.projected is not None else o.pooled_output
-                for o in (o1, o2)
-            ]
-            return (
-                jnp.concatenate([clip_embeds, t5_zeros], axis=1),
-                jnp.concatenate(pooled, axis=-1),
-            )
-
-        self._encode_jit = _encode_jit
+        # eager per-op text-tower dispatch costs seconds per NEW prompt on
+        # TPU (same lesson as the XL service) — jit with params as args
+        core = self._te_encode_core
+        self._encode_jit = jax.jit(lambda p1, p2, ids1, ids2: core((p1, p2), ids1, ids2))
         self._batcher = (
             MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
             if microbatch
@@ -928,23 +1029,39 @@ class SD3SliderService(_SliderRegistry):
         return sample
 
     def add_slider(self, name: str, slider_path: str) -> None:
-        """Register a '-'-delimited SD3 slider checkpoint under ``name``."""
-        rank, alpha = 4, 1.0
-        exact = settings_from_checkpoint(slider_path)
-        if exact is not None:
-            rank, alpha = exact
-        all_sites = lora_lib.create_sites(
-            self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
-            train_method="full", delimiter="-",
+        """Register a '-'-delimited SD3 slider checkpoint under ``name``.
+        Accepts combined files (combine_loras outputs) and raw notrigger te
+        saves — te parts merge into the clip_l/clip_g towers per request."""
+        from sliders_conceptmod_tpu.adapters import slider_file as sfile
+
+        parts = sfile.load_slider_file(
+            slider_path, [te.params for te in self.text_encoders]
         )
-        sites = lora_lib.filter_sites_to_checkpoint(slider_path, all_sites)
-        if not sites:
-            raise ValueError(
-                f"No matching LoRA keys between transformer and {slider_path} "
-                "(is this a '-'-delimited SD3 slider checkpoint?)"
+        sites, lora_params = [], {}
+        if parts.unet is not None:
+            rank, alpha = 4, 1.0
+            exact = settings_from_tensors(parts.unet)
+            if exact is not None:
+                rank, alpha = exact
+            all_sites = lora_lib.create_sites(
+                self.transformer.params, rank=rank, alpha=alpha, target_replace=["Attention"],
+                train_method="full", delimiter="-",
             )
-        lora_params = self._place_adapter(lora_lib.load_weights(slider_path, sites))
+            sites = lora_lib.filter_sites_to_keys(parts.unet.keys(), all_sites)
+            if not sites:
+                raise ValueError(
+                    f"No matching LoRA keys between transformer and {slider_path} "
+                    "(is this a '-'-delimited SD3 slider checkpoint?)"
+                )
+            lora_params = self._place_adapter(
+                lora_lib.load_weights_from_tensors(parts.unet, sites)
+            )
+        elif not parts.has_te:
+            raise ValueError(
+                f"{slider_path} carries neither transformer nor text-encoder slider parts"
+            )
         self._register(name, (sites, lora_params, self._make_sampler(sites, indexed=False)))
+        self._register_te_parts(name, parts)
 
     def _stacked_sampler(self, sites):
         """One jitted heterogeneous-adapter sampler per SITE SET
@@ -955,6 +1072,34 @@ class SD3SliderService(_SliderRegistry):
             fn = self._make_sampler(sites, indexed=True)
             self._stacked_fns[cache_key] = fn
         return fn
+
+    def _te_encode_core(self, ps, ids1, ids2):
+        """SD3 prompt-encode math (factory.encode_prompts_sd3, T5 dropped —
+        reference model_util.py:217-236): concat CLIP penultimate states,
+        zero-pad to joint_attention_dim, append a zero T5 segment; pooled =
+        concat of both projected pooled outputs."""
+        from sliders_conceptmod_tpu.models.clip import penultimate_hidden_state
+
+        te1_model, te2_model = (te.model for te in self.text_encoders)
+        jad, t5_len = self.transformer.config.joint_attention_dim, self._t5_seq_len
+        o1 = te1_model.apply({"params": ps[0]}, ids1)
+        o2 = te2_model.apply({"params": ps[1]}, ids2)
+        clip_embeds = jnp.concatenate(
+            [penultimate_hidden_state(o1), penultimate_hidden_state(o2)], axis=-1
+        )
+        if clip_embeds.shape[-1] < jad:
+            clip_embeds = jnp.pad(
+                clip_embeds, ((0, 0), (0, 0), (0, jad - clip_embeds.shape[-1]))
+            )
+        t5_zeros = jnp.zeros((clip_embeds.shape[0], t5_len, jad), clip_embeds.dtype)
+        pooled = [
+            o.projected if o.projected is not None else o.pooled_output
+            for o in (o1, o2)
+        ]
+        return (
+            jnp.concatenate([clip_embeds, t5_zeros], axis=1),
+            jnp.concatenate(pooled, axis=-1),
+        )
 
     @functools.lru_cache(maxsize=256)
     def _encode(self, prompt: str):
@@ -973,14 +1118,21 @@ class SD3SliderService(_SliderRegistry):
 
         _, lora_params, sample_fn = entry
         bucket = len(padded)
-        text_u, pooled_u = self._encode("")
-        conds = [self._encode(p) for p, *_ in padded]
-        text = jnp.concatenate(
-            [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
-        )
-        pooled = jnp.concatenate(
-            [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
-        )
+        if self._rows_need_te(padded):
+            # per-row te-merged embeddings (uncond AND cond at the row scale)
+            unconds = [self._encode_row("", self._row_slider(r), r[1]) for r in padded]
+            conds = [self._encode_row(r[0], self._row_slider(r), r[1]) for r in padded]
+            text = jnp.concatenate([t for t, _ in unconds] + [t for t, _ in conds], axis=0)
+            pooled = jnp.concatenate([p for _, p in unconds] + [p for _, p in conds], axis=0)
+        else:
+            text_u, pooled_u = self._encode("")
+            conds = [self._encode(p) for p, *_ in padded]
+            text = jnp.concatenate(
+                [jnp.tile(text_u, (bucket, 1, 1))] + [t for t, _ in conds], axis=0
+            )
+            pooled = jnp.concatenate(
+                [jnp.tile(pooled_u, (bucket, 1))] + [p for _, p in conds], axis=0
+            )
         latents = jnp.concatenate(
             [
                 jax.random.normal(

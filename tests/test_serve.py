@@ -524,3 +524,88 @@ def test_http_metrics_endpoint(service):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_xl_te_slider_serving(service, tmp_path_factory):
+    """A combined/te slider registered at runtime: requests encode through
+    the slider-merged CLIP towers at the request scale (the in-framework
+    notrigger consumption loop, adapters/slider_file.py)."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+    from sliders_conceptmod_tpu.models import factory
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("te_serve")
+    _, text_encoders, _, _ = factory.load_models_xl("tiny-xl")
+    sds = {}
+    for idx, te in enumerate(text_encoders):
+        sites = lora_lib.create_sites(
+            te.params, rank=2, alpha=1.0,
+            target_replace=["CLIPAttention", "CLIPSdpaAttention"],
+            prefix=f"lora_te{idx + 1}", train_method="full",
+            name_path_prefix=sfile.CLIP_NAME_PATH_PREFIX,
+        )
+        lp = lora_lib.init_lora_params(jax.random.PRNGKey(idx), sites)
+        lp = jax.tree.map(lambda a: a + 0.15, lp)
+        sds.update(lora_lib.state_dict_numpy(sites, lp))
+    path = d / "te_only.safetensors"
+    save_file(sds, str(path))
+
+    service.add_slider("te", str(path))
+    try:
+        listing = {e["name"]: e for e in service.list_sliders()}
+        assert listing["te"]["te"] is True
+        assert listing["default"]["te"] is False
+        a = service.generate("a cat", scale=-2.0, seed=3, guidance=7.5, slider="te")
+        b = service.generate("a cat", scale=2.0, seed=3, guidance=7.5, slider="te")
+        assert a[:8] == b"\x89PNG\r\n\x1a\n"
+        # te-only slider (no unet part): the difference is the text encoding
+        assert a != b
+        # non-te slider requests still work alongside
+        c = service.generate("a cat", scale=1.0, seed=3, guidance=7.5)
+        assert c[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        service.remove_slider("te")
+    assert all(e["name"] != "te" for e in service.list_sliders())
+
+
+def test_xl_te_slider_batched_with_plain(service, tmp_path_factory):
+    """Mixed micro-batch: a te-slider row and a plain-slider row grouped into
+    one window must each match their solo results."""
+    import concurrent.futures as cf
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+    from sliders_conceptmod_tpu.models import factory
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("te_mix")
+    _, text_encoders, _, _ = factory.load_models_xl("tiny-xl")
+    te0 = text_encoders[0]
+    sites = lora_lib.create_sites(
+        te0.params, rank=2, alpha=1.0,
+        target_replace=["CLIPAttention", "CLIPSdpaAttention"],
+        prefix="lora_te1", train_method="full",
+        name_path_prefix=sfile.CLIP_NAME_PATH_PREFIX,
+    )
+    lp = jax.tree.map(lambda a: a + 0.15, lora_lib.init_lora_params(jax.random.PRNGKey(5), sites))
+    path = d / "te1_only.safetensors"
+    save_file(lora_lib.state_dict_numpy(sites, lp), str(path))
+    service.add_slider("temix", str(path))
+    try:
+        solo_te = service.generate("a dog", scale=1.5, seed=11, guidance=7.5, slider="temix")
+        solo_plain = service.generate("a dog", scale=1.5, seed=11, guidance=7.5)
+        with cf.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(service.generate, "a dog", 1.5, 11, 7.5, "temix")
+            f2 = ex.submit(service.generate, "a dog", 1.5, 11, 7.5, "default")
+            got_te, got_plain = f1.result(), f2.result()
+        def arr(png):
+            from PIL import Image
+            return np.asarray(Image.open(io.BytesIO(png)), np.float32)
+        # batched rows reproduce solo results up to executable-level jitter
+        assert np.abs(arr(got_te) - arr(solo_te)).mean() < 3.0
+        assert np.abs(arr(got_plain) - arr(solo_plain)).mean() < 3.0
+        # and the te slider genuinely changed the image vs the plain one
+        assert solo_te != solo_plain
+    finally:
+        service.remove_slider("temix")

@@ -169,3 +169,39 @@ def test_sd3_static_guidance(tmp_path_factory):
     svc._sample_group = orig
     assert len(calls) == 1 and calls[0] == 2  # one 2-row group, no split
     assert all(o[:8] == b"\x89PNG\r\n\x1a\n" for o in outs)
+
+
+def test_sd3_te_slider_serving(sd3_service, tmp_path_factory):
+    """te parts over the SD3 clip_l/clip_g towers change served output with
+    scale (reference train_notrigger.py:148-176 trains these towers)."""
+    import jax
+    from safetensors.numpy import save_file
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+    from sliders_conceptmod_tpu.models import factory
+
+    d = tmp_path_factory.mktemp("sd3_te")
+    _, text_encoders, _, _ = factory.load_models_sd3("tiny-sd3")
+    sds = {}
+    for idx, te in enumerate(text_encoders):
+        sites = lora_lib.create_sites(
+            te.params, rank=2, alpha=1.0,
+            target_replace=["CLIPAttention", "CLIPSdpaAttention"],
+            prefix=f"lora_te{idx + 1}", train_method="full",
+            name_path_prefix=sfile.CLIP_NAME_PATH_PREFIX,
+        )
+        lp = jax.tree.map(
+            lambda a: a + 0.15, lora_lib.init_lora_params(jax.random.PRNGKey(idx), sites)
+        )
+        sds.update(lora_lib.state_dict_numpy(sites, lp))
+    path = d / "sd3_te.safetensors"
+    save_file(sds, str(path))
+    sd3_service.add_slider("te", str(path))
+    try:
+        a = sd3_service.generate("a cat", scale=-2.0, seed=3, guidance=7.0, slider="te")
+        b = sd3_service.generate("a cat", scale=2.0, seed=3, guidance=7.0, slider="te")
+        assert a[:8] == b"\x89PNG\r\n\x1a\n" or isinstance(a, bytes)
+        assert a != b
+    finally:
+        sd3_service.remove_slider("te")
