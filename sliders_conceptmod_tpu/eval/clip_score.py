@@ -71,7 +71,12 @@ def run(args):
 
         bs = args.batch_size
         for i in range(0, len(batch_imgs), bs):
-            px = preprocess_images(np.stack(batch_imgs[i : i + bs]))
+            # the model dir's own resolution (224 for ViT-B/32; tiny synthetic
+            # scorers use smaller) — a hardcoded 224 would break any other
+            px = preprocess_images(
+                np.stack(batch_imgs[i : i + bs]),
+                image_size=model.vision_config.image_size,
+            )
             logits = np.asarray(score(jnp.asarray(px), input_ids))[:, 0]
             for case, s in zip(batch_cases[i : i + bs], logits):
                 ratios.setdefault(case, []).append(float(s))
