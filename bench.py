@@ -192,21 +192,26 @@ def bench_sd3(n_steps, res, dtype):
 
         params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
 
-        def apply(p, *a, **kw):
-            with quant.quant_overlay(q_scales, compute_dtype=dtype):
-                return model.apply({"params": p}, *a, **kw)
+        def wrap(m, act=False):
+            def apply(p, *a, **kw):
+                with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=act):
+                    return m.apply({"params": p}, *a, **kw)
 
+            return apply
+
+        apply = wrap(model)
         if qmode == "w8a8":
-
-            def warm_apply(p, *a, **kw):
-                with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=True):
-                    return model.apply({"params": p}, *a, **kw)
-
+            warm_apply = wrap(model, act=True)
     else:
         params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
 
-        def apply(p, *a, **kw):
-            return model.apply({"params": p}, *a, **kw)
+        def wrap(m, act=False):
+            def apply(p, *a, **kw):
+                return m.apply({"params": p}, *a, **kw)
+
+            return apply
+
+        apply = wrap(model)
 
     sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
@@ -222,19 +227,7 @@ def bench_sd3(n_steps, res, dtype):
     bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=res)], encode_fn)
     scfg = esd_sd3.SD3ESDConfig(max_denoising_steps=28, height=res, width=res, remat=True)
     opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
-    model_remat = model.clone(remat_blocks=True)
-
-    if qmode != "off":
-        from sliders_conceptmod_tpu.adapters import quant
-
-        def remat_apply(p, *a, **kw):
-            with quant.quant_overlay(q_scales, compute_dtype=dtype):
-                return model_remat.apply({"params": p}, *a, **kw)
-
-    else:
-
-        def remat_apply(p, *a, **kw):
-            return model_remat.apply({"params": p}, *a, **kw)
+    remat_apply = wrap(model.clone(remat_blocks=True))
 
     step = esd_sd3.make_sd3_esd_train_step(
         apply, sites, schedule, opt, scfg, remat_apply=remat_apply,

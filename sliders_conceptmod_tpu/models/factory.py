@@ -574,6 +574,13 @@ class TransformerBundle:
                 self.model.dtype,
                 act_quant=self.act_quant if act_quant is None else act_quant,
             )
+        if act_quant:
+            # explicit W8A8 request on an unquantized bundle would silently
+            # return the plain bf16 apply — an A/B would measure nothing
+            raise ValueError(
+                "apply_fn(act_quant=True) requires a quantized base "
+                "(quant_scales is None — load with quantize_base=True)"
+            )
         return apply
 
 

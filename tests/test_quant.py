@@ -326,8 +326,12 @@ def test_sd3_w8a8_warmup_step():
         losses["w8a8" if warm is not None else "w8"] = ls
     assert all(np.isfinite(l) for l in losses["w8a8"])
     a, b = np.asarray(losses["w8a8"]), np.asarray(losses["w8"])
-    # warm-up rounding perturbs the denoised context, not the loss formula
-    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
+    # warm-up rounding perturbs the denoised context, not the loss formula.
+    # Empirical bound (ADVICE r2): measured per-step relative deviation on
+    # this scenario is <=0.0034; 0.05 gives ~15x headroom while still
+    # failing if the w8a8 path computed something structurally different
+    # (the old 0.5 bound mostly checked finiteness)
+    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.05), (a, b)
 
 
 def test_sd3_warm_apply_requires_student_overlay():
