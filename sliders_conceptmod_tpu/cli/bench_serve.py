@@ -85,14 +85,24 @@ def run(args):
         from urllib.parse import quote
         from urllib.request import urlopen
 
+        from urllib.error import HTTPError
+
+        shed = []
+
         def one(i):
             p, s = prompts[i % len(prompts)], scales[i % len(scales)]
             t0 = time.time()
-            body = urlopen(
-                f"{args.url}/generate?prompt={quote(p)}&scale={s}&seed={i}"
-                f"&guidance={args.guidance}",
-                timeout=600,
-            ).read()
+            try:
+                body = urlopen(
+                    f"{args.url}/generate?prompt={quote(p)}&scale={s}&seed={i}"
+                    f"&guidance={args.guidance}",
+                    timeout=600,
+                ).read()
+            except HTTPError as e:
+                if e.code == 429:  # bounded-queue shed — measured, not fatal
+                    shed.append(i)
+                    return None
+                raise
             assert body[:8] == b"\x89PNG\r\n\x1a\n", "non-PNG response"
             return time.time() - t0
 
@@ -109,6 +119,7 @@ def run(args):
             args.base, args.slider, args.image_size, args.steps,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             cross_slider_stack=not args.no_stack,
+            max_batch=args.max_batch, max_queue=args.max_queue,
         )
 
         # multi-slider traffic: register N-1 extra synthesized adapters (the
@@ -131,13 +142,23 @@ def run(args):
                 service.add_slider(f"s{k}", path_k)
                 slider_names.append(f"s{k}")
 
+        from sliders_conceptmod_tpu.serve import QueueFullError
+
+        shed = []
+
         def one(i):
             p, s = prompts[i % len(prompts)], scales[i % len(scales)]
             t0 = time.time()
-            png = service.generate(
-                p, scale=s, seed=i, guidance=args.guidance,
-                slider=slider_names[i % len(slider_names)],
-            )
+            try:
+                png = service.generate(
+                    p, scale=s, seed=i, guidance=args.guidance,
+                    slider=slider_names[i % len(slider_names)],
+                )
+            except QueueFullError:
+                # bounded-queue backpressure (HTTP 429 equivalent): record the
+                # shed, don't fail the bench — overload runs MEASURE shedding
+                shed.append(i)
+                return None
             assert png[:8] == b"\x89PNG\r\n\x1a\n"
             return time.time() - t0
 
@@ -146,14 +167,35 @@ def run(args):
     with ThreadPoolExecutor(args.concurrency) as pool:
         list(pool.map(one, range(min(args.concurrency, args.requests))))
 
+    # sample queue depth during the run (overload observability: growth vs
+    # bounded shedding); only meaningful in-process with the micro-batcher
+    depth_samples = []
+    stop_sampling = False
+    sampler_thread = None
+    if service is not None and getattr(service, "_batcher", None) is not None:
+        import threading
+
+        def _sample_depth():
+            while not stop_sampling:
+                depth_samples.append(service._batcher.queue_depth())
+                time.sleep(0.05)
+
+        sampler_thread = threading.Thread(target=_sample_depth, daemon=True)
+        sampler_thread.start()
+
     t0 = time.time()
     with ThreadPoolExecutor(args.concurrency) as pool:
-        lat = sorted(pool.map(one, range(args.requests)))
+        results = list(pool.map(one, range(args.requests)))
     wall = time.time() - t0
+    stop_sampling = True
+    if sampler_thread is not None:
+        sampler_thread.join(timeout=1)
+    lat = sorted(r for r in results if r is not None)
 
+    completed = len(lat)
     out = {
         "metric": "serve_requests_per_sec",
-        "value": round(args.requests / wall, 4),
+        "value": round(completed / wall, 4),
         "unit": "req/s",
         "vs_baseline": 0.0,
         "requests": args.requests,
@@ -165,8 +207,14 @@ def run(args):
         "cross_slider_stack": not args.no_stack and not args.url,
     }
     if service is not None and getattr(service, "_batcher", None) is not None:
-        sizes = service._batcher.batch_sizes
+        b = service._batcher
+        sizes = b.batch_sizes
         out["mean_batch"] = round(sum(sizes) / max(len(sizes), 1), 2)
+        out["p99_s"] = round(_percentile(lat, 0.99), 3)
+        out["shed_429"] = b.rejected
+        out["max_queue"] = b.max_queue
+        out["max_queue_depth_seen"] = max(depth_samples, default=0)
+        out["completed"] = completed
     print(json.dumps(out))
     return out
 
@@ -187,6 +235,12 @@ def build_parser():
     p.add_argument("--requests", type=int, default=16)
     p.add_argument("--concurrency", type=int, default=4)
     p.add_argument("--no_microbatch", action="store_true")
+    p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument(
+        "--max_queue", type=int, default=64,
+        help="bounded admission (serve --max_queue): overload sheds instead "
+        "of queueing unboundedly; sheds are counted, not failures",
+    )
     p.add_argument(
         "--no_stack", action="store_true",
         help="disable cross-slider stacked batching (per-slider groups — "

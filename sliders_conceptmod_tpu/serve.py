@@ -53,6 +53,14 @@ from sliders_conceptmod_tpu.infer.generate import (
 from sliders_conceptmod_tpu.models import factory
 
 
+class QueueFullError(Exception):
+    """Backpressure: the micro-batcher's bounded queue is full — the caller
+    should shed the request (HTTP 429) rather than let latency grow without
+    bound. Unbounded admission under overload turns a throughput deficit
+    into unbounded queue growth and eventual timeout-for-everyone; a bounded
+    queue keeps p99 for ADMITTED requests flat."""
+
+
 class MicroBatcher:
     """Dynamic request micro-batching: concurrent requests that arrive within
     a short window ride ONE batched sampler call. The v5e is latency-bound at
@@ -64,9 +72,16 @@ class MicroBatcher:
     ``run_batch(items) -> results`` executes a whole batch; a result item may
     be an ``Exception`` instance, which is raised only for ITS caller (the
     per-group failure containment of ``_run_grouped``). If ``run_batch``
-    itself raises, the exception fans out to every waiting caller."""
+    itself raises, the exception fans out to every waiting caller.
 
-    def __init__(self, run_batch, max_batch: int = 4, window_ms: float = 8.0):
+    ``max_queue`` bounds admission: when more than ``max_queue`` requests are
+    already waiting, :meth:`submit` raises :class:`QueueFullError` instead of
+    enqueueing (the HTTP layer maps it to 429). Latency/error observability
+    rides on the instance: ``latencies`` (admit→result seconds, recent),
+    ``rejected`` / ``errored`` lifetime counters, ``queue_depth()``."""
+
+    def __init__(self, run_batch, max_batch: int = 4, window_ms: float = 8.0,
+                 max_queue: int = 64):
         import collections
         import queue
         import threading
@@ -74,20 +89,40 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._run = run_batch
         self.max_batch = int(max_batch)
+        self.max_queue = int(max_queue)
         self.window = float(window_ms) / 1000.0
         # observability: sizes of recent batch runs (bounded — a long-lived
         # server must not grow a list forever) + lifetime totals
         self.batch_sizes: "collections.deque" = collections.deque(maxlen=2048)
+        self.latencies: "collections.deque" = collections.deque(maxlen=2048)
         self.total_batches = 0
         self.total_rows = 0
+        self.rejected = 0
+        self.errored = 0
         threading.Thread(target=self._worker, daemon=True, name="microbatcher").start()
+
+    def queue_depth(self) -> int:
+        return self._q.qsize()
 
     def submit(self, item):
         from concurrent.futures import Future
 
+        if self._q.qsize() >= self.max_queue:
+            self.rejected += 1
+            raise QueueFullError(
+                f"micro-batch queue full ({self.max_queue} waiting) — retry later"
+            )
         fut: "Future" = Future()
+        t0 = time.time()
         self._q.put((item, fut))
-        return fut.result()
+        try:
+            res = fut.result()
+        except Exception:
+            self.errored += 1
+            self.latencies.append(time.time() - t0)
+            raise
+        self.latencies.append(time.time() - t0)
+        return res
 
     def _worker(self):
         import queue
@@ -524,6 +559,7 @@ class SliderService(_SliderRegistry):
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
                  mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 max_queue: int = 64,
                  cross_slider_stack: bool = True, static_guidance: float | None = None):
         self.image_size = image_size
         self.steps = steps
@@ -563,7 +599,8 @@ class SliderService(_SliderRegistry):
         core = self._te_encode_core
         self._encode_jit = jax.jit(lambda p1, p2, ids1, ids2: core((p1, p2), ids1, ids2))
         self._batcher = (
-            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms,
+                         max_queue=max_queue)
             if microbatch
             else None
         )
@@ -759,6 +796,7 @@ class FluxSliderService(_SliderRegistry):
                  start_noise: float = 800, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
                  mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 max_queue: int = 64,
                  cross_slider_stack: bool = True):
         from sliders_conceptmod_tpu.diffusion.flow_match import FlowMatchScheduler, calculate_shift
         from sliders_conceptmod_tpu.models.flux import pack_latents, prepare_latent_image_ids, unpack_latents
@@ -796,7 +834,8 @@ class FluxSliderService(_SliderRegistry):
         self.add_slider("default", slider_path)
         self.vae = self._probe_vae(base, "flux")
         self._batcher = (
-            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms,
+                         max_queue=max_queue)
             if microbatch
             else None
         )
@@ -951,6 +990,7 @@ class SD3SliderService(_SliderRegistry):
                  start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
                  microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
                  mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 max_queue: int = 64,
                  cross_slider_stack: bool = True, static_guidance: float | None = None):
         from sliders_conceptmod_tpu.infer.generate_flow import flip_step_for_start_noise as _flow_flip
 
@@ -982,7 +1022,8 @@ class SD3SliderService(_SliderRegistry):
         core = self._te_encode_core
         self._encode_jit = jax.jit(lambda p1, p2, ids1, ids2: core((p1, p2), ids1, ids2))
         self._batcher = (
-            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms)
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms,
+                         max_queue=max_queue)
             if microbatch
             else None
         )
@@ -1266,12 +1307,30 @@ def make_handler(service: SliderService):
                 b = getattr(service, "_batcher", None)
                 if b is not None:
                     recent = list(b.batch_sizes)
+                    lats = sorted(b.latencies)
+
+                    def pct(q):
+                        if not lats:
+                            return 0.0
+                        return round(lats[min(int(q * (len(lats) - 1) + 0.5), len(lats) - 1)], 4)
+
+                    total = b.total_rows + b.rejected
                     m.update(
                         microbatch=True,
                         total_batches=b.total_batches,
                         total_rows=b.total_rows,
                         mean_batch=round(sum(recent) / max(len(recent), 1), 3),
                         max_batch=b.max_batch,
+                        # overload observability (VERDICT r2 task 8): admitted-
+                        # request latency percentiles, queue depth right now,
+                        # and the shed/error story
+                        queue_depth=b.queue_depth(),
+                        max_queue=b.max_queue,
+                        p50_seconds=pct(0.50),
+                        p99_seconds=pct(0.99),
+                        rejected=b.rejected,
+                        errored=b.errored,
+                        error_rate=round((b.rejected + b.errored) / max(total, 1), 4),
                     )
                 else:
                     m["microbatch"] = False
@@ -1301,6 +1360,14 @@ def make_handler(service: SliderService):
                         png = service.generate(prompt, scale, seed, guidance, slider=slider)
                     else:
                         png = service.generate(prompt, scale, seed, guidance)
+                except QueueFullError as e:
+                    # backpressure: bounded queue full — shed with 429 so the
+                    # client can retry, instead of queueing unboundedly
+                    self.send_response(429)
+                    self.send_header("Retry-After", "1")
+                    self.end_headers()
+                    self.wfile.write(json.dumps({"error": str(e)}).encode())
+                    return
                 except (KeyError, TypeError) as e:
                     self.send_response(400)
                     self.end_headers()
@@ -1386,6 +1453,12 @@ def main():
         "axis (params replicate; buckets scale to mesh multiples) — serving "
         "throughput scales with chips while latency stays batch-1",
     )
+    ap.add_argument(
+        "--max_queue", type=int, default=64,
+        help="bounded admission: requests past this many waiting are shed "
+        "with HTTP 429 (backpressure keeps admitted-request p99 flat under "
+        "overload instead of growing the queue without bound)",
+    )
     args = ap.parse_args()
 
     family = args.family or detect_family(args.base)
@@ -1402,6 +1475,7 @@ def main():
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            max_queue=args.max_queue,
             static_guidance=args.static_guidance,
         )
     elif family == "flux":
@@ -1413,6 +1487,7 @@ def main():
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            max_queue=args.max_queue,
         )
     else:
         service = SliderService(
@@ -1423,6 +1498,7 @@ def main():
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            max_queue=args.max_queue,
             static_guidance=args.static_guidance,
         )
     for spec in args.add_slider:

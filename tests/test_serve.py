@@ -609,3 +609,78 @@ def test_xl_te_slider_batched_with_plain(service, tmp_path_factory):
         assert solo_te != solo_plain
     finally:
         service.remove_slider("temix")
+
+
+def test_overload_bounded_queue_sheds(tmp_path_factory):
+    """Backpressure under overload (VERDICT r2 task 8): with a tiny bounded
+    queue, a burst larger than (in-flight + queue) sheds QueueFullError for
+    the excess, every ADMITTED request completes, and the metrics surface
+    p99 + rejection counts."""
+    import concurrent.futures as cf
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.serve import QueueFullError, SliderService
+
+    path = tmp_path_factory.mktemp("overload") / "slider.safetensors"
+    _, _, unet, _ = factory.load_models_xl("tiny-xl")
+    sites = lora_lib.create_sites(unet.params, rank=2, alpha=1.0, train_method="full")
+    lp = jax.tree.map(lambda a: a + 0.1, lora_lib.init_lora_params(jax.random.PRNGKey(0), sites))
+    lora_lib.save_weights(path, sites, lp)
+    svc = SliderService(
+        "tiny-xl", str(path), image_size=64, steps=2, start_noise=1100,
+        max_batch=2, max_queue=2, batch_window_ms=50.0,
+    )
+    # warm the compile so the burst hits a fast sampler (otherwise every
+    # request parks in the first compile and the queue bound is all we test)
+    svc.generate("warm", scale=0.0, seed=0, guidance=7.5)
+
+    n = 16
+    results = []
+    with cf.ThreadPoolExecutor(n) as ex:
+        futs = [
+            ex.submit(svc.generate, f"prompt {i}", 1.0, i, 7.5) for i in range(n)
+        ]
+        for f in futs:
+            try:
+                results.append(f.result())
+            except QueueFullError:
+                results.append("shed")
+    pngs = [r for r in results if isinstance(r, bytes)]
+    sheds = [r for r in results if r == "shed"]
+    assert all(p[:8] == b"\x89PNG\r\n\x1a\n" for p in pngs)
+    assert len(pngs) + len(sheds) == n
+    assert sheds, "a 16-burst against queue=2 must shed something"
+    assert pngs, "admitted requests must still complete"
+    b = svc._batcher
+    assert b.rejected == len(sheds)
+    assert b.queue_depth() == 0  # drained after the burst
+    assert len(b.latencies) >= len(pngs)
+    # after the burst the service still works
+    again = svc.generate("after", scale=1.0, seed=3, guidance=7.5)
+    assert again[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_metrics_endpoint_overload_fields(service):
+    """GET /metrics carries the overload observability fields."""
+    import json as _json
+    import threading
+    from urllib.request import urlopen
+
+    from sliders_conceptmod_tpu.serve import make_handler
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        service.generate("metrics probe", scale=0.5, seed=1, guidance=7.5)
+        m = _json.loads(urlopen(f"http://127.0.0.1:{port}/metrics", timeout=30).read())
+        for key in ("p50_seconds", "p99_seconds", "rejected", "errored",
+                    "error_rate", "queue_depth", "max_queue"):
+            assert key in m, key
+        assert m["p99_seconds"] >= m["p50_seconds"] >= 0
+        assert m["error_rate"] <= 1.0
+    finally:
+        httpd.shutdown()
