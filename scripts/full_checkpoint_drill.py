@@ -35,8 +35,12 @@ def rss_gb() -> float:
 
 def build_file(path: str) -> dict:
     """Host-side synthesis: eval_shape gives the real-dim trees without any
-    device work; constant fill (0.02 — the weightless-family value, finite
-    losses proven in bench.py) keeps the single core fast."""
+    device work. Fill is seeded random normal * 0.02 — NOT the constant fill
+    bench.py's weightless family uses: at real SDXL dims a constant fill has
+    no sign cancellation, activations grow systematically through the 32
+    CLIP layers / 5120-wide MLPs, and bf16 overflows to NaN (observed in the
+    first drill run). Zero-mean random weights grow only ~sqrt(fan_in)*sigma
+    per matmul and the norms renormalize, so losses stay finite."""
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +74,14 @@ def build_file(path: str) -> dict:
         lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64)))
     )["params"]
 
-    fill = lambda tree: jax.tree.map(lambda s: np.full(s.shape, 0.02, np.float16), tree)
+    rng = np.random.default_rng(0)
+
+    def fill(tree):
+        return jax.tree.map(
+            lambda s: (rng.standard_normal(s.shape, np.float32) * 0.02).astype(np.float16),
+            tree,
+        )
+
     n_params = sum(
         int(np.prod(s.shape))
         for tree in (unet_shapes, te1_shapes, te2_shapes, vae_shapes)
