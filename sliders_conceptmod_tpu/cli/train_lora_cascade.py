@@ -40,6 +40,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "(train_lora/_xl/_sd3/_flux); the cascade step merges into the "
             "base — set quantize_base: false."
         )
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    apply_tpu_runtime_flags(getattr(config, "tpu", None))
     dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up

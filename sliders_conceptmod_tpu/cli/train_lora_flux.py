@@ -28,6 +28,9 @@ import optax
 
 
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    apply_tpu_runtime_flags(getattr(config, "tpu", None))
     dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # tpu.quantize_base: int8 frozen base (adapters/quant.py) — full-depth

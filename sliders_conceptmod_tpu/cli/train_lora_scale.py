@@ -40,6 +40,9 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     if folders.shape != scales.shape:
         raise ValueError("--folders and --scales must be index-matched")
 
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    apply_tpu_runtime_flags(getattr(config, "tpu", None))
     is_xl = "xl" in str(config.pretrained_model.name_or_path).lower()
     resolution = 512 if is_xl else 256  # reference resize (:219 / xl :220)
 

@@ -51,6 +51,9 @@ def train(
             "notrigger trainer touches only text encoders — set "
             "quantize_base: false."
         )
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    apply_tpu_runtime_flags(getattr(config, "tpu", None))
     weight_dtype = config_util.parse_precision(config.train.precision)
     is_flux = model in ("FLUX.1", "tiny-flux")
     is_sd3 = model in ("SD3-Medium", "tiny-sd3")

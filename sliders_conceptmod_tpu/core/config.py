@@ -103,6 +103,12 @@ class TPUConfig(BaseModel):
     use_flash_attention: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False
+    # persistent on-disk XLA executable cache (jax_compilation_cache_dir):
+    # a new HLO costs 10-30 min through the remote-compile service, so
+    # serving redeploys / trainer relaunches should pay it once, not per
+    # process (utils/debug.apply_tpu_runtime_flags)
+    compilation_cache_dir: Optional[str] = None
+    persistent_cache_min_compile_seconds: float = 1.0
     seed: int = 0
     # honor config.network.rank/alpha (the reference XL trainer ignores them
     # in favor of CLI/hardcoded values, reference train_lora_xl.py:94-105)

@@ -1459,7 +1459,22 @@ def main():
         "with HTTP 429 (backpressure keeps admitted-request p99 flat under "
         "overload instead of growing the queue without bound)",
     )
+    ap.add_argument(
+        "--compilation_cache_dir", default=None,
+        help="persistent on-disk XLA executable cache: redeploys reuse "
+        "compiled samplers instead of paying the 10-30 min remote compile "
+        "per process (utils/debug.apply_tpu_runtime_flags)",
+    )
     args = ap.parse_args()
+
+    if args.compilation_cache_dir:
+        from types import SimpleNamespace
+
+        from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+        apply_tpu_runtime_flags(
+            SimpleNamespace(compilation_cache_dir=args.compilation_cache_dir)
+        )
 
     family = args.family or detect_family(args.base)
     if args.static_guidance is not None and family == "flux":

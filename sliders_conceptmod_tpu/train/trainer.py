@@ -69,6 +69,11 @@ def train(
     resume_from: Optional[str] = None,
 ) -> TrainResult:
     tpu_cfg = config.tpu
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    # before any compile (incl. weightless jitted init) so the persistent
+    # executable cache sees every executable of the run
+    apply_tpu_runtime_flags(tpu_cfg)
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2), brought up
     # BEFORE the first model load / device query: the helper joins the
     # jax.distributed world when configured (must precede XLA backend init)
@@ -264,8 +269,6 @@ def train(
         )
         multihost = jax.process_count() > 1
 
-    if config.tpu.debug_nans:
-        jax.config.update("jax_debug_nans", True)
     if config.tpu.profile_dir:
         jax.profiler.start_trace(config.tpu.profile_dir)
 

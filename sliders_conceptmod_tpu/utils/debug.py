@@ -12,6 +12,38 @@ from __future__ import annotations
 import jax
 
 
+def apply_tpu_runtime_flags(tpu) -> None:
+    """Honor the yaml ``tpu:`` runtime knobs that must be set before any
+    tracing/compilation happens. Called at the top of every trainer family's
+    ``train()`` and by ``serve`` (previously only the SD1/XL trainer honored
+    ``debug_nans``).
+
+    - ``compilation_cache_dir``: persistent on-disk XLA executable cache
+      (``jax_compilation_cache_dir``). A new HLO through this deployment's
+      remote-compile service costs 10-30 min; with the cache, process
+      restarts (serving redeploys, trainer relaunches, sweep re-runs) pay it
+      once per executable instead of once per process.
+    - ``persistent_cache_min_compile_seconds``: only executables that took at
+      least this long to compile are written (default 1.0 — jax's own
+      default; 0.0 caches everything, useful for tests).
+    - ``debug_nans``: ``jax_debug_nans`` (reference debug_util analogue for
+      numeric failures).
+    """
+    if tpu is None:
+        return
+    cache_dir = getattr(tpu, "compilation_cache_dir", None)
+    if cache_dir:
+        import os
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(getattr(tpu, "persistent_cache_min_compile_seconds", 1.0)),
+        )
+    if getattr(tpu, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
+
 def check_trainable(lora_params, max_entries: int = 5) -> None:
     """Print the first trainable leaves (name, shape, dtype) — the
     functional analogue of check_requires_grad."""

@@ -91,3 +91,42 @@ def test_parse_precision():
     assert parse_precision("fp16") == jnp.bfloat16
     with pytest.raises(ValueError):
         parse_precision("int8")
+
+
+def test_compilation_cache_knob(tmp_path):
+    """tpu.compilation_cache_dir wires jax's persistent executable cache
+    (utils/debug.apply_tpu_runtime_flags): after a jitted call, the dir holds
+    a cache entry; redeploys then skip the 10-30 min remote compile."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
+
+    d = tmp_path / "xla_cache"
+    apply_tpu_runtime_flags(
+        SimpleNamespace(
+            compilation_cache_dir=str(d),
+            persistent_cache_min_compile_seconds=0.0,
+            debug_nans=False,
+        )
+    )
+    try:
+        @jax.jit
+        def f(x):
+            return (x @ x.T).sum()
+
+        f(jnp.ones((17, 17))).block_until_ready()
+        assert d.is_dir() and any(d.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_tpu_config_accepts_cache_fields():
+    from sliders_conceptmod_tpu.core.config import TPUConfig
+
+    t = TPUConfig(compilation_cache_dir="/tmp/x", persistent_cache_min_compile_seconds=0.5)
+    assert t.compilation_cache_dir == "/tmp/x"
+    assert t.persistent_cache_min_compile_seconds == 0.5
+    assert TPUConfig().compilation_cache_dir is None
