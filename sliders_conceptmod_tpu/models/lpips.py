@@ -72,8 +72,10 @@ class LPIPS(nn.Module):
 
         total = jnp.zeros((img0.shape[0],), jnp.float32)
         for i, (t0, t1) in enumerate(zip(taps0, taps1)):
-            n0 = t0 / jnp.sqrt(jnp.sum(t0**2, axis=-1, keepdims=True) + 1e-10)
-            n1 = t1 / jnp.sqrt(jnp.sum(t1**2, axis=-1, keepdims=True) + 1e-10)
+            # lpips normalize_tensor puts eps OUTSIDE the sqrt:
+            # in_feat / (sqrt(sum(in_feat**2)) + 1e-10)
+            n0 = t0 / (jnp.sqrt(jnp.sum(t0**2, axis=-1, keepdims=True)) + 1e-10)
+            n1 = t1 / (jnp.sqrt(jnp.sum(t1**2, axis=-1, keepdims=True)) + 1e-10)
             diff = (n0 - n1) ** 2
             lin = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")(diff)
             total = total + jnp.mean(lin[..., 0], axis=(1, 2))

@@ -156,6 +156,72 @@ def test_lpips_identical_images_zero(lpips_weight_files, tmp_path):
     assert abs(float(d[0])) < 1e-6
 
 
+def test_lpips_cross_framework_parity(lpips_weight_files):
+    """Our JAX LPIPS vs an INDEPENDENT torch implementation of the published
+    pipeline (Zhang et al. 2018; lpips-package semantics the reference scores
+    with, eval-scripts/lpip_score.py:22-25) on the SAME random weight files.
+
+    Validates every conversion detail — conv weight transpose, padding,
+    strides, maxpool config, ScalingLayer, channel-unit-norm eps placement
+    (OUTSIDE the sqrt), 1x1 lin heads, spatial mean, tap sum — i.e. the whole
+    scorer up to the actual pretrained values, which the zero-egress env
+    cannot supply. The torch side below is written directly from the formula,
+    not imported from the lpips package (not installed here)."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    alex_path, lin_path = lpips_weight_files
+    alex_sd = torch.load(alex_path, map_location="cpu", weights_only=True)
+    lin_sd = torch.load(lin_path, map_location="cpu", weights_only=True)
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def feats(x):
+        # torchvision alexnet .features: conv idx (stride, pad); pool after
+        # the first two ReLUs (kernel 3, stride 2, floor mode)
+        taps, h = [], x
+        for i, (idx, stride, pad) in enumerate(
+            [(0, 4, 2), (3, 1, 2), (6, 1, 1), (8, 1, 1), (10, 1, 1)]
+        ):
+            h = F.conv2d(
+                h, alex_sd[f"features.{idx}.weight"],
+                alex_sd[f"features.{idx}.bias"], stride=stride, padding=pad,
+            )
+            h = F.relu(h)
+            taps.append(h)
+            if i in (0, 1):
+                h = F.max_pool2d(h, 3, 2)
+        return taps
+
+    def lpips_torch(i0, i1):
+        t0s, t1s = feats((i0 - shift) / scale), feats((i1 - shift) / scale)
+        total = torch.zeros(i0.shape[0])
+        for i, (t0, t1) in enumerate(zip(t0s, t1s)):
+            n0 = t0 / (torch.sqrt((t0**2).sum(1, keepdim=True)) + 1e-10)
+            n1 = t1 / (torch.sqrt((t1**2).sum(1, keepdim=True)) + 1e-10)
+            lin = F.conv2d((n0 - n1) ** 2, lin_sd[f"lin{i}.model.1.weight"])
+            total = total + lin.mean(dim=(2, 3))[:, 0]
+        return total
+
+    rng = np.random.default_rng(3)
+    i0 = rng.uniform(-1.0, 1.0, (2, 3, 64, 64)).astype(np.float32)
+    i1 = np.clip(i0 + rng.normal(0.0, 0.2, i0.shape), -1, 1).astype(np.float32)
+    want = lpips_torch(torch.from_numpy(i0), torch.from_numpy(i1)).numpy()
+
+    from sliders_conceptmod_tpu.models.lpips import LPIPS, load_lpips_params
+
+    model = LPIPS()
+    params = load_lpips_params(alex_path, lin_path)
+    got = np.asarray(
+        model.apply({"params": params}, jnp.asarray(i0), jnp.asarray(i1)),
+        np.float32,
+    )
+    assert want.min() > 1e-4  # non-degenerate fixture: distances are real
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
 def test_acceptance_pipeline_e2e(tmp_path, tiny_clip_dir, lpips_weight_files):
     """The whole acceptance chain as ONE command on the tiny weightless
     family: train → sweep → clip_scores.csv → lpips_score.csv."""
