@@ -386,3 +386,96 @@ def test_generate_images_sd3_te_slider_e2e(tmp_path):
     lat_m = np.load(f"{save_path}/{name}/-1.0/0_0.npy")
     lat_p = np.load(f"{save_path}/{name}/1.0/0_0.npy")
     assert np.abs(lat_m - lat_p).max() > 1e-4, "SD3 te slider had no effect"
+
+
+def test_te_slider_loads_into_real_peft_text_encoder():
+    """Ecosystem-interop proof for the notrigger artifact chain: a te-slider
+    part in OUR save schema loads into the ACTUAL downstream stack the
+    reference delegates consumption to (transformers CLIPTextModel + PEFT,
+    combine_loras.py:26-44 renames target PEFT conventions), and PEFT's
+    lora forward equals OUR te-merged JAX encode on the same base weights.
+
+    Externally validates, against PEFT's own math rather than our formula:
+    key naming (kohya `lora_te1_` + HF module path with `.`→`_` — matched
+    here by enumerating the REAL HF model's named_modules), down/up torch
+    layouts ([r,in]/[out,r] = PEFT's lora_A/lora_B), and the α/r scaling."""
+    import torch
+    from peft import LoraConfig, inject_adapter_in_model
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    from sliders_conceptmod_tpu.io.torch_convert import (
+        convert_clip_text_state_dict,
+        tree_to_jax,
+    )
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+
+    hf_cfg = HFConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, projection_dim=16,
+        eos_token_id=3, bos_token_id=1, pad_token_id=0, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+    params = tree_to_jax(
+        convert_clip_text_state_dict({k: v.numpy() for k, v in hf.state_dict().items()})
+    )
+
+    sites = lora_lib.create_sites(
+        params, rank=2, alpha=1.0,
+        target_replace=["CLIPAttention", "CLIPSdpaAttention"],
+        prefix="lora_te1", train_method="full",
+        name_path_prefix=sfile.CLIP_NAME_PATH_PREFIX,
+    )
+    assert sites
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(0), sites)
+    lp = {
+        k: {"down": v["down"],
+            "up": jax.random.normal(jax.random.PRNGKey(1), v["up"].shape) * 0.1}
+        for k, v in lp.items()
+    }
+    part_sd = lora_lib.state_dict_numpy(sites, lp)
+
+    # --- OUR side: merged encode at multiplier 1 (= PEFT's loaded strength)
+    tep = sfile.load_te_part(params, part_sd, index=0)
+    cfg = CLIPTextConfig(
+        vocab_size=99, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, eos_token_id=3, projection_dim=16,
+        hidden_act="quick_gelu",
+    )
+    ids = np.array([[1, 5, 9, 7, 3, 0, 0, 0], [1, 42, 3, 0, 0, 0, 0, 0]], np.int64)
+    ours = CLIPTextEncoder(cfg).apply(
+        {"params": tep.merged_params(params, 1.0)}, jnp.asarray(ids)
+    ).last_hidden_state
+
+    # --- PEFT side: match kohya names by enumerating the REAL HF modules
+    # (exactly how downstream loaders resolve these keys)
+    kohya_by_module = {}
+    for name, mod in hf.named_modules():
+        if isinstance(mod, torch.nn.Linear):
+            kohya = "lora_te1_" + name.replace(".", "_")
+            if f"{kohya}.lora_down.weight" in part_sd:
+                kohya_by_module[name] = kohya
+    # every saved site found a real HF module, and vice versa
+    assert len(kohya_by_module) == len(sites)
+
+    peft_cfg = LoraConfig(
+        r=2, lora_alpha=1.0, target_modules=sorted(kohya_by_module), bias="none"
+    )
+    pm = inject_adapter_in_model(peft_cfg, hf)
+    with torch.no_grad():
+        for name, kohya in kohya_by_module.items():
+            mod = pm.get_submodule(name)
+            mod.lora_A["default"].weight.copy_(
+                torch.from_numpy(part_sd[f"{kohya}.lora_down.weight"])
+            )
+            mod.lora_B["default"].weight.copy_(
+                torch.from_numpy(part_sd[f"{kohya}.lora_up.weight"])
+            )
+        hf_out = pm(torch.tensor(ids), output_hidden_states=True)
+
+    np.testing.assert_allclose(
+        np.asarray(ours), hf_out.last_hidden_state.numpy(), atol=2e-5
+    )
