@@ -880,7 +880,12 @@ def main():
         remat_unet=os.environ.get("BENCH_REMAT", "1" if res > 512 else "0") == "1",
         pipeline_warmup=pipeline,
         fuse_teacher_student=os.environ.get("BENCH_FUSE_TS", "0") == "1",
-        student_overlay=(qmode != "off"),
+        # BENCH_OVERLAY=1: overlay student on the bf16 base — skips the dense
+        # dL/dW' weight-grad matmuls of the merged path (grads reach the
+        # rank-4 factors through the overlay's own product), an A/B for the
+        # student backward's 84 ms true latency (phase table: ~3x fwd FLOPs
+        # merged vs ~2x overlaid). Implied whenever the base is quantized.
+        student_overlay=(qmode != "off") or os.environ.get("BENCH_OVERLAY", "0") == "1",
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -935,6 +940,8 @@ def main():
         metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
     if peft != "lora":
         metric += f"_{peft}"
+    if qmode == "off" and os.environ.get("BENCH_OVERLAY", "0") == "1":
+        metric += "_overlay_student"
     if os.environ.get("BENCH_FUSE_TS", "0") == "1":
         metric += "_fusedTS"
     f_row = fwd_flops(
