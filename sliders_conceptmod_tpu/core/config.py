@@ -139,6 +139,13 @@ class TPUConfig(BaseModel):
     # section. DEVIATION when on: warm-up context latents carry ~1-2 %
     # per-layer rounding noise; teacher and student stay weight-only exact.
     w8a8_warmup: bool = False
+    # student LoRA through the apply-time overlay instead of a per-step
+    # merged tree (identical math — tests/test_esd_train.py). None = follow
+    # quantize_base (an int8 base cannot host a merge). On a bf16 base this
+    # is a perf knob: the overlay backward reaches the rank-r factors
+    # directly (x^T(g·upᵀ) association), skipping the dense per-layer dL/dW'
+    # weight-grad matmuls the merged path pays. LoRA only (DoRA must merge).
+    student_overlay: Optional[bool] = None
 
 
 class RootConfig(BaseModel):

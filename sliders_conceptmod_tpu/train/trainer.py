@@ -101,6 +101,19 @@ def train(
     w8a8_warmup = bool(getattr(tpu_cfg, "w8a8_warmup", False))
     if w8a8_warmup and not quantize_base:
         raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
+    # tpu.student_overlay: None follows quantize_base; explicit False with an
+    # int8 base is impossible (nothing to merge into)
+    student_overlay = getattr(tpu_cfg, "student_overlay", None)
+    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
+    if quantize_base and not student_overlay:
+        raise ValueError(
+            "tpu.student_overlay: false is incompatible with quantize_base: "
+            "true — an int8 base cannot host the merged student"
+        )
+    if student_overlay and peft_type == "dora":
+        raise NotImplementedError(
+            "tpu.student_overlay supports LoRA only (DoRA's norm decomposition merges)"
+        )
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)
@@ -225,8 +238,10 @@ def train(
             # step for the whole run
             dynamic_crops=bool(dynamic_crops) and is_xl,
             # int8 base: the student LoRA rides the apply-time overlay (a
-            # merge cannot land in an int8 tree)
-            student_overlay=quantize_base,
+            # merge cannot land in an int8 tree). On a bf16 base the knob is
+            # a perf A/B: the overlay backward skips the dense dL/dW'
+            # weight-grad matmuls of the merged path (tpu.student_overlay)
+            student_overlay=student_overlay,
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, False)) if is_xl else None
         return esd.make_esd_train_step(

@@ -689,3 +689,35 @@ def test_quantize_checkpoint_artifact_xl_sd1(tmp_path):
         for a, b in zip(ref_flat, art_flat):
             assert a.shape == b.shape and a.dtype == b.dtype
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_student_overlay_config_knob():
+    """tpu.student_overlay plumbing: None follows quantize_base; explicit
+    False with an int8 base refuses (nothing to merge into); DoRA refuses
+    the overlay (its norm decomposition merges); explicit True on a bf16
+    base trains (the dL/dW'-skipping perf route, math equivalence in
+    tests/test_esd_train.py::test_student_overlay_matches_merged_path)."""
+    import pytest
+
+    from sliders_conceptmod_tpu.core import config as config_util
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.train import trainer as sd_trainer
+
+    prompts = [PromptSettings(target="person", resolution=64)]
+
+    cfg = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg.tpu.quantize_base = True
+    cfg.tpu.student_overlay = False
+    with pytest.raises(ValueError, match="student_overlay"):
+        sd_trainer.train(cfg, prompts, rank=2, save_file=False)
+
+    cfg2 = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg2.tpu.student_overlay = True
+    with pytest.raises(NotImplementedError, match="LoRA only"):
+        sd_trainer.train(cfg2, prompts, rank=2, save_file=False, peft_type="dora")
+
+    cfg3 = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg3.tpu.student_overlay = True
+    cfg3.train.iterations = 2
+    res = sd_trainer.train(cfg3, prompts, rank=2, save_file=False)
+    assert all(np.isfinite(l) for l in res.losses)
