@@ -49,6 +49,16 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "DoRA's per-column norm init — use peft_type=lora with a "
             "quantized base."
         )
+    # tpu.student_overlay: None follows quantize_base (an int8 base cannot
+    # host a merge); on a bf16 base it skips the dense dL/dW' weight-grads
+    student_overlay = getattr(config.tpu, "student_overlay", None)
+    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
+    if quantize_base and not student_overlay:
+        raise ValueError(
+            "tpu.student_overlay: false is incompatible with quantize_base: true"
+        )
+    if student_overlay and peft_type == "dora":
+        raise NotImplementedError("tpu.student_overlay supports LoRA only")
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and
@@ -143,7 +153,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         return esd_flux.make_flux_esd_train_step(
             transformer.apply_fn(), sites, schedule, optimizer, fcfg,
             merge_fn=peft_mod.merge_lora_params,
-            student_overlay=quantize_base,
+            student_overlay=student_overlay,
             # per-block remat on the student caps fwd+bwd peak HBM at block
             # granularity — what fits the full-depth int8 schnell step on a v5e
             remat_apply=transformer.apply_fn(remat_blocks=True) if fcfg.remat else None,
