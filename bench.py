@@ -885,7 +885,13 @@ def main():
         # rank-4 factors through the overlay's own product), an A/B for the
         # student backward's 84 ms true latency (phase table: ~3x fwd FLOPs
         # merged vs ~2x overlaid). Implied whenever the base is quantized.
-        student_overlay=(qmode != "off") or os.environ.get("BENCH_OVERLAY", "0") == "1",
+        # BENCH_OVERLAY=2: same, but the warm-up chain keeps the merged tree
+        # (no per-site interceptors on the latency-bound chain).
+        student_overlay=(qmode != "off")
+        or os.environ.get("BENCH_OVERLAY", "0") in ("1", "2"),
+        overlay_warmup=(
+            False if qmode == "off" and os.environ.get("BENCH_OVERLAY") == "2" else None
+        ),
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -942,6 +948,8 @@ def main():
         metric += f"_{peft}"
     if qmode == "off" and os.environ.get("BENCH_OVERLAY", "0") == "1":
         metric += "_overlay_student"
+    elif qmode == "off" and os.environ.get("BENCH_OVERLAY", "0") == "2":
+        metric += "_overlay_student_mergedwarm"
     if os.environ.get("BENCH_FUSE_TS", "0") == "1":
         metric += "_fusedTS"
     f_row = fwd_flops(

@@ -198,6 +198,14 @@ class ESDConfig:
     # to the merged path up to matmul re-association (equivalence-tested).
     # LoRA only (DoRA's magnitude decomposition needs the merged tree).
     student_overlay: bool = False
+    # warm-up path under student_overlay: None (default) runs the warm-up
+    # through the overlay too — REQUIRED over a quantized base (the merged
+    # tree cannot exist). False keeps the warm-up on the once-per-step
+    # merged tree while only the student grad path uses the overlay: the
+    # latency-bound warm-up chain keeps its unbroken XLA fusions (no
+    # per-site interceptors) and the student backward still skips the dense
+    # dL/dW' weight-grads. bf16 base only.
+    overlay_warmup: Optional[bool] = None
     # software-pipeline the warm-up across step boundaries: step k's graph
     # computes the teacher/student/update from a CARRIED warm-up state and
     # the warm-up for step k+1 from the *pre-update* LoRA params — the two
@@ -292,11 +300,20 @@ def make_esd_train_step(
 
         return fn
 
+    overlay_warmup = cfg.overlay_warmup if cfg.overlay_warmup is not None else cfg.student_overlay
+    if cfg.overlay_warmup is False and warm_apply is not None:
+        raise ValueError(
+            "overlay_warmup=False needs the merged warm-up tree — impossible "
+            "with a distinct warm_apply (quantized base)"
+        )
+    if cfg.overlay_warmup and not cfg.student_overlay:
+        raise ValueError("overlay_warmup=True requires student_overlay=True")
+
     def _warmup_apply_params(base_params, lora_params):
         """(apply, params) for the gradient-stopped warm-up — ONE place so the
         per-sample and fused paths cannot desync (the same rule that keeps
         teacher_and_loss shared)."""
-        if cfg.student_overlay:
+        if overlay_warmup:
             return _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params)), base_params
         return unet_apply, jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
 

@@ -451,10 +451,12 @@ def test_student_overlay_matches_merged_path(xl, fused):
     kw = dict(samples_per_step=4, fuse_samples=True) if fused else {}
 
     losses = {}
-    for overlay in (False, True):
+    # variants: merged; full overlay; overlay student + merged warm-up
+    # (ESDConfig.overlay_warmup=False — the fusion-preserving bf16 route)
+    for overlay, owarm in ((False, None), (True, None), (True, False)):
         ecfg = esd.ESDConfig(
             max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
-            remat_unet=False, student_overlay=overlay, **kw,
+            remat_unet=False, student_overlay=overlay, overlay_warmup=owarm, **kw,
         )
         step = esd.make_esd_train_step(
             unet_apply, sites, scheduler, schedule, opt, ecfg, add_time_ids=add_tids
@@ -465,8 +467,9 @@ def test_student_overlay_matches_merged_path(xl, fused):
         for i in range(3):
             lp, opt_state, metrics = step(params, lp, opt_state, jax.random.PRNGKey(7 + i), bank)
             ls.append(float(metrics["loss"]))
-        losses[overlay] = ls
-    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-3, atol=1e-6)
+        losses[(overlay, owarm)] = ls
+    np.testing.assert_allclose(losses[(True, None)], losses[(False, None)], rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(losses[(True, False)], losses[(False, None)], rtol=2e-3, atol=1e-6)
 
 
 def test_student_overlay_over_quantized_base():
