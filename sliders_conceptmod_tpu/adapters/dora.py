@@ -88,6 +88,13 @@ def merge_lora_params(base_params, sites: Sequence[LoRASite], dora_params: Dict,
         leaf = dora_params[site.lora_name]
         path = site.module_path + ("kernel",)
         base_kernel = _get(base_params, path)
+        if jnp.issubdtype(jnp.asarray(base_kernel).dtype, jnp.integer):
+            # same trace-time guard as lora.merge_lora_params: the astype
+            # below would silently truncate into a quantized int8 kernel
+            raise ValueError(
+                f"cannot merge DoRA into integer (quantized) kernel at "
+                f"{'/'.join(site.module_path)}"
+            )
         delta = _dora_delta(site, leaf, base_kernel)
 
         def apply_at(tree, path, delta):

@@ -266,6 +266,12 @@ def init_lora_params(key: jax.Array, sites: Sequence[LoRASite], dtype=jnp.float3
     return params
 
 
+def _tree_at(tree, path):
+    for seg in path:
+        tree = tree[seg]
+    return tree
+
+
 def _delta_kernel(site: LoRASite, leaf: Dict) -> jnp.ndarray:
     """(α/r)·(up∘down) in the base kernel's layout."""
     down, up = leaf["down"], leaf["up"]
@@ -461,6 +467,16 @@ def merge_lora_params(base_params, sites: Sequence[LoRASite], lora_params: Dict,
     for site in sites:
         leaf = lora_params[site.lora_name]
         path = site.module_path + ("kernel",)
+        kernel = _tree_at(base_params, path)
+        if jnp.issubdtype(jnp.asarray(kernel).dtype, jnp.integer):
+            # an int8 (quantized) base cannot hold a merged delta — the
+            # astype below would TRUNCATE it silently; quantized bases must
+            # go through the apply-time overlay instead (trace-time check)
+            raise ValueError(
+                f"cannot merge LoRA into integer (quantized) kernel at "
+                f"{'/'.join(site.module_path)} — use the apply-time overlay "
+                "(student_overlay / lora_overlay) over a quantized base"
+            )
 
         def apply_at(tree, path, delta):
             seg, rest = path[0], path[1:]

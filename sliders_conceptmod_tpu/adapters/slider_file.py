@@ -203,6 +203,19 @@ def load_te_part(
             f"no matching {prefix} keys between the text encoder and the slider part "
             f"(part keys e.g. {sorted(part)[:2]})"
         )
+    # every checkpoint key must land on a created site — the same
+    # no-silent-drop invariant split_parts enforces for unet keys: a te part
+    # trained over modules these rules don't create (or a foreign suffix)
+    # would otherwise apply PARTIALLY and generate wrong images with no
+    # signal
+    matched = {s.lora_name for s in sites}
+    unmatched = sorted(k for k in part if k.rsplit(".", 2)[0] not in matched)
+    if unmatched:
+        raise ValueError(
+            f"{len(unmatched)} {prefix} slider keys match no {train_method} site "
+            f"over this text encoder (e.g. {unmatched[:3]}) — refusing to apply "
+            "a partial text-encoder slider"
+        )
     # per-site alpha exactness: reference checkpoints may carry per-site
     # alphas; rebuild sites with each one's own alpha when they differ
     alphas = {

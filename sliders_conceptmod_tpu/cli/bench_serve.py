@@ -166,6 +166,15 @@ def run(args):
     # towers) outside the timed window
     with ThreadPoolExecutor(args.concurrency) as pool:
         list(pool.map(one, range(min(args.concurrency, args.requests))))
+    # the warm-up itself can shed near the queue bound — reset shed
+    # accounting so the reported rates cover the timed run only (matching
+    # 'requests'/'completed')
+    shed.clear()
+    rejected_before = (
+        service._batcher.rejected
+        if service is not None and getattr(service, "_batcher", None) is not None
+        else 0
+    )
 
     # sample queue depth during the run (overload observability: growth vs
     # bounded shedding); only meaningful in-process with the micro-batcher
@@ -206,12 +215,14 @@ def run(args):
         "num_sliders": args.num_sliders if not args.url else 1,
         "cross_slider_stack": not args.no_stack and not args.url,
     }
+    if args.url:
+        out["shed_429"] = len(shed)
     if service is not None and getattr(service, "_batcher", None) is not None:
         b = service._batcher
         sizes = b.batch_sizes
         out["mean_batch"] = round(sum(sizes) / max(len(sizes), 1), 2)
         out["p99_s"] = round(_percentile(lat, 0.99), 3)
-        out["shed_429"] = b.rejected
+        out["shed_429"] = b.rejected - rejected_before
         out["max_queue"] = b.max_queue
         out["max_queue_depth_seen"] = max(depth_samples, default=0)
         out["completed"] = completed

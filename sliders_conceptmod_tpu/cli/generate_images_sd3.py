@@ -97,6 +97,11 @@ def run(args):
     t5_seq_len = 4 if is_tiny else 256
     import dataclasses as _dc
 
+    # the uncond ("") row only depends on the te-merge scale (always 0.0
+    # without te parts) — cache it per scale instead of re-running both CLIP
+    # towers once per case row
+    _uncond_cache: dict = {}
+
     def encode_case(prompt: str, scale: float):
         """(emb [2], pool [2]) uncond++cond. te slider parts merge at
         ``scale`` before encoding — INCLUDING the uncond row (the notrigger
@@ -106,8 +111,12 @@ def run(args):
             encs = [_dc.replace(te, params=p) for te, p in zip(text_encoders, m)]
         else:
             encs = text_encoders
+            scale = 0.0
         kw = dict(joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=t5_seq_len)
-        text_u, pooled_u = factory.encode_prompts_sd3(encs, [""], **kw)
+        ckey = float(scale)
+        if ckey not in _uncond_cache:
+            _uncond_cache[ckey] = factory.encode_prompts_sd3(encs, [""], **kw)
+        text_u, pooled_u = _uncond_cache[ckey]
         text, pooled = factory.encode_prompts_sd3(encs, [prompt], **kw)
         return (
             jnp.concatenate([text_u, text], axis=0),

@@ -43,16 +43,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "DoRA's per-column norm init — use peft_type=lora with a "
             "quantized base."
         )
-    # tpu.student_overlay: None follows quantize_base (an int8 base cannot
-    # host a merge); on a bf16 base it skips the dense dL/dW' weight-grads
-    student_overlay = getattr(config.tpu, "student_overlay", None)
-    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
-    if quantize_base and not student_overlay:
-        raise ValueError(
-            "tpu.student_overlay: false is incompatible with quantize_base: true"
-        )
-    if student_overlay and peft_type == "dora":
-        raise NotImplementedError("tpu.student_overlay supports LoRA only")
+    # tpu.student_overlay (core/config.resolve_student_overlay): on a bf16
+    # base it skips the dense dL/dW' weight-grads
+    student_overlay = config_util.resolve_student_overlay(config.tpu, quantize_base, peft_type)
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and

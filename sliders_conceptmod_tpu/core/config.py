@@ -175,6 +175,26 @@ def parse_precision(precision: str) -> jnp.dtype:
     raise ValueError(f"Invalid precision type: {precision}")
 
 
+def resolve_student_overlay(tpu_cfg, quantize_base: bool, peft_type: str) -> bool:
+    """``tpu.student_overlay`` resolution shared by every ESD trainer family
+    (one place so the rules cannot drift between trainers): ``None`` follows
+    ``quantize_base`` (an int8 base cannot host a merged student); an explicit
+    ``false`` with an int8 base is impossible for the same reason; DoRA is
+    refused (its norm decomposition needs the merged tree)."""
+    student_overlay = getattr(tpu_cfg, "student_overlay", None)
+    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
+    if quantize_base and not student_overlay:
+        raise ValueError(
+            "tpu.student_overlay: false is incompatible with quantize_base: "
+            "true — an int8 base cannot host the merged student"
+        )
+    if student_overlay and peft_type == "dora":
+        raise NotImplementedError(
+            "tpu.student_overlay supports LoRA only (DoRA's norm decomposition merges)"
+        )
+    return student_overlay
+
+
 def parse_save_precision(precision: str):
     """Reference config_util.py:46-50 + lora.py:274-283 — the *export* dtype.
 

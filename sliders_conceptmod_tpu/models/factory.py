@@ -939,15 +939,25 @@ def load_models_flux(
         # prefixes, train_notrigger.py:184-196) and a merged-params encode
         encode_fn.text_encoder_params = [te1.params, t5_params]
 
-        def encode_with_merged(prompt: str, merged_list):
-            clip_p, t5_p = merged_list
-            ids = jnp.asarray(tok([prompt]))
-            text = t5_model.apply({"params": t5_p}, ids)[0]
-            pooled = te1.model.apply(
-                {"params": clip_p}, jnp.asarray(te1.tokenizer([prompt]))
-            ).pooled_output[0]
+        def encode_core(params_list, clip_ids, t5_ids):
+            """Pure array→array encode (params as ARGUMENTS — jittable by
+            callers that merge te-slider factors inside the same trace, so a
+            scale sweep is one executable, not an eager T5-XXL forward per
+            (prompt, scale))."""
+            clip_p, t5_p = params_list
+            text = t5_model.apply({"params": t5_p}, t5_ids)[0]
+            pooled = te1.model.apply({"params": clip_p}, clip_ids).pooled_output[0]
             return text, pooled
 
+        def tokenize(prompt: str):
+            return jnp.asarray(te1.tokenizer([prompt])), jnp.asarray(tok([prompt]))
+
+        def encode_with_merged(prompt: str, merged_list):
+            clip_ids, t5_ids = tokenize(prompt)
+            return encode_core(tuple(merged_list), clip_ids, t5_ids)
+
+        encode_fn.encode_core = encode_core
+        encode_fn.tokenize = tokenize
         encode_fn.encode_with_merged = encode_with_merged
 
     else:

@@ -99,6 +99,11 @@ class MicroBatcher:
         self.total_rows = 0
         self.rejected = 0
         self.errored = 0
+        # admission check + counters run on concurrent HTTP handler threads:
+        # an unlocked qsize-check-then-put admits up to (max_queue + threads)
+        # and unlocked ``+=`` read-modify-writes undercount exactly during
+        # the overload these metrics exist to measure
+        self._stats_lock = threading.Lock()
         threading.Thread(target=self._worker, daemon=True, name="microbatcher").start()
 
     def queue_depth(self) -> int:
@@ -107,21 +112,24 @@ class MicroBatcher:
     def submit(self, item):
         from concurrent.futures import Future
 
-        if self._q.qsize() >= self.max_queue:
-            self.rejected += 1
-            raise QueueFullError(
-                f"micro-batch queue full ({self.max_queue} waiting) — retry later"
-            )
         fut: "Future" = Future()
         t0 = time.time()
-        self._q.put((item, fut))
+        with self._stats_lock:
+            if self._q.qsize() >= self.max_queue:
+                self.rejected += 1
+                raise QueueFullError(
+                    f"micro-batch queue full ({self.max_queue} waiting) — retry later"
+                )
+            self._q.put((item, fut))
         try:
             res = fut.result()
         except Exception:
-            self.errored += 1
-            self.latencies.append(time.time() - t0)
+            with self._stats_lock:
+                self.errored += 1
+                self.latencies.append(time.time() - t0)
             raise
-        self.latencies.append(time.time() - t0)
+        with self._stats_lock:
+            self.latencies.append(time.time() - t0)
         return res
 
     def _worker(self):
@@ -223,9 +231,11 @@ class _SliderRegistry:
 
         return fn
 
-    @functools.lru_cache(maxsize=256)
-    def _encode_te_cached(self, slider: str, version: int, prompt: str, scale: float):
+    def _encode_te_impl(self, slider: str, version: int, prompt: str, scale: float):
         return self._te_encoders[slider][0](prompt, scale)
+
+    def _encode_impl(self, prompt: str):  # every service family overrides
+        raise NotImplementedError("service must implement _encode_impl")
 
     def _encode_row(self, prompt: str, slider: str, scale: float):
         """Per-row embeddings: te-merged at the row's scale when the row's
@@ -249,6 +259,12 @@ class _SliderRegistry:
         # every (re)register so cached embeddings can't go stale.
         self._te_encoders: dict = {}
         self._te_version = 0
+        # Embedding caches are built per INSTANCE: a class-level
+        # functools.lru_cache keys on ``self`` and pins every service ever
+        # constructed in the process (multi-GB param trees) until its entries
+        # churn out of the shared 256 slots.
+        self._encode = functools.lru_cache(maxsize=256)(self._encode_impl)
+        self._encode_te_cached = functools.lru_cache(maxsize=256)(self._encode_te_impl)
         import collections
         import threading
 
@@ -280,7 +296,11 @@ class _SliderRegistry:
             if self.max_sliders is not None:
                 evictable = [n for n in self._sliders if n not in (name, "default")]
                 while len(self._sliders) > self.max_sliders and evictable:
-                    del self._sliders[evictable.pop(0)]  # LRU order = dict order
+                    evicted = evictable.pop(0)  # LRU order = dict order
+                    del self._sliders[evicted]
+                    # the te encoder (jitted merge+encode fn + device LoRA
+                    # trees) must not outlive its registry entry
+                    self._te_encoders.pop(evicted, None)
             self._stack_cache.clear()
             self._registry_generation += 1
 
@@ -702,8 +722,7 @@ class SliderService(_SliderRegistry):
         pooled = o2.projected if o2.projected is not None else o2.pooled_output
         return text, pooled
 
-    @functools.lru_cache(maxsize=256)
-    def _encode(self, prompt: str):
+    def _encode_impl(self, prompt: str):
         te1, te2 = self.text_encoders
         text, pooled = self._encode_jit(
             te1.params,
@@ -885,15 +904,31 @@ class FluxSliderService(_SliderRegistry):
         self._register_te_parts(name, parts)
 
     def _make_te_encoder(self, parts):
-        """Flux override: encode through factory's merged-params encode
-        (te1=CLIP pooled, te2=T5 sequence — reference notrigger FLUX.1
-        prefixes, train_notrigger.py:184-196)."""
+        """Flux override: (te1=CLIP pooled, te2=T5 sequence — reference
+        notrigger FLUX.1 prefixes, train_notrigger.py:184-196). Same design
+        as the generic dual-CLIP path: the factor merge happens INSIDE one
+        jitted call with the scale a traced scalar — one executable for every
+        (prompt, scale), never an eager T5-XXL forward on the serving hot
+        path."""
         enc = self._encode_raw
-        base = enc.text_encoder_params
+        base = tuple(enc.text_encoder_params)
+        te_parts = tuple(parts.te_parts)
+        core = enc.encode_core
+
+        @jax.jit
+        def _enc(ps, lps, mult, clip_ids, t5_ids):
+            ps = list(ps)
+            for part, lp in zip(te_parts, lps):
+                ps[part.index] = part.peft.merge_lora_params(
+                    ps[part.index], part.sites, lp, mult
+                )
+            return core(ps, clip_ids, t5_ids)
+
+        lps = tuple(p.lora_params for p in te_parts)
 
         def fn(prompt: str, scale: float):
-            merged = parts.merged_text_encoder_params(base, scale)
-            text, pooled = enc.encode_with_merged(prompt, merged)
+            clip_ids, t5_ids = enc.tokenize(prompt)
+            text, pooled = _enc(base, lps, jnp.float32(scale), clip_ids, t5_ids)
             return text[None], pooled[None]
 
         return fn
@@ -913,8 +948,7 @@ class FluxSliderService(_SliderRegistry):
             self._stacked_fns[cache_key] = fn
         return fn
 
-    @functools.lru_cache(maxsize=256)
-    def _encode(self, prompt: str):
+    def _encode_impl(self, prompt: str):
         text, pooled = self._encode_raw(prompt)
         return text[None], pooled[None]
 
@@ -1142,8 +1176,7 @@ class SD3SliderService(_SliderRegistry):
             jnp.concatenate(pooled, axis=-1),
         )
 
-    @functools.lru_cache(maxsize=256)
-    def _encode(self, prompt: str):
+    def _encode_impl(self, prompt: str):
         te1, te2 = self.text_encoders
         return self._encode_jit(
             te1.params,

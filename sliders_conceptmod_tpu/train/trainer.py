@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 
 from sliders_conceptmod_tpu.adapters import lora as lora_lib
-from sliders_conceptmod_tpu.core.config import RootConfig, parse_precision, parse_save_precision
+from sliders_conceptmod_tpu.core.config import (
+    RootConfig,
+    parse_precision,
+    parse_save_precision,
+    resolve_student_overlay,
+)
 from sliders_conceptmod_tpu.core.prompts import PromptSettings
 from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
 from sliders_conceptmod_tpu.models import factory
@@ -101,19 +106,7 @@ def train(
     w8a8_warmup = bool(getattr(tpu_cfg, "w8a8_warmup", False))
     if w8a8_warmup and not quantize_base:
         raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
-    # tpu.student_overlay: None follows quantize_base; explicit False with an
-    # int8 base is impossible (nothing to merge into)
-    student_overlay = getattr(tpu_cfg, "student_overlay", None)
-    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
-    if quantize_base and not student_overlay:
-        raise ValueError(
-            "tpu.student_overlay: false is incompatible with quantize_base: "
-            "true — an int8 base cannot host the merged student"
-        )
-    if student_overlay and peft_type == "dora":
-        raise NotImplementedError(
-            "tpu.student_overlay supports LoRA only (DoRA's norm decomposition merges)"
-        )
+    student_overlay = resolve_student_overlay(tpu_cfg, quantize_base, peft_type)
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)

@@ -40,6 +40,13 @@ def apply_tpu_runtime_flags(tpu) -> None:
             "jax_persistent_cache_min_compile_time_secs",
             float(getattr(tpu, "persistent_cache_min_compile_seconds", 1.0)),
         )
+        # jax memoizes its cache handle on FIRST use: if anything compiled
+        # before this call (weightless init, an env-var cache dir), the
+        # update above is silently ignored for the rest of the process —
+        # drop the handle so the configured dir actually takes effect
+        from jax.experimental.compilation_cache import compilation_cache as _cc
+
+        _cc.reset_cache()
     if getattr(tpu, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
 

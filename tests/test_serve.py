@@ -684,3 +684,98 @@ def test_metrics_endpoint_overload_fields(service):
         assert m["error_rate"] <= 1.0
     finally:
         httpd.shutdown()
+
+
+def test_lru_eviction_drops_te_encoder():
+    """max_sliders eviction must drop the evicted name's te encoder too —
+    the (jitted merge+encode fn, device LoRA trees) tuple would otherwise
+    outlive its registry entry forever on a long-lived server."""
+    from sliders_conceptmod_tpu.serve import _SliderRegistry
+
+    class R(_SliderRegistry):
+        def _make_te_encoder(self, parts):
+            return lambda prompt, scale: (prompt, scale)
+
+        def _encode_impl(self, prompt):
+            return prompt
+
+    class TeParts:
+        has_te = True
+        te_parts: list = []
+
+    r = R()
+    r._registry_init(max_sliders=2)
+    for name in ("default", "a", "b", "c"):
+        r._register(name, ((), {}, None))
+        r._register_te_parts(name, TeParts())
+    names = {e["name"] for e in r.list_sliders()}
+    assert names == {"default", "c"}  # 'default' pinned; a, b LRU-evicted
+    assert set(r._te_encoders) == names
+
+
+def test_flux_te_encoder_jitted_matches_eager():
+    """FluxSliderService._make_te_encoder: the jitted merge-inside encoder
+    (scale a traced scalar, one executable for every (prompt, scale)) must
+    reproduce the eager merged-params encode exactly — the serving hot path
+    may never pay a per-scale eager T5 forward (reference notrigger FLUX.1
+    te2=T5 prefixes, train_notrigger.py:184-196)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+    from sliders_conceptmod_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+    from sliders_conceptmod_tpu.models.t5 import T5Config, T5EncoderModel
+    from sliders_conceptmod_tpu.models.tokenizer import HashTokenizer
+    from sliders_conceptmod_tpu.serve import FluxSliderService
+
+    # hand-built equivalent of factory.load_models_flux's real-checkpoint
+    # encode stack (te1=CLIP pooled, te2=T5 sequence)
+    clip_cfg = CLIPTextConfig.tiny()
+    clip_model = CLIPTextEncoder(clip_cfg, dtype=jnp.float32)
+    clip_tok = HashTokenizer(vocab_size=clip_cfg.vocab_size, max_length=8, bos=0, eos=1, pad=0)
+    clip_params = clip_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))["params"]
+    t5_cfg = T5Config.tiny()
+    t5_model = T5EncoderModel(t5_cfg, dtype=jnp.float32)
+    t5_tok = HashTokenizer(vocab_size=t5_cfg.vocab_size, max_length=8, bos=0, eos=1, pad=0)
+    t5_params = t5_model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8), jnp.int32))["params"]
+
+    def encode_core(params_list, clip_ids, t5_ids):
+        clip_p, t5_p = params_list
+        text = t5_model.apply({"params": t5_p}, t5_ids)[0]
+        pooled = clip_model.apply({"params": clip_p}, clip_ids).pooled_output[0]
+        return text, pooled
+
+    def tokenize(prompt):
+        return jnp.asarray(clip_tok([prompt])), jnp.asarray(t5_tok([prompt]))
+
+    enc = types.SimpleNamespace(
+        encode_core=encode_core,
+        tokenize=tokenize,
+        text_encoder_params=[clip_params, t5_params],
+    )
+
+    sites = lora_lib.create_sites(
+        t5_params, rank=2, alpha=1.0, target_replace=["T5Attention"],
+        prefix="lora_te2", train_method="t5attn",
+        name_path_prefix=sfile.T5_NAME_PATH_PREFIX,
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(2), sites)
+    lp = jax.tree.map(lambda a: a + 0.1, lp)
+    parts = sfile.SliderParts(
+        unet=None,
+        te_parts=[sfile.load_te_part(
+            t5_params, lora_lib.state_dict_numpy(sites, lp), index=1, is_t5=True
+        )],
+    )
+
+    fn = FluxSliderService._make_te_encoder(types.SimpleNamespace(_encode_raw=enc), parts)
+    clip_ids, t5_ids = tokenize("a cat")
+    for scale in (-1.5, 0.0, 2.0):
+        text_j, pooled_j = fn("a cat", scale)
+        merged = parts.merged_text_encoder_params(enc.text_encoder_params, scale)
+        text_e = t5_model.apply({"params": merged[1]}, t5_ids)[0][None]
+        pooled_e = clip_model.apply({"params": merged[0]}, clip_ids).pooled_output[0][None]
+        np.testing.assert_allclose(np.asarray(text_j), np.asarray(text_e), rtol=3e-5, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(pooled_j), np.asarray(pooled_e), rtol=3e-5, atol=3e-6)
