@@ -870,6 +870,9 @@ def main():
     bank = esd.build_prompt_bank(settings, encode_fn)
 
     pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
+    # bf16 LoRA default = "2" (overlay student + merged warm-up, the measured
+    # winner); DoRA must merge (norm decomposition), so its default is "0"
+    overlay_mode = os.environ.get("BENCH_OVERLAY", "2" if peft == "lora" else "0")
     ecfg = esd.ESDConfig(
         max_denoising_steps=max_denoise,
         train_cfg_scale=float(os.environ.get("BENCH_CFG", "1.0")),
@@ -886,12 +889,13 @@ def main():
         # student backward's 84 ms true latency (phase table: ~3x fwd FLOPs
         # merged vs ~2x overlaid). Implied whenever the base is quantized.
         # BENCH_OVERLAY=2: same, but the warm-up chain keeps the merged tree
-        # (no per-site interceptors on the latency-bound chain).
-        student_overlay=(qmode != "off")
-        or os.environ.get("BENCH_OVERLAY", "0") in ("1", "2"),
-        overlay_warmup=(
-            False if qmode == "off" and os.environ.get("BENCH_OVERLAY") == "2" else None
-        ),
+        # (no per-site interceptors on the latency-bound chain) — the
+        # measured winner (BASELINE.md r3 overlay A/B) and therefore the
+        # DEFAULT for bf16 LoRA, matching the trainer default
+        # (core/config.resolve_student_overlay). BENCH_OVERLAY=0 forces the
+        # merged-student control.
+        student_overlay=(qmode != "off") or overlay_mode in ("1", "2"),
+        overlay_warmup=(False if qmode == "off" and overlay_mode == "2" else None),
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2
@@ -946,10 +950,11 @@ def main():
         metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
     if peft != "lora":
         metric += f"_{peft}"
-    if qmode == "off" and os.environ.get("BENCH_OVERLAY", "0") == "1":
+    # suffix only the deviations from the bf16-LoRA default (overlay_mode 2)
+    if qmode == "off" and peft == "lora" and overlay_mode == "0":
+        metric += "_mergedstudent"
+    elif qmode == "off" and overlay_mode == "1":
         metric += "_overlay_student"
-    elif qmode == "off" and os.environ.get("BENCH_OVERLAY", "0") == "2":
-        metric += "_overlay_student_mergedwarm"
     if os.environ.get("BENCH_FUSE_TS", "0") == "1":
         metric += "_fusedTS"
     f_row = fwd_flops(

@@ -50,8 +50,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "quantized base."
         )
     # tpu.student_overlay (core/config.resolve_student_overlay): on a bf16
-    # base it skips the dense dL/dW' weight-grads
-    student_overlay = config_util.resolve_student_overlay(config.tpu, quantize_base, peft_type)
+    # base it skips the dense dL/dW' weight-grads. overlay_warmup is
+    # meaningless here — the Flux trainer has no warm-up chain
+    # (timesteps_to=0 fixed, reference train_lora_flux.py:238-239)
+    student_overlay, _ = config_util.resolve_student_overlay(
+        config.tpu, quantize_base, peft_type
+    )
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and

@@ -44,8 +44,13 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "quantized base."
         )
     # tpu.student_overlay (core/config.resolve_student_overlay): on a bf16
-    # base it skips the dense dL/dW' weight-grads
-    student_overlay = config_util.resolve_student_overlay(config.tpu, quantize_base, peft_type)
+    # base it skips the dense dL/dW' weight-grads. Default stays
+    # follow-quantize_base here (the SD1/XL default flip rode a measured
+    # A/B, BASELINE.md r3 — no SD3 overlay A/B recorded yet);
+    # tpu.overlay_warmup=False keeps the warm-up on the merged tree.
+    student_overlay, overlay_warmup = config_util.resolve_student_overlay(
+        config.tpu, quantize_base, peft_type
+    )
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and
@@ -128,6 +133,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             transformer.apply_fn(), sites, schedule, optimizer, scfg,
             merge_fn=peft_mod.merge_lora_params,
             student_overlay=student_overlay,
+            overlay_warmup=overlay_warmup,
             # per-block remat on the student: block-granular fwd+bwd peak HBM
             # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
             remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,

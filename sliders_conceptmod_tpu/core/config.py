@@ -146,6 +146,13 @@ class TPUConfig(BaseModel):
     # directly (x^T(g·upᵀ) association), skipping the dense per-layer dL/dW'
     # weight-grad matmuls the merged path pays. LoRA only (DoRA must merge).
     student_overlay: Optional[bool] = None
+    # warm-up chain under student_overlay: None = merged warm-up tree on a
+    # bf16 base (the measured winner — the latency-bound warm-up keeps its
+    # unbroken XLA fusions, only the student grad pass pays the overlay
+    # interceptors; BASELINE.md r3 overlay A/B) and overlay warm-up over an
+    # int8 base (the merged tree cannot exist there). true forces the
+    # overlay on the warm-up too; false is refused over a quantized base.
+    overlay_warmup: Optional[bool] = None
 
 
 class RootConfig(BaseModel):
@@ -175,24 +182,60 @@ def parse_precision(precision: str) -> jnp.dtype:
     raise ValueError(f"Invalid precision type: {precision}")
 
 
-def resolve_student_overlay(tpu_cfg, quantize_base: bool, peft_type: str) -> bool:
-    """``tpu.student_overlay`` resolution shared by every ESD trainer family
-    (one place so the rules cannot drift between trainers): ``None`` follows
-    ``quantize_base`` (an int8 base cannot host a merged student); an explicit
-    ``false`` with an int8 base is impossible for the same reason; DoRA is
-    refused (its norm decomposition needs the merged tree)."""
+def resolve_student_overlay(tpu_cfg, quantize_base: bool, peft_type: str, default_overlay=None):
+    """``tpu.student_overlay`` / ``tpu.overlay_warmup`` resolution shared by
+    every ESD trainer family (one place so the rules cannot drift between
+    trainers). Returns ``(student_overlay, overlay_warmup)``.
+
+    ``student_overlay``: ``None`` follows ``default_overlay`` when the caller
+    supplies one (the SD1/XL trainers pass ``peft_type == 'lora'`` — the
+    overlay student + merged warm-up split is the measured bf16 winner there,
+    BASELINE.md r3 overlay A/B), else ``quantize_base`` (an int8 base cannot
+    host a merged student). An explicit ``false`` with an int8 base is
+    impossible for the same reason; DoRA is refused when explicitly requested
+    (its norm decomposition needs the merged tree) and silently resolves to
+    the merged path under a default.
+
+    ``overlay_warmup``: ``None`` → ``True`` over a quantized base (the merged
+    warm-up tree cannot exist), ``False`` over bf16 (the latency-bound
+    warm-up chain keeps its unbroken XLA fusions; only the student grad path
+    pays the interceptors — the +1.4%/+0.4% SDXL/SD1.5 winner). An explicit
+    ``false`` with an int8 base is refused."""
     student_overlay = getattr(tpu_cfg, "student_overlay", None)
-    student_overlay = quantize_base if student_overlay is None else bool(student_overlay)
+    if student_overlay is None:
+        if default_overlay is not None:
+            student_overlay = bool(default_overlay) or quantize_base
+        else:
+            student_overlay = quantize_base
+    else:
+        student_overlay = bool(student_overlay)
+        if student_overlay and peft_type == "dora":
+            raise NotImplementedError(
+                "tpu.student_overlay supports LoRA only (DoRA's norm decomposition merges)"
+            )
     if quantize_base and not student_overlay:
         raise ValueError(
             "tpu.student_overlay: false is incompatible with quantize_base: "
             "true — an int8 base cannot host the merged student"
         )
-    if student_overlay and peft_type == "dora":
-        raise NotImplementedError(
-            "tpu.student_overlay supports LoRA only (DoRA's norm decomposition merges)"
+    if peft_type == "dora":
+        student_overlay = False
+
+    overlay_warmup = getattr(tpu_cfg, "overlay_warmup", None)
+    if not student_overlay:
+        if overlay_warmup:
+            raise ValueError("tpu.overlay_warmup: true requires tpu.student_overlay: true")
+        return False, None
+    if overlay_warmup is None:
+        overlay_warmup = bool(quantize_base)
+    else:
+        overlay_warmup = bool(overlay_warmup)
+    if quantize_base and not overlay_warmup:
+        raise ValueError(
+            "tpu.overlay_warmup: false needs the merged warm-up tree — "
+            "impossible over a quantized (int8) base"
         )
-    return student_overlay
+    return student_overlay, overlay_warmup
 
 
 def parse_save_precision(precision: str):

@@ -70,6 +70,7 @@ def make_sd3_esd_train_step(
     student_overlay: bool = False,
     remat_apply: Callable | None = None,
     warm_apply: Callable | None = None,
+    overlay_warmup: bool | None = None,
 ):
     """``student_overlay=True``: apply the student LoRA via the apply-time
     interceptor instead of merging — required over an int8-quantized base
@@ -84,12 +85,27 @@ def make_sd3_esd_train_step(
     ``warm_apply``: alternative MMDiT apply for the GRADIENT-STOPPED warm-up
     chain only (tpu.w8a8_warmup — ``bundle.apply_fn(act_quant=True)``: W8A8
     int8×int8 MXU matmuls on the latency-bound partial-denoise loop; teacher
-    and student stay on the exact path, mirroring train/esd.py)."""
+    and student stay on the exact path, mirroring train/esd.py).
+
+    ``overlay_warmup``: warm-up path under ``student_overlay`` — ``None``
+    follows ``student_overlay`` (overlay warm-up; REQUIRED over a quantized
+    base); ``False`` keeps the warm-up on the once-per-step merged tree
+    while only the student grad path uses the overlay (same bf16 split as
+    train/esd.py ESDConfig.overlay_warmup)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     if warm_apply is not None and not student_overlay:
         # merged-student warm-up would re-merge bf16 params and lose the int8
         # kernels W8A8 rides on — same constraint as train/esd.py
         raise ValueError("warm_apply requires student_overlay=True (quantized base)")
+    if overlay_warmup is None:
+        overlay_warmup = student_overlay
+    if overlay_warmup and not student_overlay:
+        raise ValueError("overlay_warmup=True requires student_overlay=True")
+    if not overlay_warmup and warm_apply is not None:
+        raise ValueError(
+            "overlay_warmup=False needs the merged warm-up tree — impossible "
+            "with a distinct warm_apply (quantized base)"
+        )
     warmup_apply = warm_apply if warm_apply is not None else transformer_apply
     overlay_one = jnp.ones((1,), jnp.float32)
     if remat_apply is not None:
@@ -149,7 +165,7 @@ def make_sd3_esd_train_step(
             )
 
             # warm-up with slider ON (multiplier 1), gradient-stopped
-            if student_overlay:
+            if overlay_warmup:
                 slp = jax.lax.stop_gradient(lp)
 
                 def body(i, lat):

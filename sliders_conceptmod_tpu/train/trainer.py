@@ -106,7 +106,12 @@ def train(
     w8a8_warmup = bool(getattr(tpu_cfg, "w8a8_warmup", False))
     if w8a8_warmup and not quantize_base:
         raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
-    student_overlay = resolve_student_overlay(tpu_cfg, quantize_base, peft_type)
+    # default_overlay=True for bf16 LoRA: the overlay-student + merged-warm-up
+    # split is the measured winner on SD1/XL (BASELINE.md r3 overlay A/B:
+    # SDXL +1.4%, SD1.5 +0.4% over the merged path); DoRA resolves merged
+    student_overlay, overlay_warmup = resolve_student_overlay(
+        tpu_cfg, quantize_base, peft_type, default_overlay=(peft_type == "lora")
+    )
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)
@@ -235,6 +240,7 @@ def train(
             # a perf A/B: the overlay backward skips the dense dL/dW'
             # weight-grad matmuls of the merged path (tpu.student_overlay)
             student_overlay=student_overlay,
+            overlay_warmup=overlay_warmup,
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, False)) if is_xl else None
         return esd.make_esd_train_step(

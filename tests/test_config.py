@@ -130,3 +130,37 @@ def test_tpu_config_accepts_cache_fields():
     assert t.compilation_cache_dir == "/tmp/x"
     assert t.persistent_cache_min_compile_seconds == 0.5
     assert TPUConfig().compilation_cache_dir is None
+
+
+def test_resolve_student_overlay_matrix():
+    """core/config.resolve_student_overlay → (student_overlay, overlay_warmup):
+    the shared resolution every ESD trainer family rides (BASELINE.md r3
+    overlay A/B — merged warm-up + overlay student is the measured bf16 LoRA
+    winner on SD1/XL)."""
+    import pytest
+
+    from sliders_conceptmod_tpu.core.config import TPUConfig, resolve_student_overlay
+
+    # bf16 LoRA with the SD1/XL default flip: overlay student, merged warm-up
+    assert resolve_student_overlay(TPUConfig(), False, "lora", default_overlay=True) == (True, False)
+    # no caller default (SD3/Flux): follow quantize_base
+    assert resolve_student_overlay(TPUConfig(), False, "lora") == (False, None)
+    # int8 base: overlay everywhere (the merged tree cannot exist)
+    assert resolve_student_overlay(TPUConfig(), True, "lora") == (True, True)
+    # DoRA resolves merged under any default, refuses an explicit overlay
+    assert resolve_student_overlay(TPUConfig(), False, "dora", default_overlay=True) == (False, None)
+    with pytest.raises(NotImplementedError, match="LoRA only"):
+        resolve_student_overlay(TPUConfig(student_overlay=True), False, "dora")
+    # explicit merged student refuses an int8 base
+    with pytest.raises(ValueError, match="student_overlay"):
+        resolve_student_overlay(TPUConfig(student_overlay=False), True, "lora")
+    # explicit overlay warm-up keeps the full-overlay route on bf16
+    assert resolve_student_overlay(
+        TPUConfig(overlay_warmup=True), False, "lora", default_overlay=True
+    ) == (True, True)
+    # overlay_warmup: false over int8 needs the impossible merged warm-up tree
+    with pytest.raises(ValueError, match="overlay_warmup"):
+        resolve_student_overlay(TPUConfig(overlay_warmup=False), True, "lora")
+    # overlay_warmup without a student overlay is a contradiction
+    with pytest.raises(ValueError, match="overlay_warmup"):
+        resolve_student_overlay(TPUConfig(overlay_warmup=True), False, "lora")

@@ -254,10 +254,13 @@ def test_sd3_esd_step_student_overlay_matches_merge():
         latent_channels=mm_cfg.in_channels, remat=False,
     )
     losses = []
-    for overlay in (False, True):
+    # variants: merged; full overlay; overlay student + merged warm-up
+    # (overlay_warmup=False — the fusion-preserving bf16 split, tpu.overlay_warmup)
+    for overlay, owarm in ((False, None), (True, None), (True, False)):
         opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
         step = esd_sd3.make_sd3_esd_train_step(
-            tr.apply_fn(), sites, schedule, opt, scfg, student_overlay=overlay
+            tr.apply_fn(), sites, schedule, opt, scfg,
+            student_overlay=overlay, overlay_warmup=owarm,
         )
         _, _, m = step(
             tr.params, jax.tree.map(jnp.copy, lp),
@@ -265,6 +268,7 @@ def test_sd3_esd_step_student_overlay_matches_merge():
         )
         losses.append(float(m["loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(losses[0], losses[2], rtol=1e-3, atol=1e-7)
 
 
 def test_sd3_w8a8_warmup_step():
