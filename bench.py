@@ -229,9 +229,16 @@ def bench_sd3(n_steps, res, dtype):
     opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
     remat_apply = wrap(model.clone(remat_blocks=True))
 
+    # BENCH_OVERLAY on SD3 mirrors the SDXL train A/B (default "0": the
+    # merged student — no SD3 overlay win recorded yet, unlike SD1/XL where
+    # "2" is the measured-winner default): "1" = overlay student + overlay
+    # warm-up, "2" = overlay student + merged warm-up. Implied over int8.
+    sd3_overlay = os.environ.get("BENCH_OVERLAY", "0")
     step = esd_sd3.make_sd3_esd_train_step(
         apply, sites, schedule, opt, scfg, remat_apply=remat_apply,
-        student_overlay=(qmode != "off"), warm_apply=warm_apply,
+        student_overlay=(qmode != "off") or sd3_overlay in ("1", "2"),
+        overlay_warmup=(False if qmode == "off" and sd3_overlay == "2" else None),
+        warm_apply=warm_apply,
     )
     opt_state = opt.init(lora_params)
 
@@ -256,6 +263,10 @@ def bench_sd3(n_steps, res, dtype):
     metric = "sd3_esd_train_steps_per_sec"
     if qmode != "off":
         metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
+    elif sd3_overlay == "1":
+        metric += "_overlay_student"
+    elif sd3_overlay == "2":
+        metric += "_overlay_student_mergedwarm"
     emit(
         metric,
         sps,
@@ -314,10 +325,14 @@ def bench_cascade(n_steps, res, dtype):
         resolution_multiple=cfg.resolution_multiple,
     )
     opt = get_optimizer("adamw", get_lr_schedule("constant", 2e-4, 2000, 2e-6))
+    # BENCH_OVERLAY=2: overlay student + merged warm-up (the SD1/XL winner
+    # split; cascade's only overlay shape — no quantized base exists here)
+    cascade_overlay = os.environ.get("BENCH_OVERLAY", "0") == "2"
     step = esd_cascade.make_cascade_esd_train_step(
         apply, sites, scheduler, schedule, opt, ccfg,
         empty_text=empty_text, empty_pooled=empty_pooled,
         clip_image_dim=cfg.clip_image_in_channels,
+        student_overlay=cascade_overlay,
     )
     opt_state = opt.init(lora_params)
 
@@ -341,7 +356,8 @@ def bench_cascade(n_steps, res, dtype):
         jnp.zeros((1, 1, cfg.clip_image_in_channels), dtype),
     )
     emit(
-        "cascade_esd_train_steps_per_sec",
+        "cascade_esd_train_steps_per_sec"
+        + ("_overlay_student_mergedwarm" if cascade_overlay else ""),
         sps,
         "steps/s",
         round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),

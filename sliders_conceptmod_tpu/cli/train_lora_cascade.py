@@ -43,6 +43,18 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
 
     apply_tpu_runtime_flags(getattr(config, "tpu", None))
+    # tpu.student_overlay: overlay-student + merged-warm-up split (the only
+    # overlay shape here — cascade has no quantized base, and the T−1-step
+    # warm-up always keeps the merged tree). Default merged until a cascade
+    # A/B is recorded (the SD1/XL default flip rode one, BASELINE.md r3).
+    student_overlay, overlay_warmup = config_util.resolve_student_overlay(
+        getattr(config, "tpu", None) or config_util.TPUConfig(), False, peft_type
+    )
+    if overlay_warmup:
+        raise NotImplementedError(
+            "tpu.overlay_warmup: true — the cascade warm-up always runs the "
+            "merged tree (no quantized base exists here); leave it unset."
+        )
     dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
@@ -138,6 +150,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             empty_pooled=empty_pooled,
             clip_image_dim=prior_cfg.clip_image_in_channels,
             merge_fn=peft_mod.merge_lora_params,
+            student_overlay=student_overlay,
         )
 
     step_fns = [build_step(h, w) for h, w in buckets]

@@ -98,8 +98,21 @@ def make_cascade_esd_train_step(
     empty_pooled: jnp.ndarray,  # [1, Dp]
     clip_image_dim: int,
     merge_fn=None,
+    student_overlay: bool = False,
 ):
+    """``student_overlay=True``: run ONLY the student prediction through the
+    apply-time LoRA overlay while the (dominant, T−1-step) gradient-stopped
+    warm-up keeps the once-per-step merged tree — the same merged-warm-up +
+    overlay-student split that is the measured SD1/XL winner
+    (tpu.student_overlay/overlay_warmup, BASELINE.md r3 overlay A/B): the
+    backward skips the dense dL/dW′ weight-grad matmuls over the 3.6B prior.
+    LoRA only (DoRA's norm decomposition needs the merged tree). Cascade has
+    no quantized-base route (the CLI refuses tpu.quantize_base), so there is
+    no overlay-warm-up variant here."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    if student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
+        raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
+    overlay_one = jnp.ones((1,), jnp.float32)
     student_apply = jax.checkpoint(prior_apply) if cfg.remat else prior_apply
     b = cfg.batch_size
     g = cfg.predict_guidance
@@ -203,10 +216,21 @@ def make_cascade_esd_train_step(
             (guided(p_neu) + sign * g_pair * (guided(p_pos) - guided(p_neg))).astype(jnp.float32)
         )
 
-        sp = merge(base_params, sites, lp, 1.0)
-        tgt = predict_guided(
-            student_apply, sp, x_in, current_ratio, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET])
-        )
+        if student_overlay:
+            # the (1,)-shaped multiplier broadcasts over the CFG-doubled rows
+            def s_apply(p, *a):
+                with lora_lib.lora_overlay(sites, lp, overlay_one):
+                    return student_apply(p, *a)
+
+            tgt = predict_guided(
+                s_apply, base_params, x_in, current_ratio,
+                tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET]),
+            )
+        else:
+            sp = merge(base_params, sites, lp, 1.0)
+            tgt = predict_guided(
+                student_apply, sp, x_in, current_ratio, tile(text[ROLE_TARGET]), tile(pooled[ROLE_TARGET])
+            )
         diff = tgt.astype(jnp.float32) - esd_target
         return jnp.mean(diff * diff)
 

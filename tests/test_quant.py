@@ -725,3 +725,63 @@ def test_student_overlay_config_knob():
     cfg3.train.iterations = 2
     res = sd_trainer.train(cfg3, prompts, rank=2, save_file=False)
     assert all(np.isfinite(l) for l in res.losses)
+
+
+def test_cascade_esd_step_student_overlay_matches_merge():
+    """make_cascade_esd_train_step(student_overlay=True) — the overlay-student
+    + merged-warm-up split (the only cascade overlay shape: no quantized base
+    exists there) reproduces the merged-student loss up to float
+    associativity; mirrors the SD3/SDXL overlay equivalence tests."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+    from sliders_conceptmod_tpu.train import esd, esd_cascade
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    cfg = CascadeConfig.tiny()
+    m = StableCascadeUNet(cfg)
+    params = m.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.in_channels, 4, 4)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 5, cfg.clip_text_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_text_pooled_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_image_in_channels)),
+    )["params"]
+
+    def apply(p, *a):
+        return m.apply({"params": p}, *a)
+
+    sites = lora_lib.create_sites(params, rank=2, train_method="full")
+    lp0 = jax.tree.map(
+        lambda x: x + 0.02, lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    )
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(len(prompt))
+        return (
+            jax.random.normal(k, (5, cfg.clip_text_in_channels)) * 0.1,
+            jax.random.normal(k, (1, cfg.clip_text_pooled_in_channels)) * 0.1,
+        )
+
+    bank = esd.build_prompt_bank([PromptSettings(target="sky", resolution=16)], encode_fn)
+    empty_text, empty_pooled = encode_fn("")
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(4)
+    ccfg = esd_cascade.CascadeESDConfig(
+        max_denoising_steps=4, height=64, width=64,
+        latent_channels=cfg.in_channels, resolution_multiple=16.0, remat=False,
+    )
+    losses = []
+    for overlay in (False, True):
+        opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+        step = esd_cascade.make_cascade_esd_train_step(
+            apply, sites, scheduler, schedule, opt, ccfg,
+            empty_text=empty_text, empty_pooled=empty_pooled,
+            clip_image_dim=cfg.clip_image_in_channels,
+            student_overlay=overlay,
+        )
+        lp = jax.tree.map(jnp.copy, lp0)
+        _, _, metrics = step(params, lp, opt.init(lp), jax.random.PRNGKey(7), bank)
+        losses.append(float(metrics["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3, atol=1e-7)
