@@ -43,6 +43,19 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
 
     apply_tpu_runtime_flags(getattr(config, "tpu", None))
+    # tpu.student_overlay: fuse the ±scale double pass into ONE 2-row UNet
+    # call with per-row overlay multipliers [+s, −s] (train/imageslider.py).
+    # Default merged until the image-pair A/B is recorded (the SD1/XL
+    # text-slider default flip rode one, BASELINE.md r3).
+    student_overlay, overlay_warmup = config_util.resolve_student_overlay(
+        getattr(config, "tpu", None) or config_util.TPUConfig(), False, "lora"
+    )
+    if overlay_warmup:
+        raise NotImplementedError(
+            "tpu.overlay_warmup: true — the image-pair trainer has no "
+            "warm-up chain (latents come from noised VAE posteriors); "
+            "leave it unset."
+        )
     is_xl = "xl" in str(config.pretrained_model.name_or_path).lower()
     resolution = 512 if is_xl else 256  # reference resize (:219 / xl :220)
 
@@ -122,6 +135,7 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
         uncond_emb=emb[settings.unconditional],
         pooled=pooled,
         add_time_ids=add_tids,
+        student_overlay=student_overlay,
     )
 
     save_path = Path(config.save.path)

@@ -146,10 +146,23 @@ def make_image_slider_step(
     merge_fn=None,
     pooled: Optional[dict] = None,  # XL: {"positive","neutral","uncond"} [Dp]
     add_time_ids: Optional[jnp.ndarray] = None,  # XL [1, 6]
+    student_overlay: bool = False,
 ):
     """SD1 path when ``pooled`` is None; XL variant (reference
-    train_lora-scale-xl.py, 512px + text_time conditioning) otherwise."""
+    train_lora-scale-xl.py, 512px + text_time conditioning) otherwise.
+
+    ``student_overlay=True`` (tpu.student_overlay): FUSE the reference's two
+    ±scale student passes — separate ``merge(+s)``/``merge(−s)`` trees, two
+    fwd+bwd weight streams (train_lora-scale.py:254-329) — into ONE 2-row
+    UNet call with per-row slider multipliers ``[+s, −s]`` via the
+    apply-time LoRA overlay. Identical math up to matmul re-association
+    (the overlay computes W·x + mult·(α/r)·up(down(x)) per row — the
+    reference's own forward-hook formula); halves the weight bytes streamed
+    per iteration AND skips the dense dL/dW′ weight-grad matmuls of the
+    merged path. LoRA only (image sliders have no DoRA variant upstream)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
+    if student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
+        raise ValueError("student_overlay supports the LoRA overlay only")
     student_apply = jax.checkpoint(unet_apply) if cfg.remat_unet else unet_apply
     is_xl = pooled is not None
 
@@ -204,7 +217,25 @@ def make_image_slider_step(
                 return student_apply(params, scaled, current_t, rows)
             return student_apply(params, scaled, current_t, rows, added_cond_kwargs=added)
 
-        def loss_fn(lp):
+        def fused_loss_fn(lp):
+            # one 2-row call, per-row multipliers [+s, −s] — rows are
+            # (high image, positive prompt) and (low image, neutral prompt)
+            latents = jnp.concatenate([noisy_high, noisy_low], axis=0)
+            rows = jnp.concatenate([cfg_rows(positive_emb), cfg_rows(neutral_emb)], axis=0)
+            added = None
+            if is_xl:
+                added = {
+                    "text_embeds": jnp.stack([pooled["positive"], pooled["neutral"]]),
+                    "time_ids": jnp.tile(add_time_ids, (2, 1)),
+                }
+            with lora_lib.lora_overlay(sites, lp, jnp.stack([scale, -scale])):
+                eps = predict(base_params, latents, rows, added)
+            eps_high, eps_low = jnp.split(eps, 2, axis=0)
+            l_high = jnp.mean((eps_high.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+            l_low = jnp.mean((eps_low.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+            return l_high + l_low, (l_high, l_low)
+
+        def merged_loss_fn(lp):
             p_plus = merge(base_params, sites, lp, scale)
             p_minus = merge(base_params, sites, lp, -scale)
             eps_high = predict(
@@ -216,6 +247,8 @@ def make_image_slider_step(
             l_high = jnp.mean((eps_high.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
             l_low = jnp.mean((eps_low.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
             return l_high + l_low, (l_high, l_low)
+
+        loss_fn = fused_loss_fn if student_overlay else merged_loss_fn
 
         (loss, (l_high, l_low)), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora_params)
         updates, opt_state = optimizer.update(grads, opt_state, lora_params)
