@@ -1,6 +1,7 @@
 """Benchmark: textual-slider ESD training steps/sec on one chip.
 
-BENCH_MODEL=sdxl (default) | sd15 (DDIM-50 budget) | sd3 (SD3-Medium MMDiT) | cascade (Stage-C prior) | tiny.
+BENCH_MODEL=sdxl (default) | sd15 (DDIM-50 budget) | sd3 (SD3-Medium MMDiT) |
+cascade (Stage-C prior) | imgslider / imgslider-xl (image-pair ±s step) | tiny.
 
 Prints ONE JSON line:
   {"metric": "sdxl_esd_train_steps_per_sec", "value": N, "unit": "steps/s",
@@ -229,11 +230,11 @@ def bench_sd3(n_steps, res, dtype):
     opt = get_optimizer("adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2)
     remat_apply = wrap(model.clone(remat_blocks=True))
 
-    # BENCH_OVERLAY on SD3 mirrors the SDXL train A/B (default "0": the
-    # merged student — no SD3 overlay win recorded yet, unlike SD1/XL where
-    # "2" is the measured-winner default): "1" = overlay student + overlay
-    # warm-up, "2" = overlay student + merged warm-up. Implied over int8.
-    sd3_overlay = os.environ.get("BENCH_OVERLAY", "0")
+    # BENCH_OVERLAY on SD3 mirrors the SDXL train A/B. Default "2" (overlay
+    # student + merged warm-up) — the measured winner (+4.3%, BASELINE.md r3
+    # SD3 overlay A/B) and the trainer default; "0" forces the merged-student
+    # control, "1" overlays the warm-up too. Implied over int8.
+    sd3_overlay = os.environ.get("BENCH_OVERLAY", "2")
     step = esd_sd3.make_sd3_esd_train_step(
         apply, sites, schedule, opt, scfg, remat_apply=remat_apply,
         student_overlay=(qmode != "off") or sd3_overlay in ("1", "2"),
@@ -260,13 +261,14 @@ def bench_sd3(n_steps, res, dtype):
         jnp.zeros((1, 154, cfg.joint_attention_dim), dtype),
         jnp.zeros((1, cfg.pooled_projection_dim), dtype),
     )
+    # suffix only the deviations from the bf16 default (overlay "2")
     metric = "sd3_esd_train_steps_per_sec"
     if qmode != "off":
         metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
+    elif sd3_overlay == "0":
+        metric += "_mergedstudent"
     elif sd3_overlay == "1":
         metric += "_overlay_student"
-    elif sd3_overlay == "2":
-        metric += "_overlay_student_mergedwarm"
     emit(
         metric,
         sps,
@@ -363,6 +365,112 @@ def bench_cascade(n_steps, res, dtype):
         round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
         # fixed T−1 warm-up (esd_cascade t_to), predict_guidance 4 → CFG rows
         flops_per_unit=esd_step_flops(f_row, warm_iters=19, use_cfg=True) if f_row else None,
+        rate=sps,
+    )
+
+
+def bench_imageslider(n_steps, xl, dtype):
+    """Image-pair (visual) slider step — reference budget
+    (trainscripts/imagesliders/data/config.yaml:11-18: DDIM-50, 256px SD1 /
+    512px XL, ±s double student pass at CFG guidance 1). Synthetic latent
+    bank (the production path pre-encodes the VAE posteriors once, so the
+    steady-state step never touches images). BENCH_OVERLAY=1|2 runs the
+    fused 2-row overlay call (train/imageslider.py student_overlay);
+    default "0" = the reference's two merged ±scale passes."""
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.diffusion.sampling import get_add_time_ids
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.unet import UNet2DConditionModel, UNetConfig
+    from sliders_conceptmod_tpu.train import imageslider
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    res = int(os.environ.get("BENCH_RES", "512" if xl else "256"))
+    cfg = UNetConfig.sdxl() if xl else UNetConfig.sd15()
+    seq, ctx_dim = 77, (2048 if xl else 768)
+    model = UNet2DConditionModel(cfg, dtype=dtype)
+    lat = res // 8
+    added = (
+        {
+            "text_embeds": jnp.zeros((1, 1280), dtype),
+            "time_ids": jnp.zeros((1, 6), jnp.float32),
+        }
+        if xl
+        else None
+    )
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 4, lat, lat), dtype),
+            jnp.zeros((1,)),
+            jnp.zeros((1, seq, ctx_dim), dtype),
+            added_cond_kwargs=added,
+        )
+    )
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.02, dtype), shapes)["params"]
+
+    def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
+        return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    # reference target_replace: transformer attention modules (rank 4)
+    sites = lora_lib.create_sites(params, rank=4, train_method="full")
+    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(50)
+    k = jax.random.PRNGKey(2)
+    bank = imageslider.ImageBank(
+        mean=jax.random.normal(k, (2, 4, 4, lat, lat)) * 0.1,
+        logvar=jnp.full((2, 4, 4, lat, lat), -6.0),
+        pair_table=jnp.asarray([[0, 1]], jnp.int32),
+        pair_scales=jnp.asarray([1.0]),
+    )
+    emb = {
+        n: jax.random.normal(jax.random.fold_in(k, i), (seq, ctx_dim), dtype) * 0.1
+        for i, n in enumerate(("positive", "neutral", "uncond"))
+    }
+    pooled = (
+        {n: jax.random.normal(jax.random.fold_in(k, 9 + i), (1280,), dtype) * 0.1
+         for i, n in enumerate(("positive", "neutral", "uncond"))}
+        if xl
+        else None
+    )
+    overlay = os.environ.get("BENCH_OVERLAY", "0") in ("1", "2")
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 2e-4, 1000))
+    step = imageslider.make_image_slider_step(
+        unet_apply, sites, scheduler, schedule, opt,
+        imageslider.ImageSliderConfig(max_denoising_steps=50),
+        positive_emb=emb["positive"], neutral_emb=emb["neutral"], uncond_emb=emb["uncond"],
+        pooled=pooled,
+        add_time_ids=jnp.asarray(get_add_time_ids(res, res)) if xl else None,
+        student_overlay=overlay,
+    )
+    opt_state = opt.init(lora_params)
+    key = jax.random.PRNGKey(0)
+    key, kk = jax.random.split(key)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, kk, bank)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        key, kk = jax.random.split(key)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, kk, bank)
+    jax.block_until_ready(metrics["loss"])
+    sps = n_steps / (time.time() - t0)
+    f_row = fwd_flops(
+        unet_apply,
+        params,
+        jnp.zeros((1, 4, lat, lat), dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, seq, ctx_dim), dtype),
+        added_cond_kwargs=added,
+    )
+    emit(
+        ("imageslider_xl" if xl else "imageslider_sd1")
+        + "_train_steps_per_sec"
+        + ("_overlay_student" if overlay else ""),
+        sps,
+        "steps/s",
+        round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+        # two student rows, each fwd + ~2× bwd — no warm-up, no teacher
+        flops_per_unit=6 * f_row if f_row else None,
         rate=sps,
     )
 
@@ -766,6 +874,9 @@ def main():
         return
     if model_kind == "cascade":
         bench_cascade(n_steps, res, jnp.bfloat16)
+        return
+    if model_kind in ("imgslider", "imgslider-xl"):
+        bench_imageslider(n_steps, model_kind.endswith("xl"), jnp.bfloat16)
         return
     if model_kind == "flux":
         if os.environ.get("BENCH_MODE") == "infer":

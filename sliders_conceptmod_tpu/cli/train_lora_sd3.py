@@ -44,12 +44,12 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             "quantized base."
         )
     # tpu.student_overlay (core/config.resolve_student_overlay): on a bf16
-    # base it skips the dense dL/dW' weight-grads. Default stays
-    # follow-quantize_base here (the SD1/XL default flip rode a measured
-    # A/B, BASELINE.md r3 — no SD3 overlay A/B recorded yet);
-    # tpu.overlay_warmup=False keeps the warm-up on the merged tree.
+    # base it skips the dense dL/dW' weight-grads. default_overlay=True for
+    # bf16 LoRA: the overlay-student + merged-warm-up split measured +4.3%
+    # on SD3 (3.181 vs 3.050 steps/s, BASELINE.md r3 overlay A/B) — the
+    # same split that won on SD1/XL; DoRA resolves merged.
     student_overlay, overlay_warmup = config_util.resolve_student_overlay(
-        config.tpu, quantize_base, peft_type
+        config.tpu, quantize_base, peft_type, default_overlay=(peft_type == "lora")
     )
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
