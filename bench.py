@@ -40,12 +40,24 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 500 / 600 / 8  # north-star v5e-8 budget
 def quant_mode() -> str:
     """BENCH_QUANT: '0' off, '1' int8 frozen base (weight-only), 'w8a8'
     weight + per-token dynamic int8 activations (inference benches only —
-    the int8×int8 MXU path, adapters/quant.py)."""
+    the int8×int8 MXU path, adapters/quant.py), 'w8a8-dual' the dual-tree
+    train route (bf16 base for teacher/student + a separate int8 copy with
+    act-quant for the warm-up chain only — tpu.w8a8_warmup without
+    quantize_base)."""
     v = os.environ.get("BENCH_QUANT", "0").lower()
     if v in ("0", "", "off"):
         return "off"
     if v == "w8a8":
         return "w8a8"
+    if v == "w8a8-dual":
+        if os.environ.get("BENCH_MODEL", "sdxl") not in ("sdxl", "sd15", "tiny") or os.environ.get(
+            "BENCH_MODE", "train"
+        ) != "train":
+            raise SystemExit(
+                "BENCH_QUANT=w8a8-dual is an SD1/SDXL TRAIN mode "
+                "(int8 base wins outright on SD3/Flux and at inference — use BENCH_QUANT=w8a8)"
+            )
+        return "w8a8-dual"
     return "w8"
 
 
@@ -943,7 +955,8 @@ def main():
     # 2× bf16 — tpu.w8a8_warmup); teacher/student stay weight-only.
     qmode = quant_mode()
     warm_apply = None
-    if qmode != "off":
+    warm_tree = None
+    if qmode in ("w8", "w8a8"):
         from sliders_conceptmod_tpu.adapters import quant
 
         params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
@@ -963,6 +976,18 @@ def main():
 
         def unet_apply(p, sample, t, ctx, added_cond_kwargs=None):
             return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+        if qmode == "w8a8-dual":
+            # dual-tree: bf16 base above stays the teacher/student path; a
+            # one-time int8 copy (+act-quant) serves only the warm-up chain
+            # (tpu.w8a8_warmup without quantize_base, train/trainer.py)
+            from sliders_conceptmod_tpu.adapters import quant
+
+            warm_tree, q_scales = quant.quantize_params(params)
+
+            def warm_apply(p, sample, t, ctx, added_cond_kwargs=None):
+                with quant.quant_overlay(q_scales, compute_dtype=dtype, act_quant=True):
+                    return model.apply({"params": p}, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
 
     peft = os.environ.get("BENCH_PEFT", "lora")
     if peft == "dora" and qmode != "off":
@@ -1045,11 +1070,13 @@ def main():
     # stochastic; warmup once, then time a fixed batch of steps)
     key, k = jax.random.split(key)
     if pipeline:
-        carry = step.init_carry(params, lora_params, k, bank)
+        carry = step.init_carry(params, lora_params, k, bank, warm_tree)
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics, carry = step(params, lora_params, opt_state, k, bank, carry)
+        lora_params, opt_state, metrics, carry = step(
+            params, lora_params, opt_state, k, bank, carry, warm_tree
+        )
     else:
-        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_tree)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.time()
@@ -1057,10 +1084,10 @@ def main():
         key, k = jax.random.split(key)
         if pipeline:
             lora_params, opt_state, metrics, carry = step(
-                params, lora_params, opt_state, k, bank, carry
+                params, lora_params, opt_state, k, bank, carry, warm_tree
             )
         else:
-            lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+            lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_tree)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.time() - t0
 
@@ -1073,8 +1100,12 @@ def main():
         metric += f"_b{batch}"
     if pipeline:
         metric += "_pipelined"
-    if qmode != "off":
-        metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
+    if qmode == "w8":
+        metric += "_int8base"
+    elif qmode == "w8a8":
+        metric += "_int8base_w8a8warm"
+    elif qmode == "w8a8-dual":
+        metric += "_dualtree_w8a8warm"
     if peft != "lora":
         metric += f"_{peft}"
     # suffix only the deviations from the bf16-LoRA default (overlay_mode 2)

@@ -133,11 +133,15 @@ class TPUConfig(BaseModel):
     # runs through the apply-time overlay so the int8 base is never merged
     # into; trainers that must merge (image-pair, cascade) refuse the knob.
     quantize_base: bool = False
-    # W8A8 on the GRADIENT-STOPPED warm-up chain only (requires
-    # quantize_base; SD1/SDXL trainers): per-token int8 activations +
-    # int8×int8 MXU matmuls at 2× the bf16 rate on the latency-bound warm-up
-    # section. DEVIATION when on: warm-up context latents carry ~1-2 %
-    # per-layer rounding noise; teacher and student stay weight-only exact.
+    # W8A8 on the GRADIENT-STOPPED warm-up chain only (SD1/SDXL/SD3
+    # trainers): per-token int8 activations + int8×int8 MXU matmuls at 2×
+    # the bf16 rate on the latency-bound warm-up section. Over quantize_base
+    # the warm-up reads the same int8 tree; WITHOUT quantize_base this is
+    # the DUAL-TREE route (SD1/XL trainer.py): a one-time int8 copy of the
+    # bf16 base serves only the warm-up chain (+2.7 GiB HBM for SDXL), so
+    # the teacher target and student grads stay fully bf16-exact. DEVIATION
+    # when on (either route): warm-up context latents carry ~1-2 % per-layer
+    # rounding noise; teacher and student stay weight-only exact.
     w8a8_warmup: bool = False
     # student LoRA through the apply-time overlay instead of a per-step
     # merged tree (identical math — tests/test_esd_train.py). None = follow

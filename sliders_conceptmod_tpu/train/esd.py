@@ -239,7 +239,7 @@ def make_esd_train_step(
     warm_apply: Optional[Callable] = None,
 ):
     """Build the jitted step: (base_params, lora_params, opt_state, key,
-    bank) → (lora_params, opt_state, metrics).
+    bank[, warm_params]) → (lora_params, opt_state, metrics).
 
     ``warm_apply``: alternative UNet apply for the GRADIENT-STOPPED warm-up
     chain only (reference :209-231 — it just synthesizes the partially
@@ -250,7 +250,16 @@ def make_esd_train_step(
     teacher (sets the regression target) and student (takes the grads) keep
     the exact weight-only path. DEVIATION: warm-up context latents then
     carry ~1-2 % per-layer rounding noise vs the reference's fp trajectory;
-    opt-in only."""
+    opt-in only.
+
+    ``warm_params`` (optional trailing step argument): a SEPARATE frozen
+    tree consumed only by ``warm_apply`` — the dual-tree route: a bf16 base
+    keeps the exact merged teacher + overlay-student paths while the warm-up
+    chain runs a one-time int8 copy of the same weights with act-quant
+    (tpu.w8a8_warmup WITHOUT tpu.quantize_base). ``None`` (default) reuses
+    ``base_params``, i.e. the int8-everywhere quantize_base route. Flows
+    through the jit signature like every other frozen tree (CLAUDE.md
+    convention — closure capture would bake GBs into the executable)."""
 
     is_xl = add_time_ids is not None
     b = cfg.batch_size
@@ -309,12 +318,14 @@ def make_esd_train_step(
     if cfg.overlay_warmup and not cfg.student_overlay:
         raise ValueError("overlay_warmup=True requires student_overlay=True")
 
-    def _warmup_apply_params(base_params, lora_params):
+    def _warmup_apply_params(base_params, lora_params, warm_params=None):
         """(apply, params) for the gradient-stopped warm-up — ONE place so the
         per-sample and fused paths cannot desync (the same rule that keeps
-        teacher_and_loss shared)."""
+        teacher_and_loss shared). ``warm_params`` is the dual-tree int8 copy
+        (None → the warm-up reads ``base_params``)."""
         if overlay_warmup:
-            return _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params)), base_params
+            wp = base_params if warm_params is None else warm_params
+            return _overlay_apply(warmup_apply, jax.lax.stop_gradient(lora_params)), wp
         return unet_apply, jax.lax.stop_gradient(merge(base_params, sites, lora_params, 1.0))
 
     def fused_teacher_student_loss(
@@ -442,7 +453,7 @@ def make_esd_train_step(
 
         return cfg_rows, xl_kwargs
 
-    def warm_draw(base_params, lora_params, key, bank: PromptBank):
+    def warm_draw(base_params, lora_params, key, bank: PromptBank, warm_params=None):
         """Draw (pair, t_k, noise) and run the slider-ON gradient-stopped
         warm-up (reference :209-231). Returns the carry consumed by
         :func:`_sample_tail` — either immediately (one_sample) or one step
@@ -462,7 +473,7 @@ def make_esd_train_step(
         cfg_rows, xl_kwargs = _pair_closures(text, pooled, tids)
 
         latents0 = get_initial_latents(k_noise, schedule, b, cfg.height, cfg.width)
-        w_apply, w_params = _warmup_apply_params(base_params, lora_params)
+        w_apply, w_params = _warmup_apply_params(base_params, lora_params, warm_params)
         denoised = denoise_partial(
             w_apply,
             w_params,
@@ -515,11 +526,11 @@ def make_esd_train_step(
             tids=tids,
         )
 
-    def one_sample(base_params, lora_params, key, bank: PromptBank):
-        carry = warm_draw(base_params, lora_params, key, bank)
+    def one_sample(base_params, lora_params, key, bank: PromptBank, warm_params=None):
+        carry = warm_draw(base_params, lora_params, key, bank, warm_params)
         return _sample_tail(base_params, carry, bank)
 
-    def fused_samples_loss(base_params, lora_params, keys, k_loop, bank: PromptBank):
+    def fused_samples_loss(base_params, lora_params, keys, k_loop, bank: PromptBank, warm_params=None):
         """samples_per_step independent samples as ROWS of one batch: one
         masked warm-up loop to max(timesteps_to), one teacher call, one
         student call. Exactly the vmap path's per-sample draws (same key
@@ -571,7 +582,7 @@ def make_esd_train_step(
                 "time_ids": jnp.tile(tids_s, (2, 1)),
             }
 
-        w_apply, w_params = _warmup_apply_params(base_params, lora_params)
+        w_apply, w_params = _warmup_apply_params(base_params, lora_params, warm_params)
         denoised = denoise_partial_per_row(
             w_apply,
             w_params,
@@ -603,18 +614,19 @@ def make_esd_train_step(
         )
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank, warm_params=None):
         # base_params flow through the jit signature — closure capture would
         # bake the frozen UNet (GBs) into the executable as constants.
         # lora_params/opt_state are donated: they're replaced every step and
-        # the SDXL step runs within ~13MB of v5e HBM.
+        # the SDXL step runs within ~13MB of v5e HBM. warm_params (dual-tree
+        # int8 warm-up copy) rides the same rule.
         if cfg.samples_per_step == 1:
-            loss_fn = one_sample(base_params, lora_params, key, bank)
+            loss_fn = one_sample(base_params, lora_params, key, bank, warm_params)
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         elif cfg.fuse_samples and cfg.batch_size == 1:
             keys = jax.random.split(key, cfg.samples_per_step)
             loss_fn = fused_samples_loss(
-                base_params, lora_params, keys, jax.random.fold_in(key, 1), bank
+                base_params, lora_params, keys, jax.random.fold_in(key, 1), bank, warm_params
             )
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
         else:
@@ -627,7 +639,7 @@ def make_esd_train_step(
                 keys = jax.lax.with_sharding_constraint(keys, cfg.data_spec())
 
             def per_sample_loss(lp, k):
-                return one_sample(base_params, lp, k, bank)(lp)
+                return one_sample(base_params, lp, k, bank, warm_params)(lp)
 
             def mean_loss(lp):
                 losses = jax.vmap(lambda k: per_sample_loss(lp, k))(keys)
@@ -648,17 +660,19 @@ def make_esd_train_step(
             raise ValueError("pipeline_warmup supports samples_per_step == 1 only")
 
         @jax.jit
-        def init_carry(base_params, lora_params, key, bank: PromptBank):
-            return warm_draw(base_params, lora_params, key, bank)
+        def init_carry(base_params, lora_params, key, bank: PromptBank, warm_params=None):
+            return warm_draw(base_params, lora_params, key, bank, warm_params)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 5))
-        def train_step_pipelined(base_params, lora_params, opt_state, key_next, bank, carry):
+        def train_step_pipelined(
+            base_params, lora_params, opt_state, key_next, bank, carry, warm_params=None
+        ):
             # the grad path reads `carry` (drawn last step); the next warm-up
             # reads the PRE-update lora_params — independent subgraphs, so
             # the scheduler may overlap the warm-up chain with the backward
             loss_fn = _sample_tail(base_params, carry, bank)
             loss, grads = jax.value_and_grad(loss_fn)(lora_params)
-            new_carry = warm_draw(base_params, lora_params, key_next, bank)
+            new_carry = warm_draw(base_params, lora_params, key_next, bank, warm_params)
             updates, opt_state = optimizer.update(grads, opt_state, lora_params)
             lora_params = optax.apply_updates(lora_params, updates)
             gnorm = optax.global_norm(grads)

@@ -102,16 +102,38 @@ def train(
             "quantize_base: false."
         )
     # tpu.w8a8_warmup: W8A8 (int8 MXU matmuls) on the gradient-stopped
-    # warm-up chain only — teacher/student stay weight-only exact
+    # warm-up chain only — teacher/student stay weight-only exact. Without
+    # quantize_base this is the DUAL-TREE route: the bf16 base keeps the
+    # exact merged-teacher + overlay-student paths and a one-time int8 copy
+    # (quantized at setup, +2.7 GiB HBM for SDXL) serves only the warm-up
+    # chain — the w8a8 speedup without the int8 rounding on the teacher
+    # target or the student grads.
     w8a8_warmup = bool(getattr(tpu_cfg, "w8a8_warmup", False))
-    if w8a8_warmup and not quantize_base:
-        raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
+    dual_tree_warmup = w8a8_warmup and not quantize_base
+    if dual_tree_warmup and peft_type != "lora":
+        raise NotImplementedError(
+            "tpu.w8a8_warmup without quantize_base (dual-tree) rides the LoRA "
+            "overlay on the int8 warm-up copy — DoRA merges; use peft_type='lora'."
+        )
     # default_overlay=True for bf16 LoRA: the overlay-student + merged-warm-up
     # split is the measured winner on SD1/XL (BASELINE.md r3 overlay A/B:
     # SDXL +1.4%, SD1.5 +0.4% over the merged path); DoRA resolves merged
     student_overlay, overlay_warmup = resolve_student_overlay(
         tpu_cfg, quantize_base, peft_type, default_overlay=(peft_type == "lora")
     )
+    if dual_tree_warmup:
+        # the int8 warm-up copy cannot host a merge: warm-up must overlay
+        if not student_overlay:
+            raise ValueError(
+                "tpu.w8a8_warmup with a bf16 base needs tpu.student_overlay "
+                "(the int8 warm-up copy rides the apply-time LoRA overlay)"
+            )
+        if getattr(tpu_cfg, "overlay_warmup", None) is False:
+            raise ValueError(
+                "tpu.overlay_warmup: false is incompatible with the dual-tree "
+                "w8a8_warmup — the int8 warm-up copy cannot host a merged tree"
+            )
+        overlay_warmup = True
     weight_dtype = parse_precision(config.train.precision)
     # reference lora.py:274-283: the export is cast to save.precision
     save_dtype = parse_save_precision(config.save.precision)
@@ -201,6 +223,25 @@ def train(
     else:
         del te
 
+    # dual-tree w8a8 warm-up: one-time int8 copy of the frozen base, consumed
+    # only by the warm-up chain (the bf16 tree keeps teacher/student exact).
+    # Quantized AFTER the text towers are freed (HBM headroom: bf16 4.78 GiB
+    # + int8 2.70 GiB for SDXL still leaves >8 GiB on a 16 GiB v5e at 512px).
+    warm_params = None
+    warm_apply_fn = None
+    if w8a8_warmup:
+        if dual_tree_warmup:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            warm_params, warm_scales = quant.quantize_params(unet.params)
+            warm_apply_fn = quant.wrap_apply(
+                unet.apply_fn(), warm_scales, weight_dtype, act_quant=True
+            )
+        else:
+            # int8-everywhere base: the warm-up reads the same (already int8)
+            # base tree with act-quant switched on
+            warm_apply_fn = unet.apply_fn(act_quant=True)
+
     resolution = _uniform_field(prompts, "resolution")
     batch_size = _uniform_field(prompts, "batch_size")
     dynamic_crops = _uniform_field(prompts, "dynamic_crops")
@@ -252,8 +293,9 @@ def train(
             ecfg,
             add_time_ids=add_tids,
             merge_fn=merge_fn,
-            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup)
-            warm_apply=unet.apply_fn(act_quant=True) if w8a8_warmup else None,
+            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup) —
+            # over the int8 base, or the dual-tree int8 copy (warm_params)
+            warm_apply=warm_apply_fn,
         )
 
     # per-iteration resolution from a fixed pre-compilable bucket set
@@ -281,6 +323,14 @@ def train(
         unet.params, lora_params, opt_state, bank = mesh_lib.place_training_state(
             mesh, unet.params, lora_params, opt_state, bank, tp=mesh_model > 1
         )
+        if warm_params is not None:
+            if mesh_model > 1:
+                raise NotImplementedError(
+                    "dual-tree w8a8_warmup + tensor parallelism: the int8 "
+                    "warm-up copy is not TP-sharded — use quantize_base: true "
+                    "(one int8 tree, TP-shardable) or mesh_model: 1."
+                )
+            warm_params = mesh_lib.replicate_host_tree(warm_params, mesh)
         multihost = jax.process_count() > 1
 
     if config.tpu.profile_dir:
@@ -312,7 +362,7 @@ def train(
         # resume note: the carry is re-drawn (not checkpointed) — the first
         # post-resume step's warm-up sample differs from the uninterrupted run
         key, k_carry = jax.random.split(key)
-        carry = step_fns[0].init_carry(unet.params, lora_params, k_carry, bank)
+        carry = step_fns[0].init_carry(unet.params, lora_params, k_carry, bank, warm_params)
     for i in range(start_step, iterations):
         key, k_step = jax.random.split(key)
         if multihost:
@@ -322,11 +372,11 @@ def train(
         bi = pick_bucket(i) if pick_bucket is not None else 0
         if pipelined:
             lora_params, opt_state, metrics, carry = step_fns[0](
-                unet.params, lora_params, opt_state, k_step, bank, carry
+                unet.params, lora_params, opt_state, k_step, bank, carry, warm_params
             )
         else:
             lora_params, opt_state, metrics = step_fns[bi](
-                unet.params, lora_params, opt_state, k_step, bank
+                unet.params, lora_params, opt_state, k_step, bank, warm_params
             )
         if pick_bucket is not None:
             metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])

@@ -613,3 +613,80 @@ def test_student_overlay_grads_under_remat():
     assert moved[True] > 0  # remat did not zero the closure grads
     # remat recomputes, never changes math
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-4, atol=1e-7)
+
+
+def test_dual_tree_warm_params():
+    """Dual-tree w8a8 warm-up (tpu.w8a8_warmup WITHOUT quantize_base,
+    train/trainer.py): the step's optional trailing ``warm_params`` tree is
+    consumed by the warm-up chain only. Three properties: (a) plumbing
+    identity — warm_params = a copy of base_params with a pass-through
+    warm_apply reproduces the no-warm_params overlay step bit-for-bit;
+    (b) the warm-up actually reads warm_params (a zeroed warm tree changes
+    the loss); (c) the real int8+act-quant warm copy trains finite with
+    losses near the bf16 run (rounding shifts only the context latents)."""
+    from sliders_conceptmod_tpu.adapters import quant
+
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, batch_size=1,
+        remat_unet=False, student_overlay=True, overlay_warmup=True,
+    )
+
+    def run(step, warm_tree, seed0=90, n=3):
+        lp = jax.tree.map(jnp.copy, lora_params)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lora_params))
+        ls = []
+        for i in range(n):
+            lp, opt_state, metrics = step(
+                params, lp, opt_state, jax.random.PRNGKey(seed0 + i), bank, warm_tree
+            )
+            ls.append(float(metrics["loss"]))
+        return ls
+
+    # (a) pass-through warm_apply + copy-of-base warm tree == plain overlay step
+    ref_step = esd.make_esd_train_step(unet_apply, sites, scheduler, schedule, opt, ecfg)
+    dual_step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, ecfg, warm_apply=unet_apply
+    )
+    ref_ls = run(ref_step, None)
+    same_ls = run(dual_step, jax.tree.map(jnp.copy, params))
+    np.testing.assert_array_equal(ref_ls, same_ls)
+
+    # (b) the warm-up reads warm_params, not base_params
+    zero_ls = run(dual_step, jax.tree.map(jnp.zeros_like, params))
+    assert not np.allclose(ref_ls, zero_ls), (ref_ls, zero_ls)
+
+    # (c) int8 + act-quant warm copy (the production dual-tree shape)
+    warm_tree, q_scales = quant.quantize_params(params, min_elems=1)
+
+    def w8a8_warm(p, sample, t, ctx, added_cond_kwargs=None):
+        with quant.quant_overlay(q_scales, compute_dtype=jnp.float32, act_quant=True):
+            return unet_apply(p, sample, t, ctx, added_cond_kwargs=added_cond_kwargs)
+
+    q_step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, ecfg, warm_apply=w8a8_warm
+    )
+    q_ls = run(q_step, warm_tree)
+    assert all(np.isfinite(l) for l in q_ls)
+    a, b = np.asarray(q_ls), np.asarray(ref_ls)
+    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
+
+
+def test_dual_tree_trainer_end_to_end(tmp_path):
+    """tpu.w8a8_warmup without quantize_base drives the SD1 trainer through
+    the dual-tree route (int8 warm copy built at setup, warm_params through
+    the step signature) — tiny CPU e2e; the tiny kernels sit below
+    QUANT_MIN_ELEMS so the copy is a pass-through, which exactly exercises
+    the plumbing (test_dual_tree_warm_params covers the int8 math)."""
+    from sliders_conceptmod_tpu.core import config as config_util
+    from sliders_conceptmod_tpu.train import trainer as sd_trainer
+
+    cfg = config_util.load_config_from_yaml("data/config-tiny.yaml")
+    cfg.train.iterations = 3
+    cfg.tpu.w8a8_warmup = True
+    assert not cfg.tpu.quantize_base
+    cfg.save.path = str(tmp_path)
+    prompts = [PromptSettings(target="person", resolution=64)]
+    result = sd_trainer.train(cfg, prompts, rank=2, save_file=False)
+    assert all(np.isfinite(l) for l in result.losses)

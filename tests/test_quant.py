@@ -399,11 +399,13 @@ def test_unsupported_trainers_reject_quantize_base():
     # SD1/SDXL: DoRA still refuses (needs full-precision base magnitudes)
     with pytest.raises(NotImplementedError, match="DoRA"):
         sd_trainer.train(cfg, prompts, rank=2, save_file=False, peft_type="dora")
-    # w8a8_warmup without quantize_base refuses
+    # w8a8_warmup without quantize_base is the DUAL-TREE route on SD1/XL
+    # since r3 (tests/test_esd_train.py::test_dual_tree_trainer_end_to_end) —
+    # but DoRA cannot ride the warm-up overlay
     cfg_w = config_util.load_config_from_yaml("data/config-tiny.yaml")
     cfg_w.tpu.w8a8_warmup = True
-    with pytest.raises(ValueError, match="w8a8_warmup"):
-        sd_trainer.train(cfg_w, prompts, rank=2, save_file=False)
+    with pytest.raises(NotImplementedError, match="dual-tree"):
+        sd_trainer.train(cfg_w, prompts, rank=2, save_file=False, peft_type="dora")
 
     from sliders_conceptmod_tpu.cli import train_lora_cascade
 
