@@ -50,12 +50,12 @@ def quant_mode() -> str:
     if v == "w8a8":
         return "w8a8"
     if v == "w8a8-dual":
-        if os.environ.get("BENCH_MODEL", "sdxl") not in ("sdxl", "sd15", "tiny") or os.environ.get(
+        if os.environ.get("BENCH_MODEL", "sdxl") not in ("sdxl", "sd15", "tiny", "sd3") or os.environ.get(
             "BENCH_MODE", "train"
         ) != "train":
             raise SystemExit(
-                "BENCH_QUANT=w8a8-dual is an SD1/SDXL TRAIN mode "
-                "(int8 base wins outright on SD3/Flux and at inference — use BENCH_QUANT=w8a8)"
+                "BENCH_QUANT=w8a8-dual is an SD1/SDXL/SD3 TRAIN mode "
+                "(int8 base wins outright on Flux and at inference — use BENCH_QUANT=w8a8)"
             )
         return "w8a8-dual"
     return "w8"
@@ -200,7 +200,8 @@ def bench_sd3(n_steps, res, dtype):
     # int8 activations (tpu.w8a8_warmup → esd_sd3 warm_apply)
     qmode = quant_mode()
     warm_apply = None
-    if qmode != "off":
+    warm_params = None
+    if qmode in ("w8", "w8a8"):
         from sliders_conceptmod_tpu.adapters import quant
 
         params, q_scales = quant.weightless_quantized(shapes["params"], dtype=dtype)
@@ -225,6 +226,19 @@ def bench_sd3(n_steps, res, dtype):
             return apply
 
         apply = wrap(model)
+
+        if qmode == "w8a8-dual":
+            # dual-tree: the bf16 base above keeps the exact teacher/student
+            # paths; a one-time int8 copy (+act-quant) feeds ONLY the 28-step
+            # flow warm-up (tpu.w8a8_warmup without quantize_base — the
+            # numerics-preserving form of SD3's +23% w8a8 warm-up lever)
+            from sliders_conceptmod_tpu.adapters import quant
+
+            warm_params, wq_scales = quant.quantize_params(params)
+
+            def warm_apply(p, *a, **kw):
+                with quant.quant_overlay(wq_scales, compute_dtype=dtype, act_quant=True):
+                    return model.apply({"params": p}, *a, **kw)
 
     sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
@@ -257,12 +271,12 @@ def bench_sd3(n_steps, res, dtype):
 
     key = jax.random.PRNGKey(0)
     key, k = jax.random.split(key)
-    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_params)
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_params)
     jax.block_until_ready(metrics["loss"])
     sps = n_steps / (time.time() - t0)
     f_row = fwd_flops(
@@ -275,7 +289,9 @@ def bench_sd3(n_steps, res, dtype):
     )
     # suffix only the deviations from the bf16 default (overlay "2")
     metric = "sd3_esd_train_steps_per_sec"
-    if qmode != "off":
+    if qmode == "w8a8-dual":
+        metric += "_dualtree_w8a8warm"
+    elif qmode != "off":
         metric += "_int8base" if qmode == "w8" else "_int8base_w8a8warm"
     elif sd3_overlay == "0":
         metric += "_mergedstudent"

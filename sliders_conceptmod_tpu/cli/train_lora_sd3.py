@@ -33,15 +33,23 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     quantize_base = bool(getattr(config.tpu, "quantize_base", False))
     # tpu.w8a8_warmup: W8A8 (int8 MXU matmuls) on the gradient-stopped
     # warm-up chain only — teacher/student stay exact (train/esd_sd3.py
-    # warm_apply, same lever as SD1/SDXL's train/esd.py)
+    # warm_apply, same lever as SD1/SDXL's train/esd.py). WITHOUT
+    # quantize_base this is the DUAL-TREE route (train/trainer.py): the
+    # bf16 base keeps the exact merged-teacher + overlay-student paths and
+    # a one-time int8 copy (+~2.2 GiB for SD3-Medium) serves only the
+    # 28-step flow warm-up — where W8A8 measured +23% on SD3's wide matmuls.
     w8a8_warmup = bool(getattr(config.tpu, "w8a8_warmup", False))
-    if w8a8_warmup and not quantize_base:
-        raise ValueError("tpu.w8a8_warmup requires tpu.quantize_base: true (int8 kernels)")
+    dual_tree_warmup = w8a8_warmup and not quantize_base
     if quantize_base and peft_type == "dora":
         raise NotImplementedError(
             "tpu.quantize_base requires full-precision base magnitudes for "
             "DoRA's per-column norm init — use peft_type=lora with a "
             "quantized base."
+        )
+    if dual_tree_warmup and peft_type != "lora":
+        raise NotImplementedError(
+            "tpu.w8a8_warmup without quantize_base (dual-tree) rides the LoRA "
+            "overlay on the int8 warm-up copy — DoRA merges; use peft_type='lora'."
         )
     # tpu.student_overlay (core/config.resolve_student_overlay): on a bf16
     # base it skips the dense dL/dW' weight-grads. default_overlay=True for
@@ -51,6 +59,19 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     student_overlay, overlay_warmup = config_util.resolve_student_overlay(
         config.tpu, quantize_base, peft_type, default_overlay=(peft_type == "lora")
     )
+    if dual_tree_warmup:
+        # the int8 warm-up copy cannot host a merge: warm-up must overlay
+        if not student_overlay:
+            raise ValueError(
+                "tpu.w8a8_warmup with a bf16 base needs tpu.student_overlay "
+                "(the int8 warm-up copy rides the apply-time LoRA overlay)"
+            )
+        if getattr(config.tpu, "overlay_warmup", None) is False:
+            raise ValueError(
+                "tpu.overlay_warmup: false is incompatible with the dual-tree "
+                "w8a8_warmup — the int8 warm-up copy cannot host a merged tree"
+            )
+        overlay_warmup = True
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and
@@ -102,8 +123,27 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     opt_state = optimizer.init(lora_params)
 
     bank = esd.build_prompt_bank(prompts, encode_fn)
+    # encode_fn's closure keeps the CLIP-L/G towers alive — free them before
+    # the (dual-tree) int8 copy claims its HBM (same hygiene as trainer.py)
+    del encode_fn, text_encoders
     resolution = prompts[0].resolution
     batch_size = prompts[0].batch_size
+
+    # dual-tree w8a8 warm-up: one-time int8 copy of the frozen MMDiT,
+    # consumed only by the warm-up chain (warm_params through the step's
+    # jit signature; the bf16 tree keeps teacher/student exact)
+    warm_params = None
+    warm_apply_fn = None
+    if w8a8_warmup:
+        if dual_tree_warmup:
+            from sliders_conceptmod_tpu.adapters import quant
+
+            warm_params, warm_scales = quant.quantize_params(transformer.params)
+            warm_apply_fn = quant.wrap_apply(
+                transformer.apply_fn(), warm_scales, weight_dtype, act_quant=True
+            )
+        else:
+            warm_apply_fn = transformer.apply_fn(act_quant=True)
 
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
 
@@ -137,8 +177,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             # per-block remat on the student: block-granular fwd+bwd peak HBM
             # (the SD3.5-Large-class fit lever; models/mmdit.py remat_blocks)
             remat_apply=transformer.apply_fn(remat_blocks=True) if scfg.remat else None,
-            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup)
-            warm_apply=transformer.apply_fn(act_quant=True) if w8a8_warmup else None,
+            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup) —
+            # over the int8 base, or the dual-tree int8 copy (warm_params)
+            warm_apply=warm_apply_fn,
         )
 
     step_fns = [build_step(h, w) for h, w in buckets]
@@ -161,6 +202,14 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             mesh, transformer.params, lora_params, opt_state, bank,
             tp=getattr(config.tpu, "mesh_model", 1) > 1,
         )
+        if warm_params is not None:
+            if getattr(config.tpu, "mesh_model", 1) > 1:
+                raise NotImplementedError(
+                    "dual-tree w8a8_warmup + tensor parallelism: the int8 "
+                    "warm-up copy is not TP-sharded — use quantize_base: true "
+                    "(one int8 tree, TP-shardable) or mesh_model: 1."
+                )
+            warm_params = mesh_lib.replicate_host_tree(warm_params, mesh)
 
     # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at
     # 1024px) rings K/V over the mesh data axis when it divides evenly
@@ -171,7 +220,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 k = mesh_lib.replicate_host_tree(k, mesh)
             bi = pick_bucket(i) if pick_bucket is not None else 0
             lora_params, opt_state, metrics = step_fns[bi](
-                transformer.params, lora_params, opt_state, k, bank
+                transformer.params, lora_params, opt_state, k, bank, warm_params
             )
             if pick_bucket is not None:
                 metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])

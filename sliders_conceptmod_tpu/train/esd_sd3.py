@@ -87,6 +87,15 @@ def make_sd3_esd_train_step(
     int8×int8 MXU matmuls on the latency-bound partial-denoise loop; teacher
     and student stay on the exact path, mirroring train/esd.py).
 
+    ``warm_params`` (optional trailing step argument, mirroring
+    train/esd.py): a SEPARATE frozen tree consumed only by ``warm_apply`` —
+    the dual-tree route: the bf16 base keeps the EXACT teacher/student paths
+    while the 28-step flow warm-up runs a one-time int8 copy with act-quant
+    (tpu.w8a8_warmup WITHOUT tpu.quantize_base; SD3's wide 1536-col matmuls
+    are where W8A8 measured +23%, BASELINE.md). ``None`` reuses
+    ``base_params`` (the int8-everywhere quantize_base route). Flows through
+    the jit signature like every frozen tree (CLAUDE.md convention).
+
     ``overlay_warmup``: warm-up path under ``student_overlay`` — ``None``
     follows ``student_overlay`` (overlay warm-up; REQUIRED over a quantized
     base); ``False`` keeps the warm-up on the once-per-step merged tree
@@ -134,7 +143,7 @@ def make_sd3_esd_train_step(
         return FlowMatchScheduler.step(schedule, guided, step_index, latents)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank, warm_params=None):
         def sample_loss(lp, k):
             """One independent ESD sample: (pair, t_to, noise) draw → warm-up
             → teacher target → student loss. ``lp`` carries the gradient."""
@@ -164,14 +173,16 @@ def make_sd3_esd_train_step(
                 jnp.float32,
             )
 
-            # warm-up with slider ON (multiplier 1), gradient-stopped
+            # warm-up with slider ON (multiplier 1), gradient-stopped.
+            # warm_params (dual-tree int8 copy) feeds ONLY this chain.
             if overlay_warmup:
                 slp = jax.lax.stop_gradient(lp)
+                wp = base_params if warm_params is None else warm_params
 
                 def body(i, lat):
                     with lora_lib.lora_overlay(sites, slp, overlay_one):
                         return cfg_step(
-                            warmup_apply, base_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
+                            warmup_apply, wp, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
                         )
 
             else:

@@ -338,6 +338,117 @@ def test_sd3_w8a8_warmup_step():
     assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.05), (a, b)
 
 
+def test_sd3_dual_tree_warm_params():
+    """SD3 dual-tree w8a8 warm-up (tpu.w8a8_warmup WITHOUT quantize_base):
+    the step's optional trailing ``warm_params`` tree feeds ONLY the flow
+    warm-up chain while the bf16 base keeps teacher/student exact. Mirrors
+    tests/test_esd_train.py::test_dual_tree_warm_params: (a) plumbing
+    identity — warm_params = copy-of-base with a pass-through warm_apply
+    reproduces the no-warm_params overlay step bit-for-bit; (b) the warm-up
+    actually reads warm_params; (c) the real int8+act-quant warm copy trains
+    finite with losses near the bf16 run."""
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.train import esd, esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    _, tes, tr, scheduler = factory.load_models_sd3("tiny-sd3", weight_dtype=jnp.float32)
+    mm_cfg = tr.config
+    apply = tr.apply_fn()
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp0 = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    lp0 = jax.tree.map(lambda a: a + 0.02, lp0)
+
+    def encode_fn(prompt):
+        text, pooled = factory.encode_prompts_sd3(
+            tes, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=4
+        )
+        return text[0], pooled[0]
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=64)], encode_fn)
+    schedule = scheduler.set_timesteps(4)
+    scfg = esd_sd3.SD3ESDConfig(
+        max_denoising_steps=4, batch_size=1, height=64, width=64,
+        latent_channels=mm_cfg.in_channels, remat=False,
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+
+    def run(step, warm_tree, n=3):
+        lp = jax.tree.map(jnp.copy, lp0)
+        opt_state = opt.init(jax.tree.map(jnp.copy, lp0))
+        ls = []
+        for i in range(n):
+            lp, opt_state, m = step(
+                tr.params, lp, opt_state, jax.random.PRNGKey(70 + i), bank, warm_tree
+            )
+            ls.append(float(m["loss"]))
+        return ls
+
+    # (a) pass-through warm_apply + copy-of-base warm tree == plain overlay step
+    ref_step = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, student_overlay=True
+    )
+    dual_step = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, student_overlay=True, warm_apply=apply
+    )
+    ref_ls = run(ref_step, None)
+    same_ls = run(dual_step, jax.tree.map(jnp.copy, tr.params))
+    np.testing.assert_array_equal(ref_ls, same_ls)
+
+    # (b) the warm-up reads warm_params, not base_params
+    zero_ls = run(dual_step, jax.tree.map(jnp.zeros_like, tr.params))
+    assert not np.allclose(ref_ls, zero_ls), (ref_ls, zero_ls)
+
+    # (c) int8 + act-quant warm copy (the production dual-tree shape)
+    warm_tree, wq_scales = quant.quantize_params(tr.params, min_elems=1)
+    model = tr.model
+
+    def w8a8_warm(p, latents, t, ctx, pooled):
+        with quant.quant_overlay(wq_scales, compute_dtype=jnp.float32, act_quant=True):
+            return model.apply({"params": p}, latents, t, ctx, pooled)
+
+    q_step = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, student_overlay=True, warm_apply=w8a8_warm
+    )
+    q_ls = run(q_step, warm_tree)
+    assert all(np.isfinite(l) for l in q_ls)
+    a, b = np.asarray(q_ls), np.asarray(ref_ls)
+    assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
+
+
+def test_sd3_dual_tree_trainer_end_to_end(tmp_path):
+    """tpu.w8a8_warmup WITHOUT quantize_base drives the SD3 trainer through
+    the dual-tree route (int8 warm copy built at setup, warm_params through
+    the step signature) — tiny CPU e2e, mirroring
+    tests/test_esd_train.py::test_dual_tree_trainer_end_to_end for SD1."""
+    import json
+
+    from sliders_conceptmod_tpu.cli import train_lora_sd3
+    from sliders_conceptmod_tpu.core import config as config_util
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+
+    cfg = config_util.load_config_from_yaml("data/config-tiny-sd3.yaml")
+    cfg.train.iterations = 3
+    cfg.tpu.w8a8_warmup = True
+    assert not cfg.tpu.quantize_base
+    cfg.save.name = "dual_sd3"
+    cfg.save.path = str(tmp_path)
+    cfg.save.per_steps = 0
+    cfg.logging.verbose = False
+    prompts = [PromptSettings(target="person", resolution=64)]
+    sd = train_lora_sd3.train(cfg, prompts, rank=2, save_file=False)
+    assert sd  # state dict returned
+    losses = [
+        json.loads(line)["loss"]
+        for line in (tmp_path / "dual_sd3_metrics.jsonl").read_text().splitlines()
+        if "loss" in line
+    ]
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+
+
 def test_sd3_warm_apply_requires_student_overlay():
     import pytest
 
