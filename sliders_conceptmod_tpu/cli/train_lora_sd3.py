@@ -72,6 +72,14 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
                 "w8a8_warmup — the int8 warm-up copy cannot host a merged tree"
             )
         overlay_warmup = True
+        if getattr(config.tpu, "mesh_model", 1) > 1:
+            # knowable from config alone — fail before the model load and the
+            # ~2.2 GiB int8 quantize copy, not after (ADVICE r3)
+            raise NotImplementedError(
+                "dual-tree w8a8_warmup + tensor parallelism: the int8 "
+                "warm-up copy is not TP-sharded — use quantize_base: true "
+                "(one int8 tree, TP-shardable) or mesh_model: 1."
+            )
     # multi-chip straight from the yaml tpu: block (SURVEY §2.2) — brought up
     # BEFORE the first model load: jax.distributed.initialize must run before
     # anything initializes the XLA backend (loading device_puts weights), and
@@ -203,12 +211,7 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             tp=getattr(config.tpu, "mesh_model", 1) > 1,
         )
         if warm_params is not None:
-            if getattr(config.tpu, "mesh_model", 1) > 1:
-                raise NotImplementedError(
-                    "dual-tree w8a8_warmup + tensor parallelism: the int8 "
-                    "warm-up copy is not TP-sharded — use quantize_base: true "
-                    "(one int8 tree, TP-shardable) or mesh_model: 1."
-                )
+            # dual_tree + mesh_model>1 already rejected at config time above
             warm_params = mesh_lib.replicate_host_tree(warm_params, mesh)
 
     # tpu.sequence_parallel: the MMDiT joint sequence (4096+154 tokens at

@@ -83,6 +83,14 @@ class UNetBundle:
                 self.model.dtype,
                 act_quant=self.act_quant if act_quant is None else act_quant,
             )
+        if act_quant or (act_quant is None and self.act_quant):
+            # W8A8 request (argument OR bundle attribute) on an unquantized
+            # bundle would silently return the plain bf16 apply — an A/B
+            # would measure nothing
+            raise ValueError(
+                "apply_fn(act_quant=True) requires a quantized base "
+                "(quant_scales is None — load with quantize_base=True)"
+            )
         return unet_apply
 
 
@@ -574,9 +582,10 @@ class TransformerBundle:
                 self.model.dtype,
                 act_quant=self.act_quant if act_quant is None else act_quant,
             )
-        if act_quant:
-            # explicit W8A8 request on an unquantized bundle would silently
-            # return the plain bf16 apply — an A/B would measure nothing
+        if act_quant or (act_quant is None and self.act_quant):
+            # W8A8 request (argument OR bundle attribute) on an unquantized
+            # bundle would silently return the plain bf16 apply — an A/B
+            # would measure nothing
             raise ValueError(
                 "apply_fn(act_quant=True) requires a quantized base "
                 "(quant_scales is None — load with quantize_base=True)"

@@ -144,6 +144,22 @@ def make_sd3_esd_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank, warm_params=None):
+        # None-vs-tree is static per trace, so these are trace-time guards:
+        # a warm_params tree fed to a merged warm-up would be silently
+        # ignored, and one without a dequantizing warm_apply would push an
+        # int8 tree through the exact apply and train on garbage (ADVICE r3)
+        if warm_params is not None and not overlay_warmup:
+            raise ValueError(
+                "warm_params passed but overlay_warmup=False — the merged "
+                "warm-up ignores the dual tree; drop warm_params or enable "
+                "overlay_warmup"
+            )
+        if warm_params is not None and warm_apply is None:
+            raise ValueError(
+                "warm_params (dual int8 tree) requires a dequantizing "
+                "warm_apply — pass bundle.apply_fn(act_quant=True) built "
+                "over the quantized copy"
+            )
         def sample_loss(lp, k):
             """One independent ESD sample: (pair, t_to, noise) draw → warm-up
             → teacher target → student loss. ``lp`` carries the gradient."""

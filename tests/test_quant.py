@@ -419,6 +419,58 @@ def test_sd3_dual_tree_warm_params():
     assert np.all(np.abs(a - b) / np.maximum(np.abs(b), 1e-8) < 0.5), (a, b)
 
 
+def test_sd3_warm_params_misuse_raises():
+    """Trace-time guards on the SD3 step's dual-tree ``warm_params`` arg
+    (ADVICE r3): (a) a warm tree fed to a merged warm-up (overlay_warmup=
+    False) would be silently ignored → ValueError; (b) a warm tree without a
+    dequantizing warm_apply would push int8 kernels through the exact apply
+    → ValueError. None-vs-tree is static per trace, so both are plain
+    Python raises inside the jitted step."""
+    import pytest
+
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.train import esd, esd_sd3
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    _, tes, tr, scheduler = factory.load_models_sd3("tiny-sd3", weight_dtype=jnp.float32)
+    mm_cfg = tr.config
+    apply = tr.apply_fn()
+    sites = lora_lib.create_sites(
+        tr.params, rank=2, alpha=1.0, target_replace=["Attention"],
+        train_method="full", delimiter="-",
+    )
+    lp = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+
+    def encode_fn(prompt):
+        text, pooled = factory.encode_prompts_sd3(
+            tes, [prompt], joint_attention_dim=mm_cfg.joint_attention_dim, t5_seq_len=4
+        )
+        return text[0], pooled[0]
+
+    bank = esd.build_prompt_bank([PromptSettings(target="person", resolution=64)], encode_fn)
+    schedule = scheduler.set_timesteps(4)
+    scfg = esd_sd3.SD3ESDConfig(
+        max_denoising_steps=4, batch_size=1, height=64, width=64,
+        latent_channels=mm_cfg.in_channels, remat=False,
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    opt_state = opt.init(lp)
+    warm_tree = jax.tree.map(jnp.copy, tr.params)
+
+    merged_warm = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, student_overlay=True, overlay_warmup=False
+    )
+    with pytest.raises(ValueError, match="overlay_warmup"):
+        merged_warm(tr.params, lp, opt_state, jax.random.PRNGKey(0), bank, warm_tree)
+
+    no_warm_apply = esd_sd3.make_sd3_esd_train_step(
+        apply, sites, schedule, opt, scfg, student_overlay=True
+    )
+    with pytest.raises(ValueError, match="warm_apply"):
+        no_warm_apply(tr.params, lp, opt_state, jax.random.PRNGKey(0), bank, warm_tree)
+
+
 def test_sd3_dual_tree_trainer_end_to_end(tmp_path):
     """tpu.w8a8_warmup WITHOUT quantize_base drives the SD3 trainer through
     the dual-tree route (int8 warm copy built at setup, warm_params through
@@ -741,6 +793,29 @@ def test_w8a8_tighter_than_random_baseline():
     want = np.asarray(x) @ np.asarray(w)
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.02, rel
+
+
+def test_unquantized_bundle_act_quant_raises():
+    """W8A8 requested on an UNQUANTIZED bundle (quant_scales=None) must raise
+    — via the apply_fn(act_quant=True) argument AND via the bundle attribute
+    (CLIs set bundle.act_quant then call apply_fn()); a silent bf16 fallback
+    would make a W8A8 A/B measure nothing (VERDICT r3 weak #2)."""
+    import pytest
+
+    from sliders_conceptmod_tpu.models.factory import TransformerBundle, UNetBundle
+    from sliders_conceptmod_tpu.models.mmdit import MMDiTConfig, SD3Transformer2DModel
+    from sliders_conceptmod_tpu.models.unet import UNetConfig, UNet2DConditionModel
+
+    ucfg = UNetConfig.tiny()
+    ub = UNetBundle(UNet2DConditionModel(ucfg, dtype=jnp.float32), {}, ucfg)
+    mcfg = MMDiTConfig.tiny()
+    tb = TransformerBundle(SD3Transformer2DModel(mcfg, dtype=jnp.float32), {}, mcfg)
+    for bundle in (ub, tb):
+        with pytest.raises(ValueError, match="quantized base"):
+            bundle.apply_fn(act_quant=True)
+        bundle.act_quant = True  # the CLI/serve attribute path
+        with pytest.raises(ValueError, match="quantized base"):
+            bundle.apply_fn()
 
 
 def test_bundle_act_quant_flag_routes_w8a8():
