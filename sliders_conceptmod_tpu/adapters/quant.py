@@ -93,7 +93,9 @@ def quantize_host_tree(np_tree, dtype=jnp.bfloat16, min_elems: int = QUANT_MIN_E
                 out[k] = jnp.asarray(q)
                 out["kernel_scale"] = scales[prefix]
             else:
-                out[k] = jnp.asarray(arr, dtype)
+                # contiguous + final dtype in one numpy pass — transposed
+                # views transfer ~10× slower (see torch_convert.tree_to_jax)
+                out[k] = jnp.asarray(np.asarray(arr, dtype=np.dtype(dtype), order="C"))
         return out
 
     return rebuild(np_tree), scales

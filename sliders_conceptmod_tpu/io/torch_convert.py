@@ -26,6 +26,7 @@ supports both) are not handled yet — only the diffusers directory layout.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -257,14 +258,130 @@ def load_text_encoder_params(model_dir: str, component: str = "text_encoder", dt
     return convert_clip_text_state_dict(sd), cfg
 
 
-def tree_to_jax(tree, dtype=None):
+# Bulk-transfer knobs for tree_to_jax (the multi-GB checkpoint-load hot
+# path). Trees below the threshold keep the simple per-leaf path — tiny test
+# trees would pay carve-compile latency for nothing.
+_BULK_MIN_TOTAL_BYTES = 64 * 1024 * 1024
+_BULK_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _contiguous_source(x: np.ndarray):
+    """For a (possibly) transposed numpy view, find ``order`` such that
+    ``np.transpose(x, order)`` is C-contiguous (the converter's lazy
+    transposes are pure permutations of a contiguous buffer). Returns
+    ``(order, contiguous_view)``; falls back to a host copy when no
+    permutation works (sliced/overlapping views)."""
+    if x.ndim <= 1 or x.flags.c_contiguous:
+        return tuple(range(x.ndim)), x
+    order = tuple(sorted(range(x.ndim), key=lambda i: (-x.strides[i], i)))
+    v = np.transpose(x, order)
+    if v.flags.c_contiguous:
+        return order, v
+    return tuple(range(x.ndim)), np.ascontiguousarray(x)
+
+
+def tree_to_jax(tree, dtype=None, bulk_min_bytes: Optional[int] = None):
+    """Host tree → device tree (the multi-GB checkpoint-load hot path).
+
+    The naive per-leaf ``jnp.asarray(view).astype(dtype)`` is pathologically
+    slow at real checkpoint scale on measured hardware: converted trees are
+    full of TRANSPOSED VIEWS (torch_entry_to_flax flips conv kernels to HWIO
+    and linear weights to [in,out] lazily), so every leaf pays a host-side
+    strided cast (20-60 MB/s for cache-hostile multi-MB transposes) plus a
+    per-leaf transfer (1680 leaves for SDXL; measured 46-110 s for the
+    5.13 GB UNet through the device transport) plus one device-side cast
+    compile per distinct shape.
+
+    Bulk path (trees over ``_BULK_MIN_TOTAL_BYTES``): pack the CONTIGUOUS
+    SOURCE bytes of every leaf into a few ~256 MB chunks (pure memcpy — the
+    transpose is deferred), ship each chunk as ONE transfer, and run a single
+    jitted carve program per tree that slices each leaf out of its chunk,
+    bitcasts to the source dtype, reshapes, un-permutes, and casts to the
+    target dtype — all device-side at HBM speed. Fewer, larger DMAs is also
+    the right shape for real PCIe/ICI hosts. The carve program is pure data
+    movement (compiles in ~2 s, hits the persistent compile cache on
+    reload)."""
     import jax
 
-    def leaf(x):
-        a = jnp.asarray(x)
-        return a.astype(dtype) if dtype is not None else a
+    leaves, treedef = jax.tree.flatten(tree)
+    min_total = _BULK_MIN_TOTAL_BYTES if bulk_min_bytes is None else bulk_min_bytes
+    total = sum(x.nbytes for x in leaves if isinstance(x, np.ndarray))
+    bulk_ok = total >= min_total and all(
+        isinstance(x, np.ndarray)
+        and x.dtype.kind == "f"
+        and x.dtype.itemsize in (2, 4, 8)
+        and x.size > 0
+        for x in leaves
+    )
+    if not bulk_ok:
 
-    return jax.tree.map(leaf, tree)
+        def leaf(x):
+            a = jnp.asarray(x)
+            return a.astype(dtype) if dtype is not None else a
+
+        return jax.tree.unflatten(treedef, [leaf(x) for x in leaves])
+
+    # --- pack per source-dtype streams (chunks carry ELEMENTS in the source
+    # dtype — a raw-byte chunk would need a [n, itemsize]-uint8 bitcast on
+    # device, whose minor dim the TPU layout pads to 128: a 64× transient
+    # blowup that OOM'd the first cut of this path)
+    dev_chunks, records = [], []  # records: (chunk_idx, elem_off, dtype, shape, inv_perm)
+    open_bufs = {}  # dtype -> (chunk_idx, buf, used_elems)
+    chunk_elems = {}
+
+    def flush(dt):
+        # ship each chunk as soon as it is full — the (async) transfer
+        # overlaps the packing of the next chunk
+        ci, b, used = open_bufs.pop(dt)
+        dev_chunks[ci] = jax.device_put(b[:used])
+
+    for x in leaves:
+        order, src = _contiguous_source(x)
+        inv = tuple(int(i) for i in np.argsort(order))
+        dt = src.dtype
+        n = src.size
+        cap = chunk_elems.setdefault(dt, max(1, _BULK_CHUNK_BYTES // dt.itemsize))
+        if dt in open_bufs and open_bufs[dt][2] + n > len(open_bufs[dt][1]):
+            flush(dt)
+        if dt not in open_bufs:
+            buf = np.empty(max(cap, n), dt)
+            open_bufs[dt] = (len(dev_chunks), buf, 0)
+            dev_chunks.append(None)
+        ci, buf, used = open_bufs[dt]
+        buf[used : used + n] = src.reshape(-1)
+        records.append((ci, used, dt, src.shape, inv))
+        open_bufs[dt] = (ci, buf, used + n)
+    for dt in list(open_bufs):
+        flush(dt)
+
+    shape_key = tuple(
+        (ci, off, str(sdt), sshape, inv) for ci, off, sdt, sshape, inv in records
+    )
+    carve = _bulk_carve_program(shape_key, str(np.dtype(dtype)) if dtype is not None else None)
+    out_leaves = carve(*dev_chunks)
+    return jax.tree.unflatten(treedef, out_leaves)
+
+
+@functools.lru_cache(maxsize=32)
+def _bulk_carve_program(shape_key, dtype_str):
+    import jax
+
+    out_dtype = np.dtype(dtype_str) if dtype_str is not None else None
+
+    def carve(*chunks):
+        outs = []
+        for ci, off, _sdt_str, sshape, inv in shape_key:
+            n = int(np.prod(sshape)) if sshape else 1
+            arr = jax.lax.slice(chunks[ci], (off,), (off + n,)).reshape(sshape)
+            if inv != tuple(range(len(inv))):
+                arr = jnp.transpose(arr, inv)
+            if out_dtype is not None and arr.dtype != out_dtype:
+                arr = arr.astype(out_dtype)
+            outs.append(arr)
+        return outs
+
+    # donate the chunk buffers — freed as the carved tree materializes
+    return jax.jit(carve, donate_argnums=tuple(range(1 + max(r[0] for r in shape_key))))
 
 
 def verify_tree_shapes(converted, expected, prefix=()) -> list:

@@ -132,3 +132,57 @@ def test_clip_roundtrip():
         np.asarray(params["layers_0"]["self_attn"]["q_proj"]["kernel"]),
         atol=0,
     )
+
+
+def test_tree_to_jax_bulk_path_matches_per_leaf():
+    """The bulk chunk+carve transfer (tree_to_jax with bulk_min_bytes=0) must
+    be bit-identical to the per-leaf path on a tree full of the converter's
+    lazy transposed views — 2D linear .T views, 4D conv (2,3,1,0) views,
+    contiguous biases, 0-d scalars, mixed fp16/fp32 sources — for both a
+    bf16 target cast and dtype=None passthrough."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    tree = {
+        "a": {
+            # linear weight as the converter emits it: torch [out,in] -> .T view
+            "kernel": np.transpose(rng.standard_normal((48, 32)).astype(np.float16)),
+            "bias": rng.standard_normal((48,)).astype(np.float16),
+        },
+        "conv": {
+            # conv kernel: torch OIHW -> (2,3,1,0) HWIO view
+            "kernel": np.transpose(
+                rng.standard_normal((24, 16, 3, 3)).astype(np.float16), (2, 3, 1, 0)
+            ),
+            "bias": rng.standard_normal((24,)).astype(np.float32),
+        },
+        "norm": {"scale": rng.standard_normal((32,)).astype(np.float32)},
+        "scalar": np.asarray(rng.standard_normal(), np.float32),
+        # a big leaf to span a chunk boundary when chunk size is tiny
+        "big": rng.standard_normal((64, 64, 9)).astype(np.float16),
+    }
+    for dtype in (jnp.bfloat16, jnp.float32, None):
+        bulk = tc.tree_to_jax(tree, dtype=dtype, bulk_min_bytes=0)
+        ref = tc.tree_to_jax(tree, dtype=dtype, bulk_min_bytes=1 << 62)
+        for b, r in zip(jax.tree.leaves(bulk), jax.tree.leaves(ref)):
+            assert b.dtype == r.dtype and b.shape == r.shape
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(r))
+
+
+def test_tree_to_jax_bulk_chunk_boundaries(monkeypatch):
+    """Leaves larger than the chunk budget get their own chunk; multi-chunk
+    packing reassembles exactly."""
+    import jax
+
+    monkeypatch.setattr(tc, "_BULK_CHUNK_BYTES", 4096)
+    rng = np.random.default_rng(8)
+    tree = {
+        f"leaf{i}": np.transpose(rng.standard_normal((40, 30)).astype(np.float16))
+        for i in range(5)
+    }
+    tree["huge"] = rng.standard_normal((5000,)).astype(np.float32)  # 20 KB > chunk
+    bulk = tc.tree_to_jax(tree, dtype=jnp.float32, bulk_min_bytes=0)
+    for k, v in tree.items():
+        np.testing.assert_allclose(
+            np.asarray(bulk[k]), np.asarray(v, np.float32), atol=0
+        )
