@@ -259,8 +259,8 @@ def load_text_encoder_params(model_dir: str, component: str = "text_encoder", dt
 
 
 # Bulk-transfer knobs for tree_to_jax (the multi-GB checkpoint-load hot
-# path). Trees below the threshold keep the simple per-leaf path — tiny test
-# trees would pay carve-compile latency for nothing.
+# path). Trees below the threshold keep the simple per-leaf asarray path —
+# tiny test trees would pay carve-compile latency for nothing.
 _BULK_MIN_TOTAL_BYTES = 64 * 1024 * 1024
 _BULK_CHUNK_BYTES = 256 * 1024 * 1024
 
@@ -293,14 +293,21 @@ def tree_to_jax(tree, dtype=None, bulk_min_bytes: Optional[int] = None):
     compile per distinct shape.
 
     Bulk path (trees over ``_BULK_MIN_TOTAL_BYTES``): pack the CONTIGUOUS
-    SOURCE bytes of every leaf into a few ~256 MB chunks (pure memcpy — the
-    transpose is deferred), ship each chunk as ONE transfer, and run a single
-    jitted carve program per tree that slices each leaf out of its chunk,
-    bitcasts to the source dtype, reshapes, un-permutes, and casts to the
-    target dtype — all device-side at HBM speed. Fewer, larger DMAs is also
-    the right shape for real PCIe/ICI hosts. The carve program is pure data
-    movement (compiles in ~2 s, hits the persistent compile cache on
-    reload)."""
+    SOURCE bytes of every leaf into a few ~256 MB chunks, ship each chunk as
+    ONE transfer, and run a single jitted carve program per tree that slices
+    each leaf out of its chunk, reshapes, un-permutes, and casts to the
+    target dtype — all device-side at HBM speed. The carve program is pure
+    data movement and hits the persistent compile cache on reload.
+
+    Measured shape of the problem on this host class (Firecracker VM, 1
+    core, remote-TPU tunnel; BASELINE.md r4 load profile):
+      * per-transfer overhead ≈ 25-30 ms — 1680 per-leaf ``device_put``s
+        cost ~48 s for 5 GB while ~27 chunked transfers sustain 1-2 GB/s;
+      * FIRST-TOUCH page faults on fresh multi-GB allocations crawl at
+        ~140-590 MB/s, while warm-memory memcpy runs ~8 GB/s — so the
+        chunk buffers come from a process-level POOL (pre-faulted once,
+        reused across loads/components) and the sources should be warm RAM
+        (io/native.load_safetensors_arena) rather than cold mmap faults."""
     import jax
 
     leaves, treedef = jax.tree.flatten(tree)
@@ -327,25 +334,26 @@ def tree_to_jax(tree, dtype=None, bulk_min_bytes: Optional[int] = None):
     # blowup that OOM'd the first cut of this path)
     dev_chunks, records = [], []  # records: (chunk_idx, elem_off, dtype, shape, inv_perm)
     open_bufs = {}  # dtype -> (chunk_idx, buf, used_elems)
-    chunk_elems = {}
+    inflight = []  # (device_array, host_buf) — buf returns to the pool once safe
 
     def flush(dt):
         # ship each chunk as soon as it is full — the (async) transfer
         # overlaps the packing of the next chunk
         ci, b, used = open_bufs.pop(dt)
-        dev_chunks[ci] = jax.device_put(b[:used])
+        d = jax.device_put(b[:used])
+        dev_chunks[ci] = d
+        inflight.append((d, b))
 
     for x in leaves:
         order, src = _contiguous_source(x)
         inv = tuple(int(i) for i in np.argsort(order))
         dt = src.dtype
         n = src.size
-        cap = chunk_elems.setdefault(dt, max(1, _BULK_CHUNK_BYTES // dt.itemsize))
+        cap = max(_BULK_CHUNK_BYTES // dt.itemsize, n)
         if dt in open_bufs and open_bufs[dt][2] + n > len(open_bufs[dt][1]):
             flush(dt)
         if dt not in open_bufs:
-            buf = np.empty(max(cap, n), dt)
-            open_bufs[dt] = (len(dev_chunks), buf, 0)
+            open_bufs[dt] = (len(dev_chunks), _chunk_pool_acquire(dt, cap), 0)
             dev_chunks.append(None)
         ci, buf, used = open_bufs[dt]
         buf[used : used + n] = src.reshape(-1)
@@ -354,12 +362,40 @@ def tree_to_jax(tree, dtype=None, bulk_min_bytes: Optional[int] = None):
     for dt in list(open_bufs):
         flush(dt)
 
+    # transfers must have finished READING the host buffers before they can
+    # go back to the pool; block here (the carve call below needs the device
+    # chunks resident anyway)
+    for d, b in inflight:
+        d.block_until_ready()
+        _chunk_pool_release(b)
+
     shape_key = tuple(
         (ci, off, str(sdt), sshape, inv) for ci, off, sdt, sshape, inv in records
     )
     carve = _bulk_carve_program(shape_key, str(np.dtype(dtype)) if dtype is not None else None)
     out_leaves = carve(*dev_chunks)
     return jax.tree.unflatten(treedef, out_leaves)
+
+
+# process-level chunk-buffer pool: pre-faulted once, reused across every
+# tree_to_jax call (first-touch faults on this VM class run 10-50x slower
+# than warm memcpy — see tree_to_jax's docstring)
+_CHUNK_POOL: dict = {}
+
+
+def _chunk_pool_acquire(dt, cap) -> np.ndarray:
+    lst = _CHUNK_POOL.setdefault((str(dt), int(cap)), [])
+    if lst:
+        return lst.pop()
+    buf = np.empty(int(cap), dt)
+    buf.view(np.uint8)[:: 4096] = 0  # fault every page once, while cold
+    return buf
+
+
+def _chunk_pool_release(buf: np.ndarray) -> None:
+    lst = _CHUNK_POOL.setdefault((str(buf.dtype), buf.size), [])
+    if len(lst) < 8:
+        lst.append(buf)
 
 
 @functools.lru_cache(maxsize=32)

@@ -32,6 +32,8 @@ def apply_tpu_runtime_flags(tpu) -> None:
     if tpu is None:
         return
     cache_dir = getattr(tpu, "compilation_cache_dir", None)
+    if not cache_dir:
+        ensure_default_compilation_cache()
     if cache_dir:
         import os
 
@@ -49,6 +51,23 @@ def apply_tpu_runtime_flags(tpu) -> None:
         _cc.reset_cache()
     if getattr(tpu, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+
+
+def ensure_default_compilation_cache(default_dir: str = "/tmp/sliders_jax_cache") -> None:
+    """Turn the persistent executable cache ON by default when nothing
+    configured it (env or yaml). Every new HLO costs 10-30 min through this
+    deployment's remote-compile service — even the pure-data-movement carve
+    programs of the checkpoint loader cost ~60-75 s each at SDXL scale — so
+    running processes without the cache silently multiplies every bring-up.
+    No-op when ``jax_compilation_cache_dir`` is already set (the yaml
+    ``tpu.compilation_cache_dir`` knob and explicit env vars win)."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return
+    jax.config.update("jax_compilation_cache_dir", default_dir)
 
 
 def check_trainable(lora_params, max_entries: int = 5) -> None:

@@ -169,18 +169,18 @@ def test_tree_to_jax_bulk_path_matches_per_leaf():
             np.testing.assert_array_equal(np.asarray(b), np.asarray(r))
 
 
-def test_tree_to_jax_bulk_chunk_boundaries(monkeypatch):
-    """Leaves larger than the chunk budget get their own chunk; multi-chunk
-    packing reassembles exactly."""
-    import jax
-
-    monkeypatch.setattr(tc, "_BULK_CHUNK_BYTES", 4096)
+def test_tree_to_jax_bulk_mixed_dtypes_and_views(monkeypatch):
+    """The per-leaf bulk path reassembles transposed views and mixed source
+    dtypes exactly (the finish program un-permutes + casts device-side)."""
     rng = np.random.default_rng(8)
     tree = {
         f"leaf{i}": np.transpose(rng.standard_normal((40, 30)).astype(np.float16))
         for i in range(5)
     }
-    tree["huge"] = rng.standard_normal((5000,)).astype(np.float32)  # 20 KB > chunk
+    tree["huge"] = rng.standard_normal((5000,)).astype(np.float32)
+    tree["conv"] = np.transpose(
+        rng.standard_normal((8, 4, 3, 3)).astype(np.float16), (2, 3, 1, 0)
+    )  # the OIHW->HWIO lazy view torch_entry_to_flax emits
     bulk = tc.tree_to_jax(tree, dtype=jnp.float32, bulk_min_bytes=0)
     for k, v in tree.items():
         np.testing.assert_allclose(
