@@ -33,6 +33,94 @@ import os
 import time
 
 
+def _scale_value(name: str) -> float:
+    return float(name.replace("half", "0.5"))
+
+
+def verify_outputs(sweep_dir, true_scale, expect_monotone=False, lpips_weights=None,
+                   alexnet_weights=None):
+    """Structural checks on the scorer CSVs (VERDICT r3 task 6).
+
+    Even with synthetic scorer weights (zero-egress hosts) the pipeline must
+    be structurally sound: one ``clip_<scale>``/``lpips_<scale>`` column per
+    generated scale folder, every value finite, LPIPS non-negative, and the
+    metric's zero point exact — LPIPS(im, im) == 0 on a reference-scale image.
+    Returns per-scale mean curves (and deltas vs the reference scale) for
+    acceptance.json. With ``expect_monotone`` (real scorer weights) the mean
+    CLIP curve must additionally be monotone in scale — the slider-works
+    criterion of the reference's evaluate loop (eval-scripts/clip_score.py:53-69)."""
+    import numpy as np
+    import pandas as pd
+
+    report = {}
+    folders = sorted(
+        d for d in os.listdir(sweep_dir)
+        if os.path.isdir(os.path.join(sweep_dir, d)) and d != "all"
+    )
+    if not folders:
+        raise SystemExit(f"[acceptance] verify: no scale folders in {sweep_dir}")
+
+    clip_csv = os.path.join(sweep_dir, "clip_scores.csv")
+    if os.path.exists(clip_csv):
+        df = pd.read_csv(clip_csv)
+        curve = {}
+        for folder in folders:
+            col = f"clip_{folder.replace('half', '0.5')}"
+            if col not in df.columns:
+                raise SystemExit(f"[acceptance] verify: {clip_csv} missing column {col}")
+            vals = df[col].to_numpy(np.float64)
+            if not np.isfinite(vals).all():
+                raise SystemExit(f"[acceptance] verify: non-finite values in {col}")
+            curve[_scale_value(folder)] = float(vals.mean())
+        report["clip_curve"] = {str(k): curve[k] for k in sorted(curve)}
+        if expect_monotone and len(curve) >= 3:
+            means = [curve[k] for k in sorted(curve)]
+            diffs = np.diff(means)
+            if not ((diffs >= 0).all() or (diffs <= 0).all()):
+                raise SystemExit(
+                    f"[acceptance] verify: CLIP curve not monotone in scale: {means}"
+                )
+
+    lpips_csv = os.path.join(sweep_dir, "lpips_score.csv")
+    if os.path.exists(lpips_csv):
+        df = pd.read_csv(lpips_csv)
+        curve = {}
+        for folder in folders:
+            if folder == true_scale:
+                continue  # lpip_score skips the reference folder (reference behavior)
+            col = f"lpips_{folder.replace('half', '0.5')}"
+            if col not in df.columns:
+                raise SystemExit(f"[acceptance] verify: {lpips_csv} missing column {col}")
+            vals = df[col].to_numpy(np.float64)
+            if not np.isfinite(vals).all():
+                raise SystemExit(f"[acceptance] verify: non-finite values in {col}")
+            if (vals < 0).any():
+                raise SystemExit(f"[acceptance] verify: negative LPIPS in {col}")
+            curve[_scale_value(folder)] = float(vals.mean())
+        report["lpips_curve"] = {str(k): curve[k] for k in sorted(curve)}
+        # zero-point identity: LPIPS of a reference-scale image against itself
+        # must be exactly 0 (valid even with synthetic lin-head weights)
+        if lpips_weights and alexnet_weights:
+            import jax.numpy as jnp
+
+            from sliders_conceptmod_tpu.eval.lpip_score import image_loader
+            from sliders_conceptmod_tpu.models.lpips import LPIPS, load_lpips_params
+
+            true_dir = os.path.join(sweep_dir, true_scale)
+            pngs = sorted(f for f in os.listdir(true_dir) if f.endswith(".png"))
+            if pngs:
+                im = jnp.asarray(image_loader(os.path.join(true_dir, pngs[0])))
+                model = LPIPS()
+                params = load_lpips_params(alexnet_weights, lpips_weights)
+                d = float(model.apply({"params": params}, im, im)[0])
+                if d != 0.0:
+                    raise SystemExit(
+                        f"[acceptance] verify: LPIPS identity broken: d(im, im) = {d}"
+                    )
+                report["lpips_identity"] = 0.0
+    return report
+
+
 def run(args):
     from sliders_conceptmod_tpu.cli import generate_images_xl as gen_cli
     from sliders_conceptmod_tpu.cli import train_lora_xl as train_cli
@@ -125,9 +213,18 @@ def run(args):
     else:
         print("[acceptance] WARNING: no LPIPS weights — skipping LPIPS scoring")
 
+    # 5. structural verification of the CSVs + scale curves ------------------
+    report = verify_outputs(
+        sweep_dir,
+        args.true_scale,
+        expect_monotone=args.expect_monotone,
+        lpips_weights=args.lpips_weights,
+        alexnet_weights=args.alexnet_weights,
+    )
+
     with open(os.path.join(args.save_path, "acceptance.json"), "w") as f:
-        json.dump({"slider": slider_path, "sweep_dir": sweep_dir, **timings}, f, indent=1)
-    print(f"[acceptance] done: {json.dumps(timings)}")
+        json.dump({"slider": slider_path, "sweep_dir": sweep_dir, **timings, **report}, f, indent=1)
+    print(f"[acceptance] done: {json.dumps({**timings, **report})}")
     return sweep_dir
 
 
@@ -159,6 +256,11 @@ def build_parser():
     p.add_argument("--alexnet_weights", type=str, default=None)
     p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--true_scale", type=str, default="0.0", help="LPIPS reference scale folder")
+    p.add_argument(
+        "--expect_monotone",
+        action="store_true",
+        help="assert the mean CLIP score is monotone in scale (use with real scorer weights)",
+    )
     return p
 
 

@@ -291,3 +291,51 @@ tpu:
     with open(tmp_path / "acc" / "acceptance.json") as f:
         t = json.load(f)
     assert {"train_seconds", "sweep_seconds", "clip_seconds", "lpips_seconds"} <= set(t)
+    # verify_outputs ran (VERDICT r3 task 6): per-scale mean curves + the
+    # LPIPS zero-point identity land in acceptance.json
+    assert set(t["clip_curve"]) == {"-1.0", "0.0", "1.0"}
+    assert set(t["lpips_curve"]) == {"-1.0", "1.0"}
+    assert all(np.isfinite(v) for v in t["clip_curve"].values())
+    assert all(np.isfinite(v) and v >= 0 for v in t["lpips_curve"].values())
+    assert t["lpips_identity"] == 0.0
+
+
+def test_acceptance_verify_catches_structural_breaks(tmp_path):
+    """verify_outputs rejects missing columns and non-finite values."""
+    import pandas as pd
+    import pytest
+
+    from sliders_conceptmod_tpu.cli.acceptance import verify_outputs
+
+    sweep = tmp_path / "sweep"
+    for scale in ("-1.0", "0.0", "1.0"):
+        (sweep / scale).mkdir(parents=True)
+    pd.DataFrame({"case_number": [0], "clip_-1.0": [0.1], "clip_0.0": [0.2]}).to_csv(
+        sweep / "clip_scores.csv", index=False
+    )
+    with pytest.raises(SystemExit, match="missing column clip_1.0"):
+        verify_outputs(str(sweep), "0.0")
+
+    pd.DataFrame(
+        {"case_number": [0], "clip_-1.0": [0.1], "clip_0.0": [float("nan")], "clip_1.0": [0.3]}
+    ).to_csv(sweep / "clip_scores.csv", index=False)
+    with pytest.raises(SystemExit, match="non-finite"):
+        verify_outputs(str(sweep), "0.0")
+
+    pd.DataFrame(
+        {"case_number": [0], "clip_-1.0": [0.1], "clip_0.0": [0.3], "clip_1.0": [0.2]}
+    ).to_csv(sweep / "clip_scores.csv", index=False)
+    with pytest.raises(SystemExit, match="not monotone"):
+        verify_outputs(str(sweep), "0.0", expect_monotone=True)
+
+    pd.DataFrame(
+        {"case_number": [0], "clip_-1.0": [0.1], "clip_0.0": [0.2], "clip_1.0": [0.3]}
+    ).to_csv(sweep / "clip_scores.csv", index=False)
+    report = verify_outputs(str(sweep), "0.0", expect_monotone=True)
+    assert report["clip_curve"] == {"-1.0": 0.1, "0.0": 0.2, "1.0": 0.3}
+
+    pd.DataFrame({"case_number": [0], "lpips_-1.0": [-0.5], "lpips_1.0": [0.2]}).to_csv(
+        sweep / "lpips_score.csv", index=False
+    )
+    with pytest.raises(SystemExit, match="negative LPIPS"):
+        verify_outputs(str(sweep), "0.0")
