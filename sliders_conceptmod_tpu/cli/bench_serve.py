@@ -65,6 +65,15 @@ def run(args):
                 bundle.params, rank=4, alpha=1.0, target_replace=["Attention"],
                 train_method="full", delimiter="-",
             )
+        elif family == "sd1":
+            _, _, _, bundle, _ = factory.load_models(
+                args.base, weight_dtype=jnp.bfloat16, with_vae=True
+            )
+            sites = lora_lib.create_sites(
+                bundle.params, rank=4, alpha=1.0,
+                target_replace=lora_lib.UNET_TARGET_REPLACE_MODULE_TRANSFORMER,
+                train_method="full",
+            )
         else:
             _, _, bundle, _, _ = factory.load_models_xl(
                 args.base, weight_dtype=jnp.bfloat16, with_vae=True
@@ -109,12 +118,15 @@ def run(args):
         service = None
     else:
         from sliders_conceptmod_tpu.serve import (
-            FluxSliderService, SD3SliderService, SliderService, detect_family,
+            FluxSliderService, SD1SliderService, SD3SliderService, SliderService,
+            detect_family,
         )
 
         family = args.family or detect_family(args.base)
 
-        cls = {"flux": FluxSliderService, "sd3": SD3SliderService}.get(family, SliderService)
+        cls = {
+            "flux": FluxSliderService, "sd3": SD3SliderService, "sd1": SD1SliderService,
+        }.get(family, SliderService)
         service = cls(
             args.base, args.slider, args.image_size, args.steps,
             microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
@@ -239,7 +251,7 @@ def build_parser():
         "for --base (required unless --url)",
     )
     p.add_argument("--url", default=None, help="bench a running server instead of in-process")
-    p.add_argument("--family", choices=["xl", "sd3", "flux"], default=None)
+    p.add_argument("--family", choices=["xl", "sd3", "flux", "sd1"], default=None)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--steps", type=int, default=25)
     p.add_argument("--guidance", type=float, default=7.5)

@@ -803,6 +803,139 @@ class SliderService(_SliderRegistry):
         return latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
 
 
+class SD1SliderService(SliderService):
+    """SD1.x/2.x slider serving: single CLIP tower, no added conditioning.
+
+    Parity target: the reference's SD1 sampler is the raw LMS loop in
+    ``eval-scripts/generate_images_sd1.py:43-215``; serving reuses the shared
+    DDIM ``sample_loop_scales`` trajectory (overlay ≡ merge,
+    tests/test_lora_overlay.py) like every other family — deliberate
+    deviation: one sampler surface across families, scheduler selectable at
+    construction. Inherits the registry/micro-batch/stacking machinery and
+    ``add_slider``/``_stacked_sampler`` unchanged from :class:`SliderService`
+    (the jitted samplers are family-generic; SD1 rows just carry
+    ``added=None``)."""
+
+    def __init__(self, base: str, slider_path: str, image_size: int = 512, steps: int = 50,
+                 start_noise: float = 750, quantize_base: bool = False, w8a8: bool = False,
+                 microbatch: bool = True, batch_window_ms: float = 8.0, max_batch: int = 4,
+                 mesh_data: int = 1, mesh_model: int = 1, max_sliders: int | None = None,
+                 max_queue: int = 64, cross_slider_stack: bool = True,
+                 static_guidance: float | None = None, v2: bool = False, v_pred: bool = False):
+        self.image_size = image_size
+        self.steps = steps
+        self._static_guidance = static_guidance
+        t0 = time.time()
+        tok, te, self.vae, self.unet, self.scheduler = factory.load_models(
+            base, scheduler_name="ddim", v2=v2, v_pred=v_pred,
+            weight_dtype=jnp.bfloat16, with_vae=True,
+            quantize_base=quantize_base or w8a8,
+        )
+        self.tokenizers = [tok]
+        self.text_encoders = [te]
+        self.unet.act_quant = bool(w8a8)
+        self.schedule = self.scheduler.set_timesteps(steps)
+        self.flip = flip_step_for_start_noise(self.schedule, start_noise)
+        self._unet_apply = self.unet.apply_fn()
+
+        self.unet.params, max_batch = self._mesh_init(
+            mesh_data, mesh_model, self.unet.params, max_batch
+        )
+        self._registry_init(max_sliders, cross_slider_stack)
+        self.add_slider("default", slider_path)
+
+        core = self._te_encode_core
+        self._encode_jit = jax.jit(lambda p, ids: core([p], ids))
+        self._batcher = (
+            MicroBatcher(self._generate_batch, max_batch=max_batch, window_ms=batch_window_ms,
+                         max_queue=max_queue)
+            if microbatch
+            else None
+        )
+        self.load_seconds = time.time() - t0
+
+    def _te_encode_core(self, ps, ids):
+        """SD1/2 prompt encode (factory.encode_prompts): final hidden state."""
+        from sliders_conceptmod_tpu.models.clip import clip_skip_hidden_state
+
+        (te_model,) = (te.model for te in self.text_encoders)
+        return clip_skip_hidden_state(te_model.apply({"params": ps[0]}, ids), None)
+
+    def _make_te_encoder(self, parts):
+        """Single-tower variant of the dual-CLIP merge+encode closure."""
+        (te,) = self.text_encoders
+        te_parts = tuple(parts.te_parts)
+        core = self._te_encode_core
+
+        @jax.jit
+        def _enc(p, lps, mult, ids):
+            ps = [p]
+            for part, lp in zip(te_parts, lps):
+                ps[part.index] = part.peft.merge_lora_params(
+                    ps[part.index], part.sites, lp, mult
+                )
+            return core(ps, ids)
+
+        lps = tuple(p.lora_params for p in te_parts)
+
+        def fn(prompt: str, scale: float):
+            return _enc(te.params, lps, jnp.float32(scale),
+                        jnp.asarray(te.tokenizer([prompt])))
+
+        return fn
+
+    def _encode_impl(self, prompt: str):
+        (te,) = self.text_encoders
+        return self._encode_jit(te.params, jnp.asarray(te.tokenizer([prompt])))
+
+    def _sample_group(self, padded, guidance, entry, adapter_idx=None) -> list:
+        """Same protocol as the XL group runner minus the added conditioning
+        (SD1 UNets take no text_embeds/time_ids)."""
+        _, lora_params, sample_fn = entry
+        bucket = len(padded)
+
+        if self._rows_need_te(padded):
+            unconds = [self._encode_row("", self._row_slider(r), r[1]) for r in padded]
+            conds = [self._encode_row(r[0], self._row_slider(r), r[1]) for r in padded]
+            emb = jnp.concatenate(unconds + conds, axis=0)
+        else:
+            text_u = self._encode("")
+            conds = [self._encode(p) for p, *_ in padded]
+            emb = jnp.concatenate([jnp.tile(text_u, (bucket, 1, 1))] + conds, axis=0)
+        res = self.image_size // 8
+        latents = jnp.concatenate(
+            [
+                jax.random.normal(jax.random.PRNGKey(r[2]), (1, 4, res, res), jnp.float32)
+                for r in padded
+            ],
+            axis=0,
+        ) * self.schedule.init_noise_sigma
+        scales = jnp.asarray([r[1] for r in padded], jnp.float32)
+        row_keys = jnp.stack([jax.random.PRNGKey(r[2]) for r in padded])
+        idx_arr = None if adapter_idx is None else jnp.asarray(adapter_idx, jnp.int32)
+        if self._mesh is not None:
+            from sliders_conceptmod_tpu.parallel import mesh as mesh_lib
+
+            shard = mesh_lib.data_sharded(self._mesh)
+            latents = jax.device_put(latents, shard)
+            emb = jax.device_put(emb, shard)
+            scales = jax.device_put(scales, shard)
+            row_keys = jax.device_put(row_keys, shard)
+            if idx_arr is not None:
+                idx_arr = jax.device_put(idx_arr, shard)
+        if idx_arr is None:
+            final = sample_fn(
+                self.unet.params, lora_params, scales,
+                latents.astype(jnp.bfloat16), emb, None, row_keys, guidance,
+            )
+        else:
+            final = sample_fn(
+                self.unet.params, lora_params, scales, idx_arr,
+                latents.astype(jnp.bfloat16), emb, None, row_keys, guidance,
+            )
+        return latents_to_images(self.vae.decode, final, self.vae.config.scaling_factor)
+
+
 class FluxSliderService(_SliderRegistry):
     """Flux slider serving (schnell/dev): few-step flow sampler with the
     slider applied through the apply-time LoRA overlay — the scale rides the
@@ -1252,12 +1385,18 @@ class SD3SliderService(_SliderRegistry):
 
 def detect_family(base: str) -> str:
     """Family autodetect from the base path — the single source for serve and
-    cli/bench_serve (xl | sd3 | flux)."""
+    cli/bench_serve (xl | sd3 | flux | sd1)."""
     base_l = str(base).lower()
     if "flux" in base_l:
         return "flux"
     if "sd3" in base_l or "stable-diffusion-3" in base_l:
         return "sd3"
+    if any(
+        tag in base_l
+        for tag in ("sd1", "v1-4", "v1-5", "stable-diffusion-v1", "sd2", "v2-1",
+                    "stable-diffusion-2")
+    ):
+        return "sd1"
     return "xl"
 
 
@@ -1433,7 +1572,7 @@ def main():
     ap.add_argument("--steps", type=int, default=None, help="default 25 (xl) / 28 (sd3) / 8 (flux)")
     ap.add_argument("--start_noise", type=float, default=None, help="default 750 (xl/sd3) / 800 (flux)")
     ap.add_argument(
-        "--family", choices=["xl", "sd3", "flux"], default=None,
+        "--family", choices=["xl", "sd3", "flux", "sd1"], default=None,
         help="auto-detected from --base when omitted",
     )
     ap.add_argument(
@@ -1536,6 +1675,18 @@ def main():
             mesh_data=args.mesh_data, mesh_model=args.mesh_model,
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
             max_queue=args.max_queue,
+        )
+    elif family == "sd1":
+        service = SD1SliderService(
+            args.base, args.slider, args.image_size,
+            args.steps if args.steps is not None else 50,
+            args.start_noise if args.start_noise is not None else 750,
+            quantize_base=args.quantize_base, w8a8=args.w8a8,
+            microbatch=not args.no_microbatch, batch_window_ms=args.batch_window_ms,
+            mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+            max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
+            max_queue=args.max_queue,
+            static_guidance=args.static_guidance,
         )
     else:
         service = SliderService(

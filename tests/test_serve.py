@@ -100,6 +100,88 @@ def test_flux_scale_changes_output(flux_service):
     assert a != b  # same seed, different slider scale -> different image
 
 
+@pytest.fixture(scope="module")
+def sd1_service(tmp_path_factory):
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.models import factory
+    from sliders_conceptmod_tpu.serve import SD1SliderService
+
+    path = tmp_path_factory.mktemp("serve_sd1") / "sd1_slider.safetensors"
+    _, _, unet, _ = factory.load_models("tiny")
+    sites = lora_lib.create_sites(unet.params, rank=2, alpha=1.0, train_method="full")
+    lp = jax.tree.map(lambda a: a + 0.1, lora_lib.init_lora_params(jax.random.PRNGKey(0), sites))
+    lora_lib.save_weights(path, sites, lp)
+    return SD1SliderService("tiny", str(path), image_size=64, steps=2, start_noise=1100)
+
+
+def test_sd1_generate_returns_png(sd1_service):
+    png = sd1_service.generate("a cat", scale=1.0, seed=3, guidance=7.5)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_sd1_scale_changes_output_one_executable(sd1_service):
+    n0 = sd1_service._sample._cache_size()
+    a = sd1_service.generate("a cat", scale=-3.0, seed=3, guidance=7.5)
+    b = sd1_service.generate("a cat", scale=3.0, seed=3, guidance=7.5)
+    c = sd1_service.generate("a cat", scale=0.7321, seed=3, guidance=7.5)
+    assert a != b
+    assert c[:8] == b"\x89PNG\r\n\x1a\n"
+    assert sd1_service._sample._cache_size() == max(n0, 1)
+
+
+def test_sd1_batched_requests_match_solo(sd1_service):
+    """Concurrent mixed-scale requests through the SD1 micro-batcher route
+    each caller its own image."""
+    import threading
+
+    outs = {}
+
+    def client(scale, seed):
+        outs[(scale, seed)] = sd1_service.generate("a cat", scale=scale, seed=seed, guidance=7.5)
+
+    threads = [
+        threading.Thread(target=client, args=args)
+        for args in ((-2.0, 3), (2.0, 3), (0.0, 9))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(v[:8] == b"\x89PNG\r\n\x1a\n" for v in outs.values())
+    assert outs[(-2.0, 3)] != outs[(2.0, 3)]
+    assert outs[(0.0, 9)] != outs[(2.0, 3)]
+
+
+def test_sd1_te_slider(sd1_service, tmp_path_factory):
+    """A text-encoder-only slider file registers on the SD1 service (the
+    single-tower _make_te_encoder override) and changes the image."""
+    from safetensors.numpy import save_file
+
+    from sliders_conceptmod_tpu.adapters import lora as lora_lib
+    from sliders_conceptmod_tpu.adapters import slider_file as sfile
+    from sliders_conceptmod_tpu.models import factory
+
+    d = tmp_path_factory.mktemp("sd1_te")
+    _, te, _, _ = factory.load_models("tiny")
+    sites = lora_lib.create_sites(
+        te.params, rank=2, alpha=1.0,
+        target_replace=["CLIPAttention", "CLIPSdpaAttention"],
+        prefix="lora_te1", train_method="full",
+        name_path_prefix=sfile.CLIP_NAME_PATH_PREFIX,
+    )
+    lp = jax.tree.map(lambda a: a + 0.15, lora_lib.init_lora_params(jax.random.PRNGKey(5), sites))
+    path = d / "te1_only.safetensors"
+    save_file(lora_lib.state_dict_numpy(sites, lp), str(path))
+    sd1_service.add_slider("te", str(path))
+    try:
+        with_te = sd1_service.generate("a dog", scale=1.5, seed=11, guidance=7.5, slider="te")
+        plain = sd1_service.generate("a dog", scale=1.5, seed=11, guidance=7.5)
+        assert with_te[:8] == b"\x89PNG\r\n\x1a\n"
+        assert with_te != plain
+    finally:
+        sd1_service.remove_slider("te")
+
+
 def test_microbatcher_gathers_and_routes():
     """Concurrent submits within the window ride ONE run_batch call; results
     route back to their callers in order; exceptions fan out."""
