@@ -1064,6 +1064,10 @@ def main():
         # merged-student control.
         student_overlay=(qmode != "off") or overlay_mode in ("1", "2"),
         overlay_warmup=(False if qmode == "off" and overlay_mode == "2" else None),
+        # BENCH_SHARE_WARMUP=1 (+BENCH_SAMPLES>1): shared-prefix warm-up A/B
+        # (VERDICT r3 task 4) — one batch-1 chain to max(t_k), per-sample
+        # trajectory snapshots; warm-up cost independent of samples_per_step
+        share_warmup=os.environ.get("BENCH_SHARE_WARMUP", "0") == "1" and samples > 1,
     )
     opt = get_optimizer(
         "adamw", get_lr_schedule("cosine", 1e-4, 50, 1e-6), weight_decay=1e-6, grad_clip_norm=0.2

@@ -157,6 +157,13 @@ class TPUConfig(BaseModel):
     # int8 base (the merged tree cannot exist there). true forces the
     # overlay on the warm-up too; false is refused over a quantized base.
     overlay_warmup: Optional[bool] = None
+    # shared-prefix warm-up under DP (train/esd.py ESDConfig.share_warmup):
+    # the samples_per_step fused samples share ONE batch-1 warm-up chain to
+    # max(t_k), each reading the trajectory snapshot at its own t_k.
+    # DEVIATIONS when on: per-step samples share one prompt pair and one
+    # initial latent; warm-up noise correlates across samples. Opt-in A/B
+    # against the latency-bound warm-up chain; samples_per_step > 1 only.
+    share_warmup: bool = False
 
 
 class RootConfig(BaseModel):

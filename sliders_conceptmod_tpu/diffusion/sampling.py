@@ -264,6 +264,63 @@ def denoise_partial_per_row(
     return latents
 
 
+def denoise_shared_snapshots(
+    unet_apply: UNetApply,
+    unet_params,
+    scheduler: NoiseScheduler,
+    schedule: Schedule,
+    latents: jnp.ndarray,  # [1, C, H, W] — ONE shared chain
+    text_embeddings: jnp.ndarray,  # [1 or 2, S, D]
+    key: jax.Array,
+    *,
+    total_steps,  # [B] int vector — per-row snapshot depths (all >= 1)
+    guidance_scale=1.0,
+    added_cond_kwargs: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Shared-prefix warm-up (tpu.share_warmup): run ONE batch-1 chain to
+    ``max(total_steps)`` and return ``[B, ...]`` rows where row b is the
+    chain state after ``total_steps[b]`` steps — snapshots of one shared
+    trajectory instead of B independent chains.
+
+    Cuts the per-iteration warm-up UNet row count from B (CFG: 2B) to 1
+    (CFG: 2) regardless of samples_per_step. DEVIATION from the reference's
+    independent per-sample warm-ups (train_lora_xl.py:209-231): the samples'
+    warm-up noise is perfectly correlated (same initial latent, same
+    stochastic-scheduler draws — each sample's context latent is an earlier/
+    later state of the SAME trajectory). Opt-in only, for the A/B against
+    the latency-bound warm-up chain (BASELINE.md)."""
+    state = scheduler.init_step_state(latents.shape)
+    B = total_steps.shape[0]
+    hit_shape = (B,) + (1,) * (latents.ndim - 1)
+    snaps = jnp.zeros((B,) + latents.shape[1:], latents.dtype)
+
+    def body(i, carry):
+        lat, st, k, snaps = carry
+        k, sub = jax.random.split(k)
+        eps = predict_noise(
+            unet_apply,
+            unet_params,
+            scheduler,
+            schedule,
+            lat,
+            text_embeddings,
+            step_index=i,
+            guidance_scale=guidance_scale,
+            added_cond_kwargs=added_cond_kwargs,
+        )
+        lat, st = scheduler.step(schedule, eps, i, lat, st, key=sub)
+        # rows with total_steps == i+1 snapshot the post-step state; the
+        # [1, ...] chain broadcasts over the B-row snapshot buffer
+        hit = (total_steps == i + 1).reshape(hit_shape)
+        snaps = jnp.where(hit, lat, snaps)
+        return (lat, st, k, snaps)
+
+    _, _, _, snaps = jax.lax.fori_loop(
+        0, jnp.max(total_steps), body, (latents, state, key, snaps)
+    )
+    return snaps
+
+
 def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guidance_rescale: float = 0.0):
     """CFG-rescale (arXiv 2305.08891 §3.4) — reference train_util.py:330-348.
     Inference-path option only; training keeps it off (SURVEY §2.4)."""

@@ -53,6 +53,7 @@ from sliders_conceptmod_tpu.diffusion.sampling import (
     current_train_timestep,
     denoise_partial,
     denoise_partial_per_row,
+    denoise_shared_snapshots,
     get_initial_latents,
     predict_noise,
 )
@@ -215,6 +216,15 @@ class ESDConfig:
     # gradient-stopped context generation; with lr→0 the sequence is
     # bit-identical, tests/test_esd_train.py). samples_per_step==1 only.
     pipeline_warmup: bool = False
+    # shared-prefix warm-up (tpu.share_warmup, VERDICT r3 task 4): the
+    # fused samples share ONE batch-1 warm-up chain to max(t_k), each
+    # sample reading the trajectory snapshot at its own t_k
+    # (diffusion/sampling.denoise_shared_snapshots). Warm-up cost becomes
+    # independent of samples_per_step. DEVIATIONS (opt-in A/B only): the
+    # per-step samples share one prompt pair (drawn once), one initial
+    # latent, and correlated warm-up noise; with dynamic_crops the warm-up
+    # rides sample 0's crop. fuse_samples + samples_per_step>1 only.
+    share_warmup: bool = False
     # the Mesh behind shard_samples. When set, constraints bind to it as
     # NamedShardings — no ambient `with mesh:` context needed, which is what
     # lets the trainer CLIs drive DP (and multi-host DP: global meshes from
@@ -289,6 +299,13 @@ def make_esd_train_step(
             raise ValueError("fuse_teacher_student supports the LoRA overlay only")
         if cfg.samples_per_step != 1:
             raise ValueError("fuse_teacher_student supports samples_per_step == 1 only")
+    if cfg.share_warmup and (
+        cfg.samples_per_step == 1 or not cfg.fuse_samples or cfg.batch_size != 1
+    ):
+        raise ValueError(
+            "share_warmup needs the fused multi-sample path "
+            "(samples_per_step > 1, fuse_samples, batch_size == 1)"
+        )
 
     if cfg.student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
         raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
@@ -547,6 +564,11 @@ def make_esd_train_step(
             return pair, timesteps_to, lat0
 
         pair, timesteps_to, latents0 = jax.vmap(draw)(keys)
+        if cfg.share_warmup:
+            # ONE pair per step (drawn from the first sample's key) — the
+            # shared chain needs one warm-up context; teacher/student below
+            # still run per-sample at each sample's own t_k
+            pair = jnp.broadcast_to(pair[:1], pair.shape)
         tids = None
         if is_xl and cfg.dynamic_crops:
             # identical per-sample derivation to warm_draw (fold_in(key, 7)),
@@ -583,18 +605,54 @@ def make_esd_train_step(
             }
 
         w_apply, w_params = _warmup_apply_params(base_params, lora_params, warm_params)
-        denoised = denoise_partial_per_row(
-            w_apply,
-            w_params,
-            scheduler,
-            schedule,
-            latents0,
-            cfg_rows(ROLE_TARGET),
-            k_loop,
-            total_steps=timesteps_to,
-            guidance_scale=cfg.train_cfg_scale,
-            added_cond_kwargs=xl_kwargs(ROLE_TARGET),
-        )
+        if cfg.share_warmup:
+            # one batch-1 chain (sample 0's latent/context/crop), per-sample
+            # trajectory snapshots at each t_k
+            warm_rows = (
+                text[:1, ROLE_TARGET]
+                if not use_cfg
+                else jnp.concatenate([text[:1, ROLE_UNCOND], text[:1, ROLE_TARGET]], axis=0)
+            )
+            warm_kw = None
+            if is_xl:
+                tids_1 = jnp.broadcast_to(add_time_ids if tids is None else tids[:1], (1, 6))
+                warm_kw = (
+                    {"text_embeds": pooled[:1, ROLE_TARGET], "time_ids": tids_1}
+                    if not use_cfg
+                    else {
+                        "text_embeds": jnp.concatenate(
+                            [pooled[:1, ROLE_UNCOND], pooled[:1, ROLE_TARGET]], axis=0
+                        ),
+                        "time_ids": jnp.tile(tids_1, (2, 1)),
+                    }
+                )
+            denoised = denoise_shared_snapshots(
+                w_apply,
+                w_params,
+                scheduler,
+                schedule,
+                latents0[:1],
+                warm_rows,
+                k_loop,
+                total_steps=timesteps_to,
+                guidance_scale=cfg.train_cfg_scale,
+                added_cond_kwargs=warm_kw,
+            )
+            if cfg.shard_samples:
+                denoised = jax.lax.with_sharding_constraint(denoised, cfg.data_spec())
+        else:
+            denoised = denoise_partial_per_row(
+                w_apply,
+                w_params,
+                scheduler,
+                schedule,
+                latents0,
+                cfg_rows(ROLE_TARGET),
+                k_loop,
+                total_steps=timesteps_to,
+                guidance_scale=cfg.train_cfg_scale,
+                added_cond_kwargs=xl_kwargs(ROLE_TARGET),
+            )
         denoised = jax.lax.stop_gradient(denoised)
         current_t = current_train_timestep(
             timesteps_to, cfg.max_denoising_steps, cfg.num_train_timesteps

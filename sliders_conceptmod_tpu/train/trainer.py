@@ -282,6 +282,7 @@ def train(
             # weight-grad matmuls of the merged path (tpu.student_overlay)
             student_overlay=student_overlay,
             overlay_warmup=overlay_warmup,
+            share_warmup=bool(getattr(tpu_cfg, "share_warmup", False)),
         )
         add_tids = jnp.asarray(get_add_time_ids(height, width, False)) if is_xl else None
         return esd.make_esd_train_step(

@@ -690,3 +690,70 @@ def test_dual_tree_trainer_end_to_end(tmp_path):
     prompts = [PromptSettings(target="person", resolution=64)]
     result = sd_trainer.train(cfg, prompts, rank=2, save_file=False)
     assert all(np.isfinite(l) for l in result.losses)
+
+
+def test_shared_snapshots_match_partial_chain():
+    """denoise_shared_snapshots row b == denoise_partial run t_b steps with
+    the SAME key (the snapshot rows are literally states of one chain)."""
+    from sliders_conceptmod_tpu.diffusion.sampling import (
+        denoise_partial,
+        denoise_shared_snapshots,
+    )
+
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    lat0 = jax.random.normal(jax.random.PRNGKey(7), (1, 4, 8, 8)) * schedule.init_noise_sigma
+    rows = bank.text[0, esd.ROLE_TARGET][None]
+    key = jax.random.PRNGKey(3)
+    steps = jnp.asarray([2, 4])
+    snaps = denoise_shared_snapshots(
+        unet_apply, params, scheduler, schedule, lat0, rows, key,
+        total_steps=steps, guidance_scale=1.0,
+    )
+    for i, t in enumerate([2, 4]):
+        ref = denoise_partial(
+            unet_apply, params, scheduler, schedule, lat0, rows, key,
+            total_steps=t, guidance_scale=1.0,
+        )
+        np.testing.assert_allclose(np.asarray(snaps[i : i + 1]), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("xl", [False, True], ids=["sd", "xl"])
+def test_share_warmup_step_trains(xl):
+    """The fused step with share_warmup runs, yields finite loss, and moves
+    the adapter; the per-step samples all read one shared-pair chain."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(xl)
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, samples_per_step=2,
+        remat_unet=False, share_warmup=True,
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, ecfg,
+        add_time_ids=jnp.asarray(get_add_time_ids(64, 64)) if xl else None,
+    )
+    opt_state = opt.init(lora_params)
+    before = jax.tree.map(np.asarray, lora_params)
+    lp, opt_state, metrics = step(params, lora_params, opt_state, jax.random.PRNGKey(0), bank)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(lp), jax.tree.leaves(before))
+    )
+    assert moved
+
+
+def test_share_warmup_guards():
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(False)
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+    with pytest.raises(ValueError, match="share_warmup"):
+        esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt,
+            esd.ESDConfig(max_denoising_steps=MAX_STEPS, height=64, width=64,
+                          samples_per_step=1, share_warmup=True),
+        )
+    with pytest.raises(ValueError, match="share_warmup"):
+        esd.make_esd_train_step(
+            unet_apply, sites, scheduler, schedule, opt,
+            esd.ESDConfig(max_denoising_steps=MAX_STEPS, height=64, width=64,
+                          samples_per_step=2, fuse_samples=False, share_warmup=True),
+        )
