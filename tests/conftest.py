@@ -27,11 +27,17 @@ def rng():
 
 
 # ---------------------------------------------------------------------------
-# Test tiers (VERDICT r2 task 7): `pytest -m fast` = a <3-min cold-cache
-# signal for contributors without the warm XLA cache. Membership is by
-# module: only schema/adapter/scheduler/loss/tokenizer tests that compile no
-# big model graphs. Everything else is marked slow. Measured cold (fresh
-# JAX_COMPILATION_CACHE_DIR, 1-core host): fast tier 45 tests in 83 s.
+# Test tiers (VERDICT r2 task 7 + r3 task 8):
+#   `pytest -m fast`  — <3-min cold-cache signal (schema/adapters/schedulers/
+#                       loss/tokenizer; no big model graphs).
+#   `pytest tests/`   — the DEFAULT tier: everything except the e2e monsters
+#                       (kept ≤20 min cold per VERDICT r3).
+#   `pytest -m e2e`   — the deselected-by-default wall-clock monsters (full
+#                       service bring-ups, CLI journeys, the 2-process
+#                       world); run them — or SLIDERS_FULL_TESTS=1 for
+#                       everything in one go — before release-grade changes
+#                       to serve/, eval/, cli/ or parallel/.
+# Membership is by module.
 # ---------------------------------------------------------------------------
 FAST_MODULES = {
     "test_config",
@@ -44,10 +50,44 @@ FAST_MODULES = {
     "test_spm_tokenizer",
 }
 
+# Each of these costs minutes of cold-cache wall-clock (distinct heavyweight
+# executables or real subprocess worlds), and each is an END-TO-END journey
+# over machinery the default tier already covers at unit grain.
+E2E_MODULES = {
+    "test_serve",
+    "test_serve_sd3",
+    "test_te_slider",
+    "test_eval_clis",
+    "test_baseline_clis",
+    "test_combine_and_generate",
+    "test_multiprocess",
+}
+
 
 def pytest_collection_modifyitems(config, items):
+    markexpr = config.getoption("-m") or ""
+    run_all = os.environ.get("SLIDERS_FULL_TESTS") == "1" or "e2e" in markexpr
+    selected, deselected = [], []
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        item.add_marker(
-            pytest.mark.fast if mod in FAST_MODULES else pytest.mark.slow
-        )
+        if mod in FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+        else:
+            item.add_marker(pytest.mark.slow)
+        if mod in E2E_MODULES:
+            item.add_marker(pytest.mark.e2e)
+            if not run_all:
+                deselected.append(item)
+                continue
+        selected.append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: <3-min cold-cache signal tier")
+    config.addinivalue_line("markers", "slow: everything outside the fast tier")
+    config.addinivalue_line(
+        "markers", "e2e: wall-clock monsters, deselected unless -m e2e or SLIDERS_FULL_TESTS=1"
+    )
