@@ -240,8 +240,24 @@ def bench_sd3(n_steps, res, dtype):
                 with quant.quant_overlay(wq_scales, compute_dtype=dtype, act_quant=True):
                     return model.apply({"params": p}, *a, **kw)
 
-    sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
-    lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    # BENCH_PEFT=dora (VERDICT r3 task 7): DoRA on the MMDiT — must MERGE
+    # (the magnitude decomposition needs the full-precision merged tree), so
+    # it forces the merged-student path and refuses a quantized base
+    peft = os.environ.get("BENCH_PEFT", "lora")
+    merge_fn = None
+    if peft == "dora":
+        if qmode != "off":
+            raise SystemExit("BENCH_PEFT=dora needs a full-precision base (BENCH_QUANT=0)")
+        from sliders_conceptmod_tpu.adapters import dora as dora_mod
+
+        sites = dora_mod.create_sites(params, rank=4, alpha=1.0, train_method="full", delimiter="-")
+        lora_params = dora_mod.init_lora_params(
+            jax.random.PRNGKey(1), sites, base_params=params, dtype=jnp.float32
+        )
+        merge_fn = dora_mod.merge_lora_params
+    else:
+        sites = lora_lib.create_sites(params, rank=4, train_method="full", delimiter="-")
+        lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
     schedule = FlowMatchScheduler(shift=3.0).set_timesteps(28)
 
     def encode_fn(prompt):
@@ -260,9 +276,9 @@ def bench_sd3(n_steps, res, dtype):
     # student + merged warm-up) — the measured winner (+4.3%, BASELINE.md r3
     # SD3 overlay A/B) and the trainer default; "0" forces the merged-student
     # control, "1" overlays the warm-up too. Implied over int8.
-    sd3_overlay = os.environ.get("BENCH_OVERLAY", "2")
+    sd3_overlay = os.environ.get("BENCH_OVERLAY", "2" if peft == "lora" else "0")
     step = esd_sd3.make_sd3_esd_train_step(
-        apply, sites, schedule, opt, scfg, remat_apply=remat_apply,
+        apply, sites, schedule, opt, scfg, remat_apply=remat_apply, merge_fn=merge_fn,
         student_overlay=(qmode != "off") or sd3_overlay in ("1", "2"),
         overlay_warmup=(False if qmode == "off" and sd3_overlay == "2" else None),
         warm_apply=warm_apply,
