@@ -7,7 +7,7 @@ real dimensions (reference loads 5-7 GB single files,
 
   A. synthesize a REAL-dimension SDXL SGM single file (UNet 2.57B + both
      text towers + VAE, fp16 — same layout/size class as sd_xl_base_1.0)
-  B. load it through io/ldm_convert (native mmap reader) on the TPU host:
+  B. load it through io/ldm_convert (bulk arena reader, io/native.py) on the TPU host:
      wall-clock + peak host RSS
   C. run 10 real train steps from it through the actual train_lora_xl CLI
   D. run a 2-scale DDIM sweep from the trained slider through
@@ -113,7 +113,7 @@ def main():
 
     from sliders_conceptmod_tpu.models import factory
 
-    # B: the multi-GB load path — mmap reader -> SGM-layout conversion ->
+    # B: the multi-GB load path — arena reader -> SGM-layout conversion ->
     # bf16 host trees -> HBM
     t0 = time.time()
     toks, tes, unet, sched, vae = factory.load_models_xl(
