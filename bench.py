@@ -1165,16 +1165,24 @@ def main():
         },
     )
     use_cfg = float(os.environ.get("BENCH_CFG", "1.0")) != 1.0
+    if f_row and ecfg.share_warmup:
+        # shared-prefix warm-up: ONE batch-1 chain of E[max of S U{1..T-1}
+        # draws] ≈ (T-1)·S/(S+1) iterations replaces the S per-sample chains;
+        # teacher/student still run per sample
+        warm = f_row * (max_denoise - 1) * samples / (samples + 1) * (2 if use_cfg else 1) * batch
+        flops = warm + esd_step_flops(f_row, warm_iters=0, use_cfg=use_cfg, b=batch, samples=samples)
+    else:
+        flops = (
+            esd_step_flops(f_row, warm_iters=max_denoise / 2, use_cfg=use_cfg, b=batch, samples=samples)
+            if f_row
+            else None
+        )
     emit(
         metric,
         sps,
         "steps/s",
         round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
-        flops_per_unit=esd_step_flops(
-            f_row, warm_iters=max_denoise / 2, use_cfg=use_cfg, b=batch, samples=samples
-        )
-        if f_row
-        else None,
+        flops_per_unit=flops,
         rate=sps,
     )
 
