@@ -31,7 +31,10 @@ def rng():
 #   `pytest -m fast`  — <3-min cold-cache signal (schema/adapters/schedulers/
 #                       loss/tokenizer; no big model graphs).
 #   `pytest tests/`   — the DEFAULT tier: everything except the e2e monsters
-#                       (kept ≤20 min cold per VERDICT r3).
+#                       (measured ~53 min warm / ~74 min cold on the 1-core
+#                       host — execution-bound equivalence tests, not
+#                       compile; VERDICT r3 asked ≤20 min, the honest floor
+#                       without shedding correctness coverage is this).
 #   `pytest -m e2e`   — the deselected-by-default wall-clock monsters (full
 #                       service bring-ups, CLI journeys, the 2-process
 #                       world); run them — or SLIDERS_FULL_TESTS=1 for
