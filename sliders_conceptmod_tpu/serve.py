@@ -1610,6 +1610,14 @@ def main():
         "per-request ?guidance= is ignored",
     )
     ap.add_argument(
+        "--v2", action="store_true",
+        help="sd1 family only: SD2.x base (OpenCLIP tower, SD2.1 UNet widths)",
+    )
+    ap.add_argument(
+        "--v_pred", action="store_true",
+        help="sd1 family only: v-prediction scheduler (SD2.x 768-v bases)",
+    )
+    ap.add_argument(
         "--no_stack", action="store_true",
         help="disable cross-slider (stacked heterogeneous adapter) batching "
         "— mixed-slider micro-batches split per slider (the A/B control)",
@@ -1687,6 +1695,7 @@ def main():
             max_sliders=args.max_sliders, cross_slider_stack=not args.no_stack,
             max_queue=args.max_queue,
             static_guidance=args.static_guidance,
+            v2=args.v2, v_pred=args.v_pred,
         )
     else:
         service = SliderService(
