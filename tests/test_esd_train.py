@@ -757,3 +757,20 @@ def test_share_warmup_guards():
             esd.ESDConfig(max_denoising_steps=MAX_STEPS, height=64, width=64,
                           samples_per_step=2, fuse_samples=False, share_warmup=True),
         )
+
+
+def test_share_warmup_with_dynamic_crops():
+    """share_warmup + dynamic_crops: the shared chain rides sample 0's crop
+    while teacher/student keep per-sample time_ids — step runs, finite loss."""
+    unet_apply, params, sites, lora_params, scheduler, schedule, bank = _setup(True)
+    ecfg = esd.ESDConfig(
+        max_denoising_steps=MAX_STEPS, height=64, width=64, samples_per_step=2,
+        remat_unet=False, share_warmup=True, dynamic_crops=True,
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10), grad_clip_norm=0.2)
+    step = esd.make_esd_train_step(
+        unet_apply, sites, scheduler, schedule, opt, ecfg,
+        add_time_ids=jnp.asarray(get_add_time_ids(64, 64)),
+    )
+    _, _, metrics = step(params, lora_params, opt.init(lora_params), jax.random.PRNGKey(0), bank)
+    assert np.isfinite(float(metrics["loss"]))
