@@ -130,6 +130,11 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         ccfg = esd_cascade.CascadeESDConfig(
             samples_per_step=samples_per_step,
             shard_samples=mesh is not None and samples_per_step > 1,
+            # tpu.share_warmup: one shared (T−1)-step warm-up chain per step
+            # (Cascade's warm-up trip count is FIXED, so the chain is the
+            # dominant per-step cost); tails keep per-sample pairs — see
+            # CascadeESDConfig.share_warmup for the documented deviations
+            share_warmup=bool(getattr(config.tpu, "share_warmup", False)),
             mesh=mesh,
             max_denoising_steps=config.train.max_denoising_steps,
             batch_size=prompts[0].batch_size,

@@ -168,6 +168,11 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
         scfg = esd_sd3.SD3ESDConfig(
             samples_per_step=samples_per_step,
             shard_samples=mesh is not None and samples_per_step > 1,
+            # tpu.share_warmup: the per-step samples share ONE batch-1 warm-up
+            # chain (trajectory snapshots at each sample's t_k) — SD3's
+            # 28-step flow warm-up is the largest warm-up share of any family
+            # (BASELINE.md), so this is where the lever pays most
+            share_warmup=bool(getattr(config.tpu, "share_warmup", False)),
             mesh=mesh,
             max_denoising_steps=config.train.max_denoising_steps,
             train_cfg_scale=config.train.cfg,

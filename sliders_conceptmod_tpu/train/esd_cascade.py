@@ -59,6 +59,7 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_TARGET,
     ROLE_UNCOND,
     PromptBank,
+    data_partition_spec,
     sampled_loss_and_grad,
 )
 
@@ -77,6 +78,19 @@ class CascadeESDConfig:
     # sample axis shards over the data axis — esd.sampled_loss_and_grad)
     samples_per_step: int = 1
     shard_samples: bool = False
+    # shared-prefix warm-up (tpu.share_warmup): the per-step samples share
+    # ONE batch-1 warm-up chain — Cascade runs a FIXED (T−1)-step warm-up
+    # every iteration (reference train_lora_cascade.py:238), so the chain is
+    # the dominant cost and every sample reads the SAME depth: no snapshot
+    # buffer needed, the chain's end state is the one shared context.
+    # DEVIATIONS (opt-in A/B only): the chain rides sample 0's draws (its
+    # pair's unconditional prompt, initial latent, scheduler noise); the
+    # teacher/student tails KEEP per-sample pairs — unlike train/esd.py's
+    # shared-pair convention — because with a fixed t_to a shared pair would
+    # collapse all samples into bit-identical rows (pair diversity is the
+    # only per-sample variation left). samples_per_step > 1 + batch_size == 1
+    # only.
+    share_warmup: bool = False
     mesh: object = None
 
     @property
@@ -112,6 +126,11 @@ def make_cascade_esd_train_step(
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     if student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
         raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
+    if cfg.share_warmup and (cfg.samples_per_step == 1 or cfg.batch_size != 1):
+        raise ValueError(
+            "share_warmup needs the multi-sample path "
+            "(samples_per_step > 1, batch_size == 1)"
+        )
     overlay_one = jnp.ones((1,), jnp.float32)
     student_apply = jax.checkpoint(prior_apply) if cfg.remat else prior_apply
     b = cfg.batch_size
@@ -167,21 +186,17 @@ def make_cascade_esd_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
-      def sample_loss(lp, k):
-        k_pair, k_noise, k_warm = jax.random.split(k, 3)
-        n_pairs = bank.text.shape[0]
-        pair = jax.random.randint(k_pair, (), 0, n_pairs)
+      def warm_chain(lp, pair, k_noise, k_warm):
+        """(T−1)-step slider-ON gradient-stopped warm-up from the pair's
+        unconditional prompt (reference quirk), scaled to the branch input —
+        shared between the per-sample and shared-chain paths so they cannot
+        desync."""
         text = bank.text[pair]
         pooled = bank.pooled[pair]
-        g_pair = bank.guidance[pair]
-        sign = bank.sign[pair]
-
         latents0 = (
             jax.random.normal(k_noise, (b, cfg.latent_channels, lh, lw), jnp.float32)
             * init_sigma
         )
-
-        # warm-up: slider ON, pair's unconditional prompt, grad-stopped
         student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
         warm_text, warm_pooled = tile(text[ROLE_UNCOND]), tile(pooled[ROLE_UNCOND])
 
@@ -197,9 +212,16 @@ def make_cascade_esd_train_step(
         # ddim/ddpm scale_model_input is the identity — matching the warm-up
         # loop's scale_in, which routes through NoiseScheduler.scale_model_input
         if is_wuerstchen or schedule.kind not in ("euler_a", "lms"):
-            x_in = denoised
-        else:
-            x_in = (denoised / jnp.sqrt(current_sigma**2 + 1)).astype(denoised.dtype)
+            return denoised
+        return (denoised / jnp.sqrt(current_sigma**2 + 1)).astype(denoised.dtype)
+
+      def sample_tail(lp, pair, x_in):
+        """Teacher target + student loss for ``pair`` from a gradient-stopped
+        warm-up context ``x_in`` (already branch-input scaled)."""
+        text = bank.text[pair]
+        pooled = bank.pooled[pair]
+        g_pair = bank.guidance[pair]
+        sign = bank.sign[pair]
 
         # teacher: pos/neu/neg cond rows + one shared '' row, one batched call
         troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
@@ -234,9 +256,41 @@ def make_cascade_esd_train_step(
         diff = tgt.astype(jnp.float32) - esd_target
         return jnp.mean(diff * diff)
 
-      loss, grads = sampled_loss_and_grad(
-          sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
-      )
+      def sample_loss(lp, k):
+        k_pair, k_noise, k_warm = jax.random.split(k, 3)
+        pair = jax.random.randint(k_pair, (), 0, bank.text.shape[0])
+        return sample_tail(lp, pair, warm_chain(lp, pair, k_noise, k_warm))
+
+      if cfg.share_warmup:
+        # tpu.share_warmup: ONE batch-1 warm-up chain per step (sample 0's
+        # draws — its pair's uncond prompt, latent, noise); the tails keep
+        # per-sample PAIRS (t_to is fixed, so pair diversity is the only
+        # per-sample variation — see CascadeESDConfig.share_warmup). The
+        # per-sample key splits match the vmap path, so with a 1-pair bank
+        # the share step reduces EXACTLY to the vmap path's sample-0
+        # computation (equivalence-tested, tests/test_cascade.py).
+        keys = jax.random.split(key, cfg.samples_per_step)
+        pairs = jax.vmap(
+            lambda k: jax.random.randint(
+                jax.random.split(k, 3)[0], (), 0, bank.text.shape[0]
+            )
+        )(keys)
+        _, k_noise0, k_warm0 = jax.random.split(keys[0], 3)
+
+        def shared_loss(lp):
+            x_in = warm_chain(lp, pairs[0], k_noise0, k_warm0)
+            losses = jax.vmap(lambda pair: sample_tail(lp, pair, x_in))(pairs)
+            if cfg.shard_samples:
+                losses = jax.lax.with_sharding_constraint(
+                    losses, data_partition_spec(cfg.mesh)
+                )
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(shared_loss)(lora_params)
+      else:
+        loss, grads = sampled_loss_and_grad(
+            sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
+        )
       updates, opt_state = optimizer.update(grads, opt_state, lora_params)
       lora_params = optax.apply_updates(lora_params, updates)
       return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}

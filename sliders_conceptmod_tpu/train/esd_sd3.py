@@ -39,6 +39,7 @@ from sliders_conceptmod_tpu.train.esd import (
     ROLE_TARGET,
     ROLE_UNCOND,
     PromptBank,
+    data_partition_spec,
     sampled_loss_and_grad,
 )
 
@@ -57,6 +58,17 @@ class SD3ESDConfig:
     # sample axis shards over the data axis — esd.sampled_loss_and_grad)
     samples_per_step: int = 1
     shard_samples: bool = False
+    # shared-prefix warm-up (tpu.share_warmup — same lever as
+    # train/esd.py ESDConfig.share_warmup, extended here because SD3's
+    # 28-step flow warm-up is the LARGEST warm-up share of any family
+    # (avg ~14 of ~18 model evals/step, BASELINE.md)): the per-step samples
+    # share ONE batch-1 warm-up chain to max(t_k), each sample reading the
+    # trajectory snapshot at its own t_k (the flow step is deterministic, so
+    # snapshots ARE the per-chain states — equivalence-tested). Warm-up cost
+    # becomes independent of samples_per_step. DEVIATIONS (opt-in A/B only):
+    # the per-step samples share one prompt pair (drawn from sample 0's key)
+    # and one initial latent. samples_per_step > 1 + batch_size == 1 only.
+    share_warmup: bool = False
     mesh: object = None
 
 
@@ -125,6 +137,11 @@ def make_sd3_esd_train_step(
     gs = cfg.train_cfg_scale
     # g==1 fast path: u + 1·(c−u) ≡ c — skip the uncond rows (see train/esd.py)
     use_cfg = float(gs) != 1.0
+    if cfg.share_warmup and (cfg.samples_per_step == 1 or cfg.batch_size != 1):
+        raise ValueError(
+            "share_warmup needs the multi-sample path "
+            "(samples_per_step > 1, batch_size == 1)"
+        )
 
     def tile(row):
         return jnp.tile(row[None], (b,) + (1,) * row.ndim)
@@ -160,18 +177,8 @@ def make_sd3_esd_train_step(
                 "warm_apply — pass bundle.apply_fn(act_quant=True) built "
                 "over the quantized copy"
             )
-        def sample_loss(lp, k):
-            """One independent ESD sample: (pair, t_to, noise) draw → warm-up
-            → teacher target → student loss. ``lp`` carries the gradient."""
-            k_pair, k_t, k_noise = jax.random.split(k, 3)
-            n_pairs = bank.text.shape[0]
-            pair = jax.random.randint(k_pair, (), 0, n_pairs)
-            timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
-
-            text = bank.text[pair]
-            pooled = bank.pooled[pair]
-            g_pair = bank.guidance[pair]
-            sign = bank.sign[pair]
+        def rows_fns(text, pooled):
+            """Per-role row batches for one pair's [5, S, D] bank slice."""
 
             def rows(role):
                 if not use_cfg:
@@ -183,19 +190,18 @@ def make_sd3_esd_train_step(
                     return tile(pooled[role])
                 return jnp.concatenate([tile(pooled[ROLE_UNCOND]), tile(pooled[role])], axis=0)
 
-            latents0 = jax.random.normal(
-                k_noise,
-                (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
-                jnp.float32,
-            )
+            return rows, prows
 
-            # warm-up with slider ON (multiplier 1), gradient-stopped.
-            # warm_params (dual-tree int8 copy) feeds ONLY this chain.
+        def warm_step_fn(lp, rows, prows):
+            """One slider-ON gradient-stopped warm-up flow step ``lat ← f(lat, i)``.
+            warm_params (dual-tree int8 copy) feeds ONLY this chain — shared
+            between the per-sample and shared-prefix paths so they cannot
+            desync (the rule train/esd.py keeps with _warmup_apply_params)."""
             if overlay_warmup:
                 slp = jax.lax.stop_gradient(lp)
                 wp = base_params if warm_params is None else warm_params
 
-                def body(i, lat):
+                def f(lat, i):
                     with lora_lib.lora_overlay(sites, slp, overlay_one):
                         return cfg_step(
                             warmup_apply, wp, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
@@ -204,15 +210,16 @@ def make_sd3_esd_train_step(
             else:
                 student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
 
-                def body(i, lat):
-                    return cfg_step(transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i)
+                def f(lat, i):
+                    return cfg_step(
+                        transformer_apply, student_params, lat, rows(ROLE_TARGET), prows(ROLE_TARGET), i
+                    )
 
-            denoised = jax.lax.stop_gradient(
-                jax.lax.fori_loop(0, timesteps_to, body, latents0)
-            )
+            return f
 
-            # teacher: one batched call at step index timesteps_to
-            t_idx = timesteps_to
+        def sample_tail(lp, text, pooled, g_pair, sign, denoised, t_idx, rows, prows):
+            """Teacher target + student loss at flow step index ``t_idx`` from
+            a gradient-stopped warm-up context ``denoised`` [b, C, h, w]."""
             troles = (ROLE_POSITIVE, ROLE_NEUTRAL, ROLE_NEGATIVE)
             if use_cfg:
                 troles = (ROLE_UNCOND,) + troles
@@ -250,9 +257,95 @@ def make_sd3_esd_train_step(
             diff = tgt.astype(jnp.float32) - esd_target
             return jnp.mean(diff * diff)
 
-        loss, grads = sampled_loss_and_grad(
-            sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
-        )
+        def sample_loss(lp, k):
+            """One independent ESD sample: (pair, t_to, noise) draw → warm-up
+            → teacher target → student loss. ``lp`` carries the gradient."""
+            k_pair, k_t, k_noise = jax.random.split(k, 3)
+            n_pairs = bank.text.shape[0]
+            pair = jax.random.randint(k_pair, (), 0, n_pairs)
+            timesteps_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+
+            text = bank.text[pair]
+            pooled = bank.pooled[pair]
+            rows, prows = rows_fns(text, pooled)
+
+            latents0 = jax.random.normal(
+                k_noise,
+                (b, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
+                jnp.float32,
+            )
+            wstep = warm_step_fn(lp, rows, prows)
+            denoised = jax.lax.stop_gradient(
+                jax.lax.fori_loop(0, timesteps_to, lambda i, lat: wstep(lat, i), latents0)
+            )
+            return sample_tail(
+                lp, text, pooled, bank.guidance[pair], bank.sign[pair],
+                denoised, timesteps_to, rows, prows,
+            )
+
+        if cfg.share_warmup:
+            # tpu.share_warmup: ONE batch-1 warm-up chain to max(t_k), each
+            # sample reading the trajectory snapshot at its own t_k. The
+            # per-sample (pair, t_k) draws use the SAME key splits as the
+            # vmap path, so with coinciding t_k the two paths compute the
+            # identical loss (equivalence-tested, tests/test_esd_sd3.py).
+            S = cfg.samples_per_step
+            keys = jax.random.split(key, S)
+
+            def draw(k):
+                k_pair, k_t, _ = jax.random.split(k, 3)
+                pair = jax.random.randint(k_pair, (), 0, bank.text.shape[0])
+                t_to = jax.random.randint(k_t, (), 1, cfg.max_denoising_steps)
+                return pair, t_to
+
+            pairs, t_to = jax.vmap(draw)(keys)
+            pair0 = pairs[0]  # one pair per step — the shared chain's context
+            k_noise0 = jax.random.split(keys[0], 3)[2]
+            latents0 = jax.random.normal(
+                k_noise0,
+                (1, cfg.latent_channels, cfg.height // cfg.vae_scale, cfg.width // cfg.vae_scale),
+                jnp.float32,
+            )
+            text0 = bank.text[pair0]
+            pooled0 = bank.pooled[pair0]
+            rows0, prows0 = rows_fns(text0, pooled0)
+            g0, s0 = bank.guidance[pair0], bank.sign[pair0]
+
+            def shared_loss(lp):
+                wstep = warm_step_fn(lp, rows0, prows0)
+                hit_shape = (S,) + (1,) * (latents0.ndim - 1)
+                snaps0 = jnp.zeros((S,) + latents0.shape[1:], latents0.dtype)
+
+                def body(i, carry):
+                    lat, snaps = carry
+                    lat = wstep(lat, i)
+                    # rows with t_k == i+1 snapshot the post-step state; the
+                    # [1, ...] chain broadcasts over the S-row buffer
+                    hit = (t_to == i + 1).reshape(hit_shape)
+                    return lat, jnp.where(hit, lat, snaps)
+
+                _, snaps = jax.lax.fori_loop(0, jnp.max(t_to), body, (latents0, snaps0))
+                snaps = jax.lax.stop_gradient(snaps)
+                if cfg.shard_samples:
+                    snaps = jax.lax.with_sharding_constraint(
+                        snaps, data_partition_spec(cfg.mesh)
+                    )
+
+                def tail(t_idx, ctx):
+                    return sample_tail(lp, text0, pooled0, g0, s0, ctx[None], t_idx, rows0, prows0)
+
+                losses = jax.vmap(tail)(t_to, snaps)
+                if cfg.shard_samples:
+                    losses = jax.lax.with_sharding_constraint(
+                        losses, data_partition_spec(cfg.mesh)
+                    )
+                return jnp.mean(losses)
+
+            loss, grads = jax.value_and_grad(shared_loss)(lora_params)
+        else:
+            loss, grads = sampled_loss_and_grad(
+                sample_loss, lora_params, key, cfg.samples_per_step, cfg.shard_samples, cfg.mesh
+            )
         updates, opt_state = optimizer.update(grads, opt_state, lora_params)
         lora_params = optax.apply_updates(lora_params, updates)
         return lora_params, opt_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
