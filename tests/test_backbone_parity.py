@@ -646,3 +646,183 @@ def test_flux_cross_framework_parity():
     ).numpy()
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Stable Cascade Stage-C prior (torch, from the Wuerstchen Stage-C
+# architecture: depthwise-conv ResBlocks with ConvNeXt-v2 GRN, FiLM
+# timestep-ratio blocks, self+cross attention against the mapped CLIP
+# sequence) — VERDICT r4 task 4: the last backbone without an external
+# numerics anchor (the reference loads it from diffusers,
+# model_util.py:139-156).
+# --------------------------------------------------------------------------
+
+
+def cl_norm(x):
+    """Channels-last LayerNorm, no affine, eps 1e-6 (Stage-C uses this
+    everywhere in place of GroupNorm)."""
+    return F.layer_norm(x, x.shape[-1:], eps=1e-6)
+
+
+def conv_cl(x, p, stride=1, padding=0, groups=1):
+    """Conv over a channels-last input (the torch impl keeps NHWC like the
+    conditioning math; convs hop through NCHW)."""
+    w = T(p["kernel"]).permute(3, 2, 0, 1)
+    y = F.conv2d(
+        x.permute(0, 3, 1, 2), w, T(p["bias"]), stride=stride, padding=padding, groups=groups
+    )
+    return y.permute(0, 2, 3, 1)
+
+
+def cascade_ratio_embedding(r, dim, max_positions=10000):
+    """Sinusoidal embedding of the [0,1] timestep RATIO (not an integer t):
+    r is scaled by max_positions first, [sin | cos], no flip."""
+    r = r.float() * max_positions
+    half = dim // 2
+    freqs = torch.exp(
+        -np.log(max_positions) * torch.arange(half, dtype=torch.float32) / (half - 1)
+    )
+    ang = r[:, None] * freqs[None, :]
+    return torch.cat([torch.sin(ang), torch.cos(ang)], dim=1)
+
+
+def cascade_grn(x, p):
+    """ConvNeXt-v2 Global Response Norm over channels-last feature maps."""
+    agg = torch.sqrt(torch.sum(x * x, dim=(1, 2), keepdim=True))
+    stand = agg / (agg.mean(dim=-1, keepdim=True) + 1e-6)
+    return T(p["gamma"]) * (x * stand) + T(p["beta"]) + x
+
+
+def cascade_resblock(x, p, skip=None):
+    c = x.shape[-1]
+    h = conv_cl(x, p["depthwise"], padding=1, groups=c)
+    h = cl_norm(h)
+    if skip is not None:
+        h = torch.cat([h, skip], dim=-1)
+    h = dense(h, p["channelwise_0"])
+    h = F.gelu(h)  # exact (erf) gelu
+    h = cascade_grn(h, p["channelwise_2"])
+    return dense(h, p["channelwise_4"]) + x
+
+
+def cascade_timestep_block(x, r_embed, p, conds=("sca", "crp")):
+    """FiLM x*(1+a)+b with one extra mapper per auxiliary condition whose
+    (a, b) are summed in."""
+    chunks = torch.chunk(r_embed, 1 + len(conds), dim=1)
+    a, b = torch.chunk(dense(chunks[0], p["mapper"]), 2, dim=1)
+    for i, cname in enumerate(conds):
+        ac, bc = torch.chunk(dense(chunks[i + 1], p[f"mapper_{cname}"]), 2, dim=1)
+        a, b = a + ac, b + bc
+    return x * (1 + a[:, None, None, :]) + b[:, None, None, :]
+
+
+def cascade_attn_block(x, clip, p, heads):
+    """norm -> attention with KV = [image tokens (self), mapped CLIP seq]."""
+    B, H, W, C = x.shape
+    kv_cond = dense(F.silu(clip), p["kv_mapper_1"])
+    tokens = cl_norm(x).reshape(B, H * W, C)
+    kv = torch.cat([tokens, kv_cond], dim=1)
+    ap = p["attention"]
+    out = attention(dense(tokens, ap["to_q"]), dense(kv, ap["to_k"]), dense(kv, ap["to_v"]), heads)
+    return x + dense(out, ap["to_out_0"]).reshape(B, H, W, C)
+
+
+def torch_cascade_forward(x, r, clip_text, clip_text_pooled, clip_img, params, cfg):
+    conds = tuple(cfg.timestep_conditioning_type)
+    dim = cfg.timestep_ratio_embedding_dim
+    r_embed = torch.cat(
+        [cascade_ratio_embedding(r, dim)]
+        + [cascade_ratio_embedding(torch.zeros_like(r), dim) for _ in conds],
+        dim=1,
+    )
+    B = x.shape[0]
+    d = cfg.conditioning_dim
+    txt = dense(clip_text, params["clip_txt_mapper"])
+    pooled = dense(clip_text_pooled, params["clip_txt_pooled_mapper"]).reshape(
+        B, clip_text_pooled.shape[1] * cfg.clip_seq, d
+    )
+    img = dense(clip_img, params["clip_img_mapper"]).reshape(
+        B, clip_img.shape[1] * cfg.clip_seq, d
+    )
+    clip = cl_norm(torch.cat([txt, pooled, img], dim=1))
+
+    h = x.permute(0, 2, 3, 1)  # NHWC, like the flax internals
+    h = conv_cl(h, params["embedding_1"])
+    h = cl_norm(h)
+
+    level_outputs = []
+    for i, c in enumerate(cfg.block_out_channels):
+        if i > 0:
+            h = cl_norm(h)
+            h = conv_cl(h, params[f"down_downscalers_{i}_1"], stride=2)
+        j = 0
+        for _ in range(cfg.down_num_layers_per_block[i]):
+            h = cascade_resblock(h, params[f"down_blocks_{i}_{j}"])
+            h = cascade_timestep_block(h, r_embed, params[f"down_blocks_{i}_{j + 1}"], conds)
+            h = cascade_attn_block(
+                h, clip, params[f"down_blocks_{i}_{j + 2}"], cfg.num_attention_heads[i]
+            )
+            j += 3
+        level_outputs.insert(0, h)
+
+    h = level_outputs[0]
+    n = len(cfg.block_out_channels)
+    for gi in range(n):
+        level = n - 1 - gi
+        j = 0
+        for layer in range(cfg.up_num_layers_per_block[gi]):
+            skip = level_outputs[gi] if layer == 0 and gi > 0 else None
+            h = cascade_resblock(h, params[f"up_blocks_{gi}_{j}"], skip)
+            h = cascade_timestep_block(h, r_embed, params[f"up_blocks_{gi}_{j + 1}"], conds)
+            h = cascade_attn_block(
+                h, clip, params[f"up_blocks_{gi}_{j + 2}"], cfg.num_attention_heads[level]
+            )
+            j += 3
+        if level > 0:
+            h = cl_norm(h)
+            p = params[f"up_upscalers_{gi}_1"]
+            # flax ConvTranspose kernel [kh,kw,in,out] -> torch [in,out,kh,kw]
+            # with the spatial flip (inverse of convert_cascade_state_dict,
+            # whose torch->flax direction is verified exact in
+            # tests/test_cascade.py::test_conv_transpose_conversion_matches_torch)
+            w = T(np.transpose(np.asarray(p["kernel"])[::-1, ::-1], (2, 3, 0, 1)).copy())
+            y = F.conv_transpose2d(h.permute(0, 3, 1, 2), w, T(p["bias"]), stride=2)
+            h = y.permute(0, 2, 3, 1)
+    h = cl_norm(h)
+    out = conv_cl(h, params["clf_1"])
+    return out.permute(0, 3, 1, 2)
+
+
+def test_cascade_cross_framework_parity():
+    """Flax StableCascadeUNet (Stage-C prior) vs the independent torch
+    implementation above on the same random weights — validates the ratio
+    embedding scale (r*10000, sin|cos order), the no-affine 1e-6 LayerNorms,
+    GRN aggregation axes and eps, FiLM chunk order and aux-cond summing, the
+    self+cross KV concat order, the k2/s2 VALID down/up-scalers (incl. the
+    ConvTranspose kernel flip), and the skip-concat placement."""
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+
+    cfg = CascadeConfig.tiny()
+    model = StableCascadeUNet(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, cfg.in_channels, 6, 6)).astype(np.float32)
+    r = np.asarray([0.25, 0.8], np.float32)
+    clip_text = rng.standard_normal((2, 5, cfg.clip_text_in_channels)).astype(np.float32)
+    clip_pooled = rng.standard_normal((2, 1, cfg.clip_text_pooled_in_channels)).astype(np.float32)
+    clip_img = rng.standard_normal((2, 1, cfg.clip_image_in_channels)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (x, r, clip_text, clip_pooled, clip_img))
+    params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    # break init symmetry: zero-init biases / GRN affines would hide
+    # transpose, chunk-order, and affine bugs
+    leaves = jax.tree.leaves(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree.unflatten(
+        jax.tree.structure(params),
+        [0.1 * jax.random.normal(k, l.shape, jnp.float32) for k, l in zip(keys, leaves)],
+    )
+    got = np.asarray(model.apply({"params": params}, *args))
+    np_params = jax.tree.map(np.asarray, params)
+    want = torch_cascade_forward(
+        T(x), T(r), T(clip_text), T(clip_pooled), T(clip_img), np_params, cfg
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
