@@ -43,6 +43,11 @@ def run(args):
     tokenizer, te, vae, unet, scheduler = factory.load_models(
         args.base,
         scheduler_name="lms",
+        # SD2.x route (reference model_util.py:37-109 v2 handling): OpenCLIP
+        # text tower + optional v-prediction sampling — a slider trained with
+        # --v2/--v_pred sweeps with the same flags it trained/serves with
+        v2=args.v2,
+        v_pred=args.v_pred,
         weight_dtype=jnp.bfloat16,
         with_vae=True,
     )
@@ -128,6 +133,14 @@ def build_parser():
     parser.add_argument("--rank", type=int, default=4)
     parser.add_argument("--start_noise", type=int, default=850)
     parser.add_argument("--scales", type=str, default="-2,-1,0,1,2")
+    parser.add_argument(
+        "--v2", action="store_true",
+        help="SD2.x base: OpenCLIP ViT-H text tower (reference model_util.py:37-109)",
+    )
+    parser.add_argument(
+        "--v_pred", action="store_true",
+        help="v-prediction base (SD2.x 768-v class checkpoints)",
+    )
     parser.add_argument("--device", type=str, default="0", help="ignored on TPU (mesh-controlled)")
     return parser
 
