@@ -50,11 +50,11 @@ def quant_mode() -> str:
     if v == "w8a8":
         return "w8a8"
     if v == "w8a8-dual":
-        if os.environ.get("BENCH_MODEL", "sdxl") not in ("sdxl", "sd15", "tiny", "sd3") or os.environ.get(
-            "BENCH_MODE", "train"
-        ) != "train":
+        if os.environ.get("BENCH_MODEL", "sdxl") not in (
+            "sdxl", "sd15", "tiny", "sd3", "cascade"
+        ) or os.environ.get("BENCH_MODE", "train") != "train":
             raise SystemExit(
-                "BENCH_QUANT=w8a8-dual is an SD1/SDXL/SD3 TRAIN mode "
+                "BENCH_QUANT=w8a8-dual is an SD1/SDXL/SD3/Cascade TRAIN mode "
                 "(int8 base wins outright on Flux and at inference — use BENCH_QUANT=w8a8)"
             )
         return "w8a8-dual"
@@ -377,6 +377,25 @@ def bench_cascade(n_steps, res, dtype):
     def apply(p, *a, **kw):
         return model.apply({"params": p}, *a, **kw)
 
+    # BENCH_QUANT=w8a8-dual (r5): the dual-tree W8A8 warm-up — the bf16 base
+    # keeps teacher/student exact while the fixed 19-step warm-up chain (19
+    # of ~21 model evals/step, the largest warm-up share of any family) runs
+    # a one-time int8 copy with act-quant (tpu.w8a8_warmup)
+    qmode = quant_mode()
+    warm_apply = None
+    warm_params = None
+    if qmode == "w8a8-dual":
+        from sliders_conceptmod_tpu.adapters import quant
+
+        warm_params, wq_scales = quant.quantize_params(params)
+
+        def warm_apply(p, *a, **kw):
+            with quant.quant_overlay(wq_scales, compute_dtype=dtype, act_quant=True):
+                return model.apply({"params": p}, *a, **kw)
+
+    elif qmode != "off":
+        raise SystemExit("cascade supports BENCH_QUANT=w8a8-dual only (no int8 base route)")
+
     sites = lora_lib.create_sites(params, rank=4, train_method="full")
     lora_params = lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
     scheduler = create_noise_scheduler("euler_a")
@@ -410,17 +429,19 @@ def bench_cascade(n_steps, res, dtype):
         empty_text=empty_text, empty_pooled=empty_pooled,
         clip_image_dim=cfg.clip_image_in_channels,
         student_overlay=cascade_overlay,
+        warm_apply=warm_apply,
+        overlay_warmup=qmode == "w8a8-dual",
     )
     opt_state = opt.init(lora_params)
 
     key = jax.random.PRNGKey(0)
     key, k = jax.random.split(key)
-    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+    lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_params)
     jax.block_until_ready(metrics["loss"])
     t0 = time.time()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
-        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank)
+        lora_params, opt_state, metrics = step(params, lora_params, opt_state, k, bank, warm_params)
     jax.block_until_ready(metrics["loss"])
     sps = n_steps / (time.time() - t0)
     f_row = fwd_flops(
@@ -437,6 +458,8 @@ def bench_cascade(n_steps, res, dtype):
         metric += f"_x{samples}samples"
     if share:
         metric += "_sharedwarm"
+    if qmode == "w8a8-dual":
+        metric += "_dualtree_w8a8warm"
     if cascade_overlay:
         metric += "_overlay_student_mergedwarm"
     if f_row and share:

@@ -32,28 +32,41 @@ from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
 
 
 def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_complete=None, resume_from=None):
-    if getattr(getattr(config, "tpu", None), "quantize_base", False) or getattr(
-        getattr(config, "tpu", None), "w8a8_warmup", False
-    ):
+    if getattr(getattr(config, "tpu", None), "quantize_base", False):
         raise NotImplementedError(
-            "tpu.quantize_base / tpu.w8a8_warmup are supported by the text-slider trainers "
-            "(train_lora/_xl/_sd3/_flux); the cascade step merges into the "
-            "base — set quantize_base: false."
+            "tpu.quantize_base is supported by the text-slider trainers "
+            "(train_lora/_xl/_sd3/_flux); the cascade teacher/student merge "
+            "into the bf16 base (no HBM-fit need at 12x12 effnet latents) — "
+            "set quantize_base: false. The warm-up perf lever here is "
+            "tpu.w8a8_warmup (dual-tree int8 warm-up chain)."
+        )
+    # tpu.w8a8_warmup (r5): the DUAL-TREE route only — cascade's fixed
+    # (T−1)-step warm-up is the largest warm-up share of any family (19 of
+    # ~21 model evals/step), and its 2048-wide channelwise matmuls are the
+    # shape where W8A8 measured +23% on SD3. The bf16 base keeps the exact
+    # teacher/student paths; a one-time int8 copy (+~3.6 GiB for the 3.6B
+    # prior) serves only the warm-up chain, slider via the apply-time
+    # overlay (train/esd_cascade.py overlay_warmup).
+    w8a8_warmup = bool(getattr(getattr(config, "tpu", None), "w8a8_warmup", False))
+    if w8a8_warmup and peft_type != "lora":
+        raise NotImplementedError(
+            "tpu.w8a8_warmup rides the LoRA overlay on the int8 warm-up copy "
+            "— DoRA merges; use peft_type='lora'."
         )
     from sliders_conceptmod_tpu.utils.debug import apply_tpu_runtime_flags
 
     apply_tpu_runtime_flags(getattr(config, "tpu", None))
-    # tpu.student_overlay: overlay-student + merged-warm-up split (the only
-    # overlay shape here — cascade has no quantized base, and the T−1-step
-    # warm-up always keeps the merged tree). Default merged until a cascade
-    # A/B is recorded (the SD1/XL default flip rode one, BASELINE.md r3).
+    # tpu.student_overlay: overlay-student + merged-warm-up split. Default
+    # merged until a cascade A/B is recorded (the SD1/XL default flip rode
+    # one, BASELINE.md r3).
     student_overlay, overlay_warmup = config_util.resolve_student_overlay(
         getattr(config, "tpu", None) or config_util.TPUConfig(), False, peft_type
     )
     if overlay_warmup:
         raise NotImplementedError(
-            "tpu.overlay_warmup: true — the cascade warm-up always runs the "
-            "merged tree (no quantized base exists here); leave it unset."
+            "tpu.overlay_warmup: true — the cascade bf16 warm-up always runs "
+            "the merged tree; the overlay warm-up exists only as part of "
+            "tpu.w8a8_warmup's dual-tree route. Leave it unset."
         )
     dynamic_resolution = any(getattr(p, "dynamic_resolution", False) for p in prompts)
     weight_dtype = config_util.parse_precision(config.train.precision)
@@ -115,6 +128,19 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
     bank = esd.build_prompt_bank(prompts, encode_fn)
     empty_text, empty_pooled = encode_fn("")
 
+    # dual-tree w8a8 warm-up: one-time int8 copy of the frozen prior,
+    # consumed only by the warm-up chain (the bf16 tree keeps
+    # teacher/student exact) — same hygiene as train/trainer.py
+    warm_params = None
+    warm_apply_fn = None
+    if w8a8_warmup:
+        from sliders_conceptmod_tpu.adapters import quant
+
+        warm_params, warm_scales = quant.quantize_params(prior.params)
+        warm_apply_fn = quant.wrap_apply(
+            prior.apply_fn(), warm_scales, weight_dtype, act_quant=True
+        )
+
     schedule = scheduler.set_timesteps(config.train.max_denoising_steps)
 
     # dynamic_resolution: the reference draws a bucketed (h, w) per iteration
@@ -156,6 +182,10 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             clip_image_dim=prior_cfg.clip_image_in_channels,
             merge_fn=peft_mod.merge_lora_params,
             student_overlay=student_overlay,
+            # W8A8 on the gradient-stopped warm-up only (tpu.w8a8_warmup) —
+            # the dual-tree int8 copy rides the apply-time overlay
+            warm_apply=warm_apply_fn,
+            overlay_warmup=w8a8_warmup,
         )
 
     step_fns = [build_step(h, w) for h, w in buckets]
@@ -178,13 +208,20 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
             mesh, prior.params, lora_params, opt_state, bank,
             tp=getattr(config.tpu, "mesh_model", 1) > 1,
         )
+        if warm_params is not None:
+            if getattr(config.tpu, "mesh_model", 1) > 1:
+                raise NotImplementedError(
+                    "dual-tree w8a8_warmup + tensor parallelism: the int8 "
+                    "warm-up copy is not TP-sharded — use mesh_model: 1."
+                )
+            warm_params = mesh_lib.replicate_host_tree(warm_params, mesh)
     for i in range(start_step, config.train.iterations):
         key, k = jax.random.split(key)
         if multihost:
             k = mesh_lib.replicate_host_tree(k, mesh)
         bi = pick_bucket(i) if pick_bucket is not None else 0
         lora_params, opt_state, metrics = step_fns[bi](
-            prior.params, lora_params, opt_state, k, bank
+            prior.params, lora_params, opt_state, k, bank, warm_params
         )
         if pick_bucket is not None:
             metrics = dict(metrics, height=buckets[bi][0], width=buckets[bi][1])

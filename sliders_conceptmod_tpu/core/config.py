@@ -157,12 +157,15 @@ class TPUConfig(BaseModel):
     # int8 base (the merged tree cannot exist there). true forces the
     # overlay on the warm-up too; false is refused over a quantized base.
     overlay_warmup: Optional[bool] = None
-    # shared-prefix warm-up under DP (train/esd.py ESDConfig.share_warmup):
-    # the samples_per_step fused samples share ONE batch-1 warm-up chain to
-    # max(t_k), each reading the trajectory snapshot at its own t_k.
-    # DEVIATIONS when on: per-step samples share one prompt pair and one
-    # initial latent; warm-up noise correlates across samples. Opt-in A/B
-    # against the latency-bound warm-up chain; samples_per_step > 1 only.
+    # shared-prefix warm-up under DP (train/esd.py ESDConfig.share_warmup;
+    # r5: also train/esd_sd3.py and train/esd_cascade.py): the
+    # samples_per_step samples share ONE batch-1 warm-up chain to max(t_k),
+    # each reading the trajectory snapshot at its own t_k (Cascade's fixed
+    # t_to means one shared context, with per-sample PAIRS kept in the
+    # tails). DEVIATIONS when on: per-step samples share one prompt pair
+    # (SD1/XL/SD3) and one initial latent; warm-up noise correlates across
+    # samples. Opt-in A/B against the latency-bound warm-up chain;
+    # samples_per_step > 1 only.
     share_warmup: bool = False
 
 

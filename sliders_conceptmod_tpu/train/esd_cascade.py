@@ -113,6 +113,8 @@ def make_cascade_esd_train_step(
     clip_image_dim: int,
     merge_fn=None,
     student_overlay: bool = False,
+    warm_apply: Callable | None = None,
+    overlay_warmup: bool = False,
 ):
     """``student_overlay=True``: run ONLY the student prediction through the
     apply-time LoRA overlay while the (dominant, T−1-step) gradient-stopped
@@ -120,12 +122,32 @@ def make_cascade_esd_train_step(
     overlay-student split that is the measured SD1/XL winner
     (tpu.student_overlay/overlay_warmup, BASELINE.md r3 overlay A/B): the
     backward skips the dense dL/dW′ weight-grad matmuls over the 3.6B prior.
-    LoRA only (DoRA's norm decomposition needs the merged tree). Cascade has
-    no quantized-base route (the CLI refuses tpu.quantize_base), so there is
-    no overlay-warm-up variant here."""
+    LoRA only (DoRA's norm decomposition needs the merged tree).
+
+    ``warm_apply`` + ``overlay_warmup=True`` (r5, tpu.w8a8_warmup): the
+    DUAL-TREE W8A8 warm-up — the bf16 base keeps the exact merged/overlay
+    teacher+student paths while the fixed (T−1)-step warm-up chain runs a
+    one-time int8 copy (``warm_params`` through the step signature) with
+    per-token int8 activations (int8×int8 MXU). Cascade's warm-up is the
+    LARGEST warm-up share of any family (19 of ~21 model evals/step) and its
+    2048-wide channelwise matmuls are the shape where W8A8 measured +23% on
+    SD3 (BASELINE.md). The int8 copy cannot host a merge, so the warm-up
+    slider rides the apply-time overlay — DECOUPLED from ``student_overlay``
+    here (deviation from train/esd.py's knob hierarchy, documented: the
+    cascade student default is merged pending its own A/B). Cascade still
+    has no ``quantize_base`` route (teacher/student merge into the bf16
+    base; no HBM-fit need at 12×12 effnet latents)."""
     merge = merge_fn if merge_fn is not None else lora_lib.merge_lora_params
     if student_overlay and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
         raise ValueError("student_overlay supports the LoRA overlay only (DoRA merges)")
+    if warm_apply is not None and not overlay_warmup:
+        raise ValueError(
+            "warm_apply (the w8a8 dual-tree warm-up) requires overlay_warmup=True "
+            "— an int8 warm-up copy cannot host a merged slider"
+        )
+    if overlay_warmup and merge_fn is not None and merge_fn is not lora_lib.merge_lora_params:
+        raise ValueError("overlay_warmup supports the LoRA overlay only (DoRA merges)")
+    warmup_apply = warm_apply if warm_apply is not None else prior_apply
     if cfg.share_warmup and (cfg.samples_per_step == 1 or cfg.batch_size != 1):
         raise ValueError(
             "share_warmup needs the multi-sample path "
@@ -185,25 +207,44 @@ def make_cascade_esd_train_step(
         return pred_u + g * (pred_c - pred_u)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank):
+    def train_step(base_params, lora_params, opt_state, key, bank: PromptBank, warm_params=None):
+      # None-vs-tree is static per trace — trace-time guard (mirrors
+      # train/esd_sd3.py): an int8 dual tree without a dequantizing
+      # warm_apply would push int8 leaves through the exact apply
+      if warm_params is not None and warm_apply is None:
+          raise ValueError(
+              "warm_params (dual int8 tree) requires a dequantizing warm_apply "
+              "— pass quant.wrap_apply(prior_apply, scales, act_quant=True)"
+          )
+
       def warm_chain(lp, pair, k_noise, k_warm):
         """(T−1)-step slider-ON gradient-stopped warm-up from the pair's
         unconditional prompt (reference quirk), scaled to the branch input —
         shared between the per-sample and shared-chain paths so they cannot
-        desync."""
+        desync. ``warm_params`` (dual-tree int8 copy) feeds ONLY this chain."""
         text = bank.text[pair]
         pooled = bank.pooled[pair]
         latents0 = (
             jax.random.normal(k_noise, (b, cfg.latent_channels, lh, lw), jnp.float32)
             * init_sigma
         )
-        student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
         warm_text, warm_pooled = tile(text[ROLE_UNCOND]), tile(pooled[ROLE_UNCOND])
+        if overlay_warmup:
+            slp = jax.lax.stop_gradient(lp)
+            wp = base_params if warm_params is None else warm_params
+
+            def wpred(x_in, ratio, tc, pc):
+                with lora_lib.lora_overlay(sites, slp, overlay_one):
+                    return predict_guided(warmup_apply, wp, x_in, ratio, tc, pc)
+
+        else:
+            student_params = jax.lax.stop_gradient(merge(base_params, sites, lp, 1.0))
+
+            def wpred(x_in, ratio, tc, pc):
+                return predict_guided(prior_apply, student_params, x_in, ratio, tc, pc)
 
         def body(i, lat):
-            guided = predict_guided(
-                prior_apply, student_params, scale_in(lat, i), warm_ratios[i], warm_text, warm_pooled
-            )
+            guided = wpred(scale_in(lat, i), warm_ratios[i], warm_text, warm_pooled)
             return sched_step(guided, i, lat, jax.random.fold_in(k_warm, i))
 
         denoised = jax.lax.stop_gradient(jax.lax.fori_loop(0, t_to, body, latents0))

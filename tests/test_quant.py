@@ -973,3 +973,144 @@ def test_cascade_esd_step_student_overlay_matches_merge():
         _, _, metrics = step(params, lp, opt.init(lp), jax.random.PRNGKey(7), bank)
         losses.append(float(metrics["loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-3, atol=1e-7)
+
+
+def _cascade_quant_setup():
+    from sliders_conceptmod_tpu.core.prompts import PromptSettings
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+    from sliders_conceptmod_tpu.models.cascade import CascadeConfig, StableCascadeUNet
+    from sliders_conceptmod_tpu.train import esd, esd_cascade
+    from sliders_conceptmod_tpu.train.optim import get_lr_schedule, get_optimizer
+
+    cfg = CascadeConfig.tiny()
+    m = StableCascadeUNet(cfg)
+    params = m.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.in_channels, 4, 4)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 5, cfg.clip_text_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_text_pooled_in_channels)),
+        jnp.zeros((1, 1, cfg.clip_image_in_channels)),
+    )["params"]
+
+    def apply(p, *a):
+        return m.apply({"params": p}, *a)
+
+    sites = lora_lib.create_sites(params, rank=2, train_method="full")
+    lp0 = jax.tree.map(
+        lambda x: x + 0.02, lora_lib.init_lora_params(jax.random.PRNGKey(1), sites)
+    )
+
+    def encode_fn(prompt):
+        k = jax.random.PRNGKey(len(prompt))
+        return (
+            jax.random.normal(k, (5, cfg.clip_text_in_channels)) * 0.1,
+            jax.random.normal(k, (1, cfg.clip_text_pooled_in_channels)) * 0.1,
+        )
+
+    bank = esd.build_prompt_bank([PromptSettings(target="sky", resolution=16)], encode_fn)
+    empty_text, empty_pooled = encode_fn("")
+    scheduler = create_noise_scheduler("ddim")
+    schedule = scheduler.set_timesteps(4)
+    ccfg = esd_cascade.CascadeESDConfig(
+        max_denoising_steps=4, height=64, width=64,
+        latent_channels=cfg.in_channels, resolution_multiple=16.0, remat=False,
+    )
+    opt = get_optimizer("adamw", get_lr_schedule("constant", 1e-3, 10))
+
+    def make(**kw):
+        return esd_cascade.make_cascade_esd_train_step(
+            kw.pop("apply_fn", apply), sites, scheduler, schedule, opt, ccfg,
+            empty_text=empty_text, empty_pooled=empty_pooled,
+            clip_image_dim=cfg.clip_image_in_channels, **kw,
+        )
+
+    return cfg, m, apply, params, sites, lp0, bank, opt, make
+
+
+def test_cascade_dual_tree_w8a8_warmup_runs():
+    """Cascade dual-tree w8a8 warm-up (r5, tpu.w8a8_warmup): a REAL int8
+    warm-up copy (min_elems=1) with act-quant feeds only the 19-step chain;
+    the step runs, yields a finite loss, and moves the adapter."""
+    cfg, m, apply, params, sites, lp0, bank, opt, make = _cascade_quant_setup()
+    wq_tree, wq_scales = quant.quantize_params(params, min_elems=1)
+
+    def warm_apply(p, *a):
+        with quant.quant_overlay(wq_scales, compute_dtype=jnp.float32, act_quant=True):
+            return m.apply({"params": p}, *a)
+
+    step = make(warm_apply=warm_apply, overlay_warmup=True)
+    lp = jax.tree.map(jnp.copy, lp0)
+    before = jax.tree.map(np.asarray, lp0)
+    lp, _, metrics = step(params, lp, opt.init(lp), jax.random.PRNGKey(7), bank, wq_tree)
+    assert np.isfinite(float(metrics["loss"]))
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(lp), jax.tree.leaves(before))
+    )
+
+
+def test_cascade_dual_tree_passthrough_matches_merged_warmup():
+    """With every kernel below QUANT_MIN_ELEMS the dual warm-up tree is a
+    bf16 pass-through copy, so the overlay warm-up must reproduce the merged
+    warm-up's loss up to matmul re-association — exercises exactly the
+    dual-tree plumbing (the int8 math is covered by the _runs test above)."""
+    cfg, m, apply, params, sites, lp0, bank, opt, make = _cascade_quant_setup()
+    wq_tree, wq_scales = quant.quantize_params(params)  # default threshold: no-op
+    assert not wq_scales, "tiny kernels must stay unquantized for the pass-through"
+
+    def warm_apply(p, *a):
+        with quant.quant_overlay(wq_scales, compute_dtype=jnp.float32, act_quant=True):
+            return m.apply({"params": p}, *a)
+
+    merged = make()
+    dual = make(warm_apply=warm_apply, overlay_warmup=True)
+    lp_a = jax.tree.map(jnp.copy, lp0)
+    lp_b = jax.tree.map(jnp.copy, lp0)
+    _, _, m_a = merged(params, lp_a, opt.init(lp_a), jax.random.PRNGKey(7), bank)
+    _, _, m_b = dual(params, lp_b, opt.init(lp_b), jax.random.PRNGKey(7), bank, wq_tree)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-3, atol=1e-7)
+
+
+def test_cascade_dual_tree_composes_with_share_warmup():
+    """share_warmup + w8a8 dual tree: one shared int8 warm-up chain, bf16
+    per-sample tails — finite loss (the two r5 warm-up levers stack)."""
+    from sliders_conceptmod_tpu.train import esd_cascade
+
+    cfg, m, apply, params, sites, lp0, bank, opt, make = _cascade_quant_setup()
+    wq_tree, wq_scales = quant.quantize_params(params, min_elems=1)
+
+    def warm_apply(p, *a):
+        with quant.quant_overlay(wq_scales, compute_dtype=jnp.float32, act_quant=True):
+            return m.apply({"params": p}, *a)
+
+    ccfg = esd_cascade.CascadeESDConfig(
+        max_denoising_steps=4, height=64, width=64,
+        latent_channels=cfg.in_channels, resolution_multiple=16.0, remat=False,
+        samples_per_step=2, share_warmup=True,
+    )
+    from sliders_conceptmod_tpu.diffusion.schedulers import create_noise_scheduler
+
+    scheduler = create_noise_scheduler("ddim")
+    step = esd_cascade.make_cascade_esd_train_step(
+        apply, sites, scheduler, scheduler.set_timesteps(4), opt, ccfg,
+        empty_text=bank.text[0, 3], empty_pooled=bank.pooled[0, 3],
+        clip_image_dim=cfg.clip_image_in_channels,
+        warm_apply=warm_apply, overlay_warmup=True,
+    )
+    lp = jax.tree.map(jnp.copy, lp0)
+    _, _, metrics = step(params, lp, opt.init(lp), jax.random.PRNGKey(7), bank, wq_tree)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cascade_dual_tree_guards():
+    import pytest
+
+    cfg, m, apply, params, sites, lp0, bank, opt, make = _cascade_quant_setup()
+    with pytest.raises(ValueError, match="overlay_warmup"):
+        make(warm_apply=apply)  # warm_apply without overlay_warmup
+    step = make()  # merged warm-up
+    lp = jax.tree.map(jnp.copy, lp0)
+    with pytest.raises(ValueError, match="warm_apply"):
+        # dual tree without a dequantizing warm_apply — trace-time guard
+        step(params, lp, opt.init(lp), jax.random.PRNGKey(7), bank, params)
