@@ -349,6 +349,16 @@ def train(
             for f in step_fns
         ]
         mesh_lib.barrier("sliders_pre_first_step")
+    elif multihost:
+        # pipeline_warmup keeps lazy jit (the carry protocol has two
+        # entry points) — the ranks' first-collective skew is then bounded
+        # only by Gloo's ~30 s context-init deadline; say so out loud
+        print(
+            "[trainer] multihost + tpu.pipeline_warmup: steps compile lazily; "
+            "if ranks' compile times skew >30 s the first collective can hit "
+            "Gloo's context-init deadline — prefer pipeline_warmup: false "
+            "on multihost runs"
+        )
 
     if config.tpu.profile_dir:
         jax.profiler.start_trace(config.tpu.profile_dir)
