@@ -19,7 +19,7 @@ mkdir -p bench_r5/logs
 touch "$OUT"
 run() {
   local tag="$1"; shift
-  if grep -q "\"tag\": \"$tag\", \"result\": {" "$OUT" 2>/dev/null; then
+  if grep -q "\"tag\": \"$tag\".*\"result\": {" "$OUT" 2>/dev/null; then
     echo "=== [$tag] already recorded, skip ===" >&2
     return
   fi
