@@ -13,6 +13,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+# silence native ERROR spam: every XLA:CPU persistent-cache HIT logs a
+# benign cpu_aot_loader feature-mismatch error (the compile side records
+# LLVM tuning pseudo-features like +prefer-no-scatter that the runtime host
+# probe never reports — even same-machine; see __graft_entry__.py). The
+# spam buries real failures in test stderr; unset it when debugging native
+# crashes.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -574,9 +574,11 @@ def test_unsupported_trainers_reject_quantize_base():
 
     with pytest.raises(NotImplementedError, match="quantize_base"):
         train_lora_cascade.train(cfg, prompts, rank=2, save_file=False)
-    # w8a8_warmup alone is refused just as loudly (no silent ignore)
-    with pytest.raises(NotImplementedError, match="w8a8_warmup"):
-        train_lora_cascade.train(cfg_w, prompts, rank=2, save_file=False)
+    # w8a8_warmup is SUPPORTED on cascade since r5 (dual-tree warm-up —
+    # test_cascade_dual_tree_w8a8_warmup_runs below); only
+    # the non-LoRA route still refuses (the int8 overlay rides LoRA sites)
+    with pytest.raises(NotImplementedError, match="LoRA"):
+        train_lora_cascade.train(cfg_w, prompts, rank=2, save_file=False, peft_type="dora")
 
     # flux/sd3 trainers: w8a8_warmup has no step path — loud refusal
     from sliders_conceptmod_tpu.cli import train_lora_flux
