@@ -57,8 +57,9 @@ def train(config, prompts, rank=4, peft_type="lora", save_file=True, on_step_com
 
     apply_tpu_runtime_flags(getattr(config, "tpu", None))
     # tpu.student_overlay: overlay-student + merged-warm-up split. Default
-    # merged until a cascade A/B is recorded (the SD1/XL default flip rode
-    # one, BASELINE.md r3).
+    # MERGED by measurement (BASELINE.md r5 cascade A/B: overlay 3.109 vs
+    # merged 3.120 steps/s, −0.4% — a wash; the cascade step's warm-up
+    # dominates and the student pays the interceptors for nothing).
     student_overlay, overlay_warmup = config_util.resolve_student_overlay(
         getattr(config, "tpu", None) or config_util.TPUConfig(), False, peft_type
     )

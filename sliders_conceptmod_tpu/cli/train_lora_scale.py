@@ -45,10 +45,12 @@ def train(config, prompts, folder_main: str, folders, scales, rank: int = 4, sav
     apply_tpu_runtime_flags(getattr(config, "tpu", None))
     # tpu.student_overlay: fuse the ±scale double pass into ONE 2-row UNet
     # call with per-row overlay multipliers [+s, −s] (train/imageslider.py).
-    # Default merged until the image-pair A/B is recorded (the SD1/XL
-    # text-slider default flip rode one, BASELINE.md r3).
+    # Default OVERLAY by measurement (BASELINE.md r5 image-pair A/Bs:
+    # overlay 68.55 vs merged 55.40 steps/s SD1 @256px, +23.8%; 10.64 vs
+    # 8.98 XL @512px, +18.5% — the fused 2-row call beats two merges).
     student_overlay, overlay_warmup = config_util.resolve_student_overlay(
-        getattr(config, "tpu", None) or config_util.TPUConfig(), False, "lora"
+        getattr(config, "tpu", None) or config_util.TPUConfig(), False, "lora",
+        default_overlay=True,
     )
     if overlay_warmup:
         raise NotImplementedError(
